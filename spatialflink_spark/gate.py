@@ -1,0 +1,130 @@
+"""Gate queries — the Spark side of every (queries, oracle_sql) pair.
+
+Each builder takes (spark, sf_dir) and returns a DataFrame whose column
+names, types and values match the DuckDB oracle in oracle/sql.py exactly
+(the driver compares row-count + schema + order-insensitive value hash with
+columns sorted by name).
+
+These are also the engine's headline queries for bench.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spatialflink_spark.config import (
+    DEFAULT_CONFIG as C,
+    DEFAULT_QUERY_POINTS,
+)
+from spatialflink_spark.functions import tokens as T
+from spatialflink_spark.functions.windows import (
+    tumbling_start,
+    with_session_windows,
+    with_sliding_windows,
+)
+from spatialflink_spark.operators import aggregate as agg_ops
+from spatialflink_spark.operators.cells import with_cell
+from spatialflink_spark.operators.join import windowed_join
+from spatialflink_spark.operators.knn import knn_windowed
+from spatialflink_spark.operators.range_query import range_query
+from spatialflink_spark.operators.stats import running_stats
+from spatialflink_spark.sources.sequences import sequences
+
+
+def _seq_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sequences(spark, sf_dir).withColumn(
+        "ws", tumbling_start("ts_s", C.tumbling_s)
+    )
+
+
+def _seq_s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_sliding_windows(
+        sequences(spark, sf_dir), "ts_s", C.sliding_size_s, C.sliding_slide_s
+    )
+
+
+def q_range_tumbling_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship — MN_Q1 analog (sncb/mobility/MN_Q1.java:36-84): windowed
+    range query -> tumbling per-(window, query) count."""
+    matched = range_query(_seq_t(spark, sf_dir), C.grid, DEFAULT_QUERY_POINTS)
+    return (
+        matched.groupBy("ws", "q_id")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+        .orderBy("ws", "q_id")
+    )
+
+
+def q_range_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    matched = range_query(_seq_t(spark, sf_dir), C.grid, DEFAULT_QUERY_POINTS)
+    return matched.select(
+        "ws",
+        "q_id",
+        "doc_id",
+        "seq_no",
+        "n_tok",
+        "source",
+        "dist",
+        F.expr(T.spark_tok_checksum("tokens")).alias("tok_checksum"),
+    )
+
+
+def q_knn_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return knn_windowed(_seq_s(spark, sf_dir), C.grid, DEFAULT_QUERY_POINTS)
+
+
+def q_join_self_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seq = _seq_t(spark, sf_dir)
+    return windowed_join(seq, seq, C.grid, C.join_radius, self_join=True)
+
+
+def q_variation_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg_ops.variation(_seq_s(spark, sf_dir))
+
+
+def q_variance_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg_ops.variance_clamped(_seq_s(spark, sf_dir))
+
+
+def q_trajectory_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg_ops.trajectory(_seq_t(spark, sf_dir))
+
+
+def q_heatmap_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg_ops.heatmap(with_cell(_seq_s(spark, sf_dir), C.grid))
+
+
+def q_tstats_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return running_stats(sequences(spark, sf_dir))
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str, gap_s: int = 1800) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        F.expr("cast(datediff(cast(ts as date), date'1970-01-01') as bigint)*86400 + hour(ts)*3600 + minute(ts)*60 + second(ts)").alias("ts_s"),
+        "value",
+        "event_id",
+    )
+    s = with_session_windows(e, ["user_id"], "ts_s", ["ts_s", "event_id"], gap_s)
+    return s.groupBy("user_id", F.col("sess_id").cast("bigint").alias("sess_id")).agg(
+        F.min("ts_s").alias("sess_start"),
+        F.max("ts_s").alias("sess_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr("round(sum(value), 6)").alias("sum_value"),
+    )
+
+
+def q_events_sliding_stats(
+    spark: SparkSession, sf_dir: str, size_s: int = 3600, slide_s: int = 900
+) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.expr("cast(datediff(cast(ts as date), date'1970-01-01') as bigint)*86400 + hour(ts)*3600 + minute(ts)*60 + second(ts)").alias("ts_s"),
+        "value",
+    )
+    ew = with_sliding_windows(e, "ts_s", size_s, slide_s)
+    return ew.groupBy("event_type", "ws").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr("round(avg(value), 6)").alias("avg_value"),
+        F.expr("round(sum(value), 6)").alias("sum_value"),
+    )

@@ -1,0 +1,257 @@
+"""DuckDB oracle SQL — golden semantics for every gate query.
+
+Each function returns a self-contained ANSI-ish SQL string runnable by DuckDB
+over the driver's pre-registered parquet views (documents, events,
+embeddings, ...). The sequences derivation + window assignment arithmetic is
+bit-identical to the Spark side (sources/sequences.py, functions/windows.py);
+tests/test_oracle_parity.py asserts value-level equality the same way the
+driver's CORRECTNESS gate does.
+
+These SQL strings are the in-repo "reference suite" — the role the pandas
+oracle plays in SURVEY.md §5.2, expressed declaratively.
+"""
+
+from __future__ import annotations
+
+from spatialflink_spark.config import (
+    DEFAULT_CONFIG as C,
+    DEFAULT_QUERY_POINTS,
+    HASH_MOD,
+)
+from spatialflink_spark.sources.sequences import duck_sequences_cte
+
+
+def qpoints_values() -> str:
+    rows = ", ".join(
+        f"('{q.q_id}', {q.q_n_tok}, {q.radius}, {q.k})" for q in DEFAULT_QUERY_POINTS
+    )
+    return f"(VALUES {rows}) q(q_id, q_n_tok, radius, k)"
+
+
+def _prologue(sliding: bool = False, tumbling: bool = False) -> str:
+    """Shared WITH-clause: sequences (+ tumbling ws and/or sliding swin)."""
+    parts = [duck_sequences_cte()]
+    if tumbling:
+        parts.append(
+            f"""
+seq_t AS (
+  SELECT s.*, CAST(floor(ts_s / {C.tumbling_s}) * {C.tumbling_s} AS BIGINT) AS ws
+  FROM sequences s
+)"""
+        )
+    if sliding:
+        n = C.sliding_size_s // C.sliding_slide_s
+        parts.append(
+            f"""
+seq_s AS (
+  SELECT s.*,
+         CAST(floor(ts_s / {C.sliding_slide_s}) * {C.sliding_slide_s}
+              - k.k * {C.sliding_slide_s} AS BIGINT) AS ws
+  FROM sequences s
+  CROSS JOIN (SELECT unnest(range(0, {n})) AS k) k
+  WHERE ts_s >= floor(ts_s / {C.sliding_slide_s}) * {C.sliding_slide_s} - k.k * {C.sliding_slide_s}
+    AND ts_s <  floor(ts_s / {C.sliding_slide_s}) * {C.sliding_slide_s} - k.k * {C.sliding_slide_s} + {C.sliding_size_s}
+)"""
+        )
+    return "WITH " + ",".join(parts)
+
+
+def range_tumbling_count() -> str:
+    return f"""{_prologue(tumbling=True)}
+SELECT ws, q.q_id AS q_id, count(*) AS n_matches
+FROM seq_t s
+JOIN {qpoints_values()} ON abs(s.n_tok - q.q_n_tok) <= q.radius
+GROUP BY ws, q.q_id
+ORDER BY ws, q_id
+"""
+
+
+def range_rows() -> str:
+    tc = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), s.tokens), "
+        f"(a, t) -> (a*131 + t) % {HASH_MOD})"
+    )
+    return f"""{_prologue(tumbling=True)}
+SELECT s.ws AS ws, q.q_id AS q_id, s.doc_id AS doc_id, s.seq_no AS seq_no,
+       s.n_tok AS n_tok, s.source AS source,
+       abs(s.n_tok - q.q_n_tok) AS dist,
+       {tc} AS tok_checksum
+FROM seq_t s
+JOIN {qpoints_values()} ON abs(s.n_tok - q.q_n_tok) <= q.radius
+"""
+
+
+def knn_sliding() -> str:
+    return f"""{_prologue(sliding=True)}
+, cand AS (
+  SELECT s.ws, q.q_id, q.k, s.doc_id, s.seq_no,
+         abs(s.n_tok - q.q_n_tok) AS dist
+  FROM seq_s s
+  JOIN {qpoints_values()} ON abs(s.n_tok - q.q_n_tok) <= q.radius
+),
+per_doc AS (
+  SELECT ws, q_id, k, doc_id, seq_no, dist,
+         row_number() OVER (PARTITION BY ws, q_id, doc_id ORDER BY dist, seq_no) AS rd
+  FROM cand
+),
+ranked AS (
+  SELECT ws, q_id, k, doc_id, seq_no, dist,
+         row_number() OVER (PARTITION BY ws, q_id ORDER BY dist, doc_id) AS rank
+  FROM per_doc WHERE rd = 1
+)
+SELECT ws, q_id, CAST(rank AS INT) AS rank, doc_id, seq_no, dist
+FROM ranked WHERE rank <= k
+"""
+
+
+def join_self_tumbling() -> str:
+    r = C.join_radius
+    return f"""{_prologue(tumbling=True)}
+, pairs AS (
+  SELECT l.ws, l.doc_id AS left_doc, r.doc_id AS right_doc,
+         l.seq_no AS left_seq, r.seq_no AS right_seq,
+         abs(l.n_tok - r.n_tok) AS dist,
+         greatest(l.ts_s, r.ts_s) AS pair_ts
+  FROM seq_t l JOIN seq_t r
+    ON l.ws = r.ws AND abs(l.n_tok - r.n_tok) <= {r} AND l.doc_id <> r.doc_id
+),
+dedup AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY ws, left_doc, right_doc
+    ORDER BY pair_ts DESC, left_seq DESC, right_seq DESC, dist DESC) AS rn
+  FROM pairs
+)
+SELECT ws, left_doc, right_doc, left_seq, right_seq, dist, pair_ts
+FROM dedup WHERE rn = 1
+"""
+
+
+def variation_sliding() -> str:
+    return f"""{_prologue(sliding=True)}
+SELECT source, ws, max(n_tok) - min(n_tok) AS variation,
+       count(*) AS n_rows
+FROM seq_s GROUP BY source, ws
+"""
+
+
+def variance_sliding() -> str:
+    return f"""{_prologue(sliding=True)}
+, acc AS (
+  SELECT source, ws, count(*) AS n,
+         sum(CAST(n_tok AS BIGINT)) AS s,
+         sum(CAST(n_tok AS BIGINT) * CAST(n_tok AS BIGINT)) AS s2
+  FROM seq_s GROUP BY source, ws
+)
+SELECT source, ws, n AS n_rows,
+       round(greatest(s2 / n - (s / n) * (s / n), 0.0), 6) AS variance
+FROM acc
+"""
+
+
+def trajectory_tumbling() -> str:
+    return f"""{_prologue(tumbling=True)}
+, collected AS (
+  SELECT doc_id, ws,
+         list(tokens ORDER BY ts_s, seq_no) AS pts,
+         count(*) AS n_points
+  FROM seq_t GROUP BY doc_id, ws
+)
+SELECT doc_id, ws, n_points,
+       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(pts, p -> len(p))), (a, x) -> a + x) AS BIGINT) AS traj_len,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), flatten(pts)),
+            (a, t) -> (a*131 + t) % {HASH_MOD}) AS traj_checksum
+FROM collected
+"""
+
+
+def heatmap_sliding() -> str:
+    g = C.grid
+    cell = (
+        f"CAST(least(greatest(floor(n_tok / {g.cell_len}), 0), "
+        f"{g.num_cells - 1}) AS INT)"
+    )
+    return f"""{_prologue(sliding=True)}
+, per_doc AS (
+  SELECT {cell} AS cell, ws, doc_id,
+         max(ts_s) - min(ts_s) AS traj_len
+  FROM seq_s GROUP BY cell, ws, doc_id
+)
+SELECT cell, ws, count(*) AS n_docs,
+       CAST(sum(traj_len) AS BIGINT) AS sum_len,
+       round(avg(traj_len), 6) AS avg_len,
+       CAST(min(traj_len) AS BIGINT) AS min_len,
+       CAST(max(traj_len) AS BIGINT) AS max_len
+FROM per_doc GROUP BY cell, ws
+"""
+
+
+def tstats_running() -> str:
+    return f"""{_prologue()}
+, guard AS (
+  SELECT doc_id, seq_no, n_tok, ts_s,
+         max(ts_s) OVER (PARTITION BY doc_id ORDER BY seq_no
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM sequences
+),
+accepted AS (
+  SELECT doc_id, seq_no, n_tok, ts_s,
+         lag(ts_s) OVER (PARTITION BY doc_id ORDER BY seq_no) AS p_ts,
+         lag(n_tok) OVER (PARTITION BY doc_id ORDER BY seq_no) AS p_nt
+  FROM guard WHERE prev_max IS NULL OR ts_s > prev_max
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_accepted,
+         CAST(coalesce(sum(abs(n_tok - p_nt)), 0) AS BIGINT) AS cum_len,
+         CAST(coalesce(sum(ts_s - p_ts), 0) AS BIGINT) AS cum_dt
+  FROM accepted GROUP BY doc_id
+),
+totals AS (SELECT doc_id, count(*) AS n_seen FROM sequences GROUP BY doc_id)
+SELECT t.doc_id, t.n_seen, p.n_accepted, p.cum_len, p.cum_dt,
+       CASE WHEN p.cum_dt > 0
+            THEN CAST(floor(1000 * p.cum_len / p.cum_dt) AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS rate_milli
+FROM totals t JOIN per_doc p ON t.doc_id = p.doc_id
+"""
+
+
+def events_sessionize(gap_s: int = 1800) -> str:
+    return f"""
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, value, event_id
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN lag(ts_s) OVER w IS NULL THEN 1
+                 WHEN ts_s - lag(ts_s) OVER w > {gap_s} THEN 1 ELSE 0 END AS new_sess
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+),
+sess AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+  FROM flagged
+)
+SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+       min(ts_s) AS sess_start, max(ts_s) AS sess_end,
+       count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM sess GROUP BY user_id, sess_id
+"""
+
+
+def events_sliding_stats(size_s: int = 3600, slide_s: int = 900) -> str:
+    n = size_s // slide_s
+    return f"""
+WITH e AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, value FROM events
+),
+ew AS (
+  SELECT e.*,
+         CAST(floor(ts_s / {slide_s}) * {slide_s} - k.k * {slide_s} AS BIGINT) AS ws
+  FROM e CROSS JOIN (SELECT unnest(range(0, {n})) AS k) k
+  WHERE ts_s >= floor(ts_s / {slide_s}) * {slide_s} - k.k * {slide_s}
+    AND ts_s <  floor(ts_s / {slide_s}) * {slide_s} - k.k * {slide_s} + {size_s}
+)
+SELECT event_type, ws, count(*) AS n_events,
+       round(avg(value), 6) AS avg_value, round(sum(value), 6) AS sum_value
+FROM ew GROUP BY event_type, ws
+"""
