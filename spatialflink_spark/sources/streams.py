@@ -1,0 +1,76 @@
+"""Streaming sources — replayable, watermark-controlled.
+
+Reference sources re-expressed (SURVEY.md §2.1):
+- Kafka GeoJSON/CSV consumer (StreamingJob.java:255, Deserialization.java)
+  -> in production: `spark.readStream.format("kafka")` + from_json, or an
+  Iceberg streaming read; both produce the canonical sequence schema.
+- readTextFile CSV replay (sncb/tests/MobilityQueryRunner.java:43)
+  -> file streaming source below: the derived sequences table is staged as
+  one parquet file per micro-batch (ordered by event time), then read with
+  maxFilesPerTrigger=1 so each trigger consumes exactly one file — giving
+  tests deterministic control over watermark advancement, like the
+  reference's bounded out-of-orderness extractor
+  (range/PointPointRangeQuery.java:127-133).
+- SyntheticGpsSource (sncb/tests/SyntheticGpsSource.java:8-57, seeded
+  Random(42)) -> the derivation in sources/sequences.py IS the seeded
+  synthetic generator (deterministic per doc_id).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spatialflink_spark.sources.sequences import sequences
+
+SEQ_STREAM_SCHEMA = (
+    "doc_id bigint, seq_no int, tokens array<int>, n_tok int, "
+    "source string, ts_s bigint"
+)
+
+
+def stage_replay_files(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_batches: int = 4
+) -> list[str]:
+    """Materialize the derived sequences table as n_batches parquet files,
+    sliced by event time, with strictly increasing mtimes so the file source
+    replays them in order. Returns the file paths in replay order."""
+    pdf = sequences(spark, sf_dir).orderBy("ts_s", "doc_id", "seq_no").toPandas()
+    os.makedirs(out_dir, exist_ok=True)
+    n = len(pdf)
+    paths = []
+    per = (n + n_batches - 1) // n_batches
+    for i in range(n_batches):
+        chunk = pdf.iloc[i * per : (i + 1) * per]
+        if chunk.empty:
+            continue
+        p = os.path.join(out_dir, f"batch_{i:04d}.parquet")
+        chunk.to_parquet(p, index=False)
+        mt = time.time() + i  # monotone mtimes -> deterministic replay order
+        os.utime(p, (mt, mt))
+        paths.append(p)
+    return paths
+
+
+def read_sequences_stream(
+    spark: SparkSession,
+    replay_dir: str,
+    lateness_s: int = 2,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Streaming read of staged sequence files with an event-time watermark —
+    the analog of source -> BoundedOutOfOrdernessTimestampExtractor(lateness).
+    Adds `event_ts` (timestamp) used by all windowed streaming ops; late rows
+    beyond the watermark are dropped (the reference never side-outputs late
+    data)."""
+    df = (
+        spark.readStream.schema(SEQ_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(replay_dir)
+    )
+    return df.withColumn(
+        "event_ts", F.expr("timestamp_seconds(ts_s)")
+    ).withWatermark("event_ts", f"{lateness_s} seconds")

@@ -1,0 +1,144 @@
+"""Watermarked Structured Streaming pipelines — the CEP layer.
+
+Streaming versions of the gate operators, over the canonical sequence stream
+(sources/streams.read_sequences_stream). Event-time windows + watermarks
+reproduce the reference's window-based (WB) query paths; output equality is
+defined at window close for the same input + watermark (SURVEY.md §4,
+"Physical execution model deltas").
+
+All aggregations here are built-in (partial/final HashAggregate with
+incremental state maintenance by the streaming state store) — the incremental
+sliding-window evaluation the reference hand-rolls with ListState
+(PointPointRangeQuery.java:195-296) is what SS does natively.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spatialflink_spark.config import EngineConfig, QueryPoint
+from spatialflink_spark.operators.range_query import query_cells_df
+from spatialflink_spark.operators.cells import cell_expr
+
+
+def stream_range_count(
+    stream: DataFrame, cfg: EngineConfig, qs: Iterable[QueryPoint]
+) -> DataFrame:
+    """MN_Q1 analog end-to-end (sncb/mobility/MN_Q1.java:36-84): watermark ->
+    grid-pruned range query -> tumbling event-time count per (window, q_id).
+
+    Emits (ws bigint, q_id, n_matches) in APPEND mode — one final row per
+    closed window, which is what the exactly-once sink keys on."""
+    spark = stream.sparkSession
+    qcells = query_cells_df(spark, cfg.grid, qs)
+    s = stream.withColumn("cell", cell_expr(cfg.grid))
+    matched = s.join(F.broadcast(qcells), "cell").where(
+        F.col("guaranteed") | (F.expr("abs(n_tok - q_n_tok)") <= F.col("radius"))
+    )
+    counted = matched.groupBy(
+        F.window("event_ts", f"{cfg.tumbling_s} seconds").alias("win"), "q_id"
+    ).agg(F.count(F.lit(1)).alias("n_matches"))
+    return counted.select(
+        F.expr("cast(unix_timestamp(win.start) as bigint)").alias("ws"),
+        "q_id",
+        "n_matches",
+    )
+
+
+def stream_sliding_variation(stream: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """MN_Q2 analog (sliding window incremental aggregate,
+    sncb/mobility/MN_Q2.java:85 + VariationAgg): per (source, sliding window)
+    max-min of n_tok."""
+    agg = stream.groupBy(
+        F.window(
+            "event_ts", f"{cfg.sliding_size_s} seconds", f"{cfg.sliding_slide_s} seconds"
+        ).alias("win"),
+        "source",
+    ).agg(
+        (F.max("n_tok") - F.min("n_tok")).alias("variation"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return agg.select(
+        F.expr("cast(unix_timestamp(win.start) as bigint)").alias("ws"),
+        "source",
+        "variation",
+        "n_rows",
+    )
+
+
+def stream_session_stats(stream: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """Session windows per doc (north_rule; no reference equivalent —
+    SURVEY.md §2.6 notes the reference lacks session windows entirely)."""
+    agg = stream.groupBy(
+        F.session_window("event_ts", f"{cfg.session_gap_s} seconds").alias("win"),
+        "doc_id",
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_tok").cast("bigint").alias("sum_n_tok"),
+    )
+    return agg.select(
+        F.expr("cast(unix_timestamp(win.start) as bigint)").alias("sess_start"),
+        F.expr("cast(unix_timestamp(win.end) as bigint)").alias("sess_end"),
+        "doc_id",
+        "n_rows",
+        "sum_n_tok",
+    )
+
+
+def stream_stream_join(
+    left: DataFrame, right: DataFrame, cfg: EngineConfig, radius: int
+) -> DataFrame:
+    """Watermarked stream-stream inner join — the SS-native form of the
+    windowed spatial join (join/PointPointJoinQuery.java:124-183): equi-join
+    on cell + event-time range bound + exact distance θ-filter. The time
+    bound lets the state store evict buffered rows once the watermark passes
+    (Flink buffers per window; SS buffers per time-range — same output
+    pairs)."""
+    g = cfg.grid
+    l = left.select(
+        F.col("cell").alias("l_cell"),
+        F.col("doc_id").alias("left_doc"),
+        F.col("seq_no").alias("left_seq"),
+        F.col("n_tok").alias("left_n_tok"),
+        F.col("event_ts").alias("l_ts"),
+    )
+    r = right.select(
+        F.col("cell").alias("r_cell"),
+        F.col("doc_id").alias("right_doc"),
+        F.col("seq_no").alias("right_seq"),
+        F.col("n_tok").alias("right_n_tok"),
+        F.col("event_ts").alias("r_ts"),
+    )
+    cond = (
+        (F.col("l_cell") == F.col("r_cell"))
+        & (F.abs(F.col("left_n_tok") - F.col("right_n_tok")) <= radius)
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {cfg.tumbling_s} SECONDS"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {cfg.tumbling_s} SECONDS"))
+        & (F.col("left_doc") != F.col("right_doc"))
+    )
+    return l.join(r, cond).select(
+        "left_doc", "right_doc", "left_seq", "right_seq",
+        F.abs(F.col("left_n_tok") - F.col("right_n_tok")).alias("dist"),
+        F.greatest("l_ts", "r_ts").alias("pair_ts"),
+    )
+
+
+def run_available_now(
+    result: DataFrame, sink_fn, checkpoint: str, timeout_s: int = 300,
+    output_mode: str = "append",
+):
+    """Drain everything currently staged through foreachBatch with
+    availableNow (bounded, checkpointed) — the test/bench driver for every
+    streaming pipeline; resume = call again with the same checkpoint."""
+    q = (
+        result.writeStream.foreachBatch(sink_fn)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return q

@@ -1,0 +1,227 @@
+"""End-to-end Structured Streaming tests (SURVEY.md §5.2 items 4-5):
+- streaming range count == batch result for closed windows
+- exactly-once resume from checkpoint mid-stream (no dupes, no holes)
+- late-data drop beyond the watermark
+- stateful ops (tstats / count windows) vs batch oracle
+- lineage + metrics recorded per batch
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+
+from spatialflink_spark.config import DEFAULT_CONFIG as C, DEFAULT_QUERY_POINTS
+from spatialflink_spark.operators.cells import with_cell
+from spatialflink_spark.operators.stats import running_stats
+from spatialflink_spark.sources.sequences import sequences
+from spatialflink_spark.sources.streams import read_sequences_stream, stage_replay_files
+from spatialflink_spark.streaming.metrics import attach_metrics
+from spatialflink_spark.streaming.pipeline import (
+    run_available_now,
+    stream_range_count,
+    stream_session_stats,
+)
+from spatialflink_spark.streaming.sink import ExactlyOnceSink
+from spatialflink_spark.streaming.stateful import count_windows, tstats_stateful
+from tests.conftest import SF_SMALL
+
+import __spark_entry__ as entrymod
+
+
+@pytest.fixture(scope="module")
+def replay_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("replay"))
+    stage_replay_files(spark, SF_SMALL, d, n_batches=4)
+    return d
+
+
+def _batch_expected_range(spark):
+    return (
+        entrymod.queries()["range_tumbling_count"](spark, SF_SMALL)
+        .toPandas()
+        .sort_values(["ws", "q_id"])
+        .reset_index(drop=True)
+    )
+
+
+def test_stream_range_count_matches_batch(spark, replay_dir, tmp_path):
+    sink = ExactlyOnceSink(str(tmp_path / "out"), key_cols=("ws", "q_id"))
+    stream = read_sequences_stream(spark, replay_dir, C.allowed_lateness_s)
+    res = stream_range_count(stream, C, DEFAULT_QUERY_POINTS)
+    metrics_path = str(tmp_path / "metrics.jsonl")
+    attach_metrics(spark, metrics_path)
+    run_available_now(res, sink.foreach_batch(), str(tmp_path / "ckpt"))
+    got = (
+        sink.read_committed(spark)
+        .toPandas()
+        .sort_values(["ws", "q_id"])
+        .reset_index(drop=True)
+    )
+    exp = _batch_expected_range(spark)
+    # append mode only emits windows the final watermark closed; the last
+    # window(s) may be open. Everything emitted must match batch exactly,
+    # and all but the trailing window must be present.
+    merged = got.merge(exp, on=["ws", "q_id"], suffixes=("_s", "_b"))
+    assert len(merged) == len(got), "streaming emitted a window batch lacks"
+    assert (merged["n_matches_s"] == merged["n_matches_b"]).all()
+    open_cutoff = exp["ws"].max()  # only trailing windows may be missing
+    missing = exp.merge(got, on=["ws", "q_id"], how="left", suffixes=("", "_g"))
+    missing = missing[missing["n_matches_g"].isna()]
+    assert (missing["ws"] >= open_cutoff - C.tumbling_s).all()
+    # exactly-once bookkeeping: lineage exists, batches committed once
+    lineage = sink.lineage()
+    assert len(lineage) >= 1 and all("rows_out" in e for e in lineage)
+    assert os.path.exists(metrics_path)
+
+
+def test_stream_resume_from_checkpoint(spark, replay_dir, tmp_path):
+    """Kill after the first micro-batch; restart with the same checkpoint;
+    final output must equal a single uninterrupted run (no dupes/holes)."""
+    sink = ExactlyOnceSink(str(tmp_path / "out"), key_cols=("ws", "q_id"))
+    ckpt = str(tmp_path / "ckpt")
+    stream = read_sequences_stream(spark, replay_dir, C.allowed_lateness_s)
+    res = stream_range_count(stream, C, DEFAULT_QUERY_POINTS)
+
+    # phase 1: process exactly one file then stop (kill mid-stream)
+    q = (
+        res.writeStream.foreachBatch(sink.foreach_batch())
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    import time
+
+    deadline = time.time() + 60
+    while time.time() < deadline and not sink.committed_batches():
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(30)
+    n_before = len(sink.committed_batches())
+    assert n_before >= 1
+
+    # phase 2: resume from the same checkpoint, drain the rest
+    stream2 = read_sequences_stream(spark, replay_dir, C.allowed_lateness_s)
+    res2 = stream_range_count(stream2, C, DEFAULT_QUERY_POINTS)
+    run_available_now(res2, sink.foreach_batch(), ckpt)
+
+    got = sink.read_committed(spark).toPandas()
+    # no duplicate (ws, q_id) keys across the kill/restart boundary
+    assert not got.duplicated(subset=["ws", "q_id"]).any()
+    exp = _batch_expected_range(spark)
+    merged = got.merge(exp, on=["ws", "q_id"], suffixes=("_s", "_b"))
+    assert len(merged) == len(got)
+    assert (merged["n_matches_s"] == merged["n_matches_b"]).all()
+    open_cutoff = exp["ws"].max()
+    missing = exp.merge(got, on=["ws", "q_id"], how="left", suffixes=("", "_g"))
+    missing = missing[missing["n_matches_g"].isna()]
+    assert (missing["ws"] >= open_cutoff - C.tumbling_s).all()
+
+
+def test_late_rows_dropped(spark, tmp_path):
+    """A row arriving after the watermark has CLOSED its window is dropped
+    (Flink default drop semantics at window finalization — the reference
+    never side-outputs late data). Micro-batch nuance (verified empirically):
+    Spark finalizes window state at batch end, so the drop applies once the
+    window was evicted; a late row for a still-open window is merged — same
+    output as Flink for the same watermark sequence at window close."""
+    import time as _t
+
+    d = str(tmp_path / "replay")
+    os.makedirs(d)
+    base = 1_767_225_600
+
+    def mk(docs, tss):
+        return pd.DataFrame(
+            {
+                "doc_id": docs,
+                "seq_no": [0] * len(docs),
+                "tokens": [[1]] * len(docs),
+                "n_tok": [24] * len(docs),
+                "source": ["s"] * len(docs),
+                "ts_s": tss,
+            }
+        )
+
+    batches = [
+        mk([1, 2], [base, base + 300]),  # watermark -> base+298 after this
+        mk([4], [base + 400]),  # batch with wm=base+298 evicts window [base, base+60)
+        mk([3], [base + 1]),  # truly late: window already closed -> dropped
+        mk([5], [base + 500]),  # final eviction pass
+    ]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("seq_no", pa.int32()),
+            ("tokens", pa.list_(pa.int32())),
+            ("n_tok", pa.int32()),
+            ("source", pa.string()),
+            ("ts_s", pa.int64()),
+        ]
+    )
+    for i, chunk in enumerate(batches):
+        p = os.path.join(d, f"b{i}.parquet")
+        pq.write_table(pa.Table.from_pandas(chunk, schema=schema), p)
+        os.utime(p, (_t.time() + i, _t.time() + i))
+    sink = ExactlyOnceSink(str(tmp_path / "out"), key_cols=("ws", "q_id"))
+    stream = read_sequences_stream(spark, d, lateness_s=2)
+    res = stream_range_count(stream, C, DEFAULT_QUERY_POINTS)
+    run_available_now(res, sink.foreach_batch(), str(tmp_path / "ckpt"))
+    got = sink.read_committed(spark).toPandas()
+    w0 = got[(got["ws"] == base) & (got["q_id"] == "q_small")]
+    # only doc 1 counted: doc 3's late row dropped, window emitted exactly once
+    assert len(w0) == 1 and int(w0["n_matches"].iloc[0]) == 1
+    assert not got.duplicated(subset=["ws", "q_id"]).any()
+
+
+def test_tstats_stateful_matches_batch(spark, replay_dir, tmp_path):
+    stream = read_sequences_stream(spark, replay_dir, C.allowed_lateness_s)
+    res = tstats_stateful(stream)
+    sink = ExactlyOnceSink(str(tmp_path / "out"), key_cols=("doc_id",))
+    run_available_now(res, sink.foreach_batch(), str(tmp_path / "ckpt"), output_mode="update")
+    got = sink.read_committed(spark).toPandas()
+    # update mode: keep the LAST emission per doc (max n_seen)
+    got = got.sort_values("n_seen").groupby("doc_id").last().reset_index()
+    exp = running_stats(sequences(spark, SF_SMALL)).toPandas()
+    m = got.merge(exp, on="doc_id", suffixes=("_s", "_b"))
+    assert len(m) == len(exp) == len(got)
+    for c in ["n_seen", "n_accepted", "cum_len", "cum_dt", "rate_milli"]:
+        assert (m[f"{c}_s"] == m[f"{c}_b"]).all(), c
+
+
+def test_count_windows(spark, replay_dir, tmp_path):
+    stream = read_sequences_stream(spark, replay_dir, C.allowed_lateness_s)
+    res = count_windows(stream, size=2)
+    sink = ExactlyOnceSink(str(tmp_path / "out"), key_cols=("doc_id",))
+    run_available_now(res, sink.foreach_batch(), str(tmp_path / "ckpt"))
+    got = sink.read_committed(spark).toPandas()
+    # batch oracle: docs with >= 2 rows fire floor(n/2) windows of exactly 2
+    seq = sequences(spark, SF_SMALL).toPandas()
+    sizes = seq.groupby("doc_id").size()
+    exp_windows = int((sizes // 2).sum())
+    assert len(got) == exp_windows
+    assert (got["n_rows"] == 2).all()
+
+
+def test_session_windows_stream(spark, replay_dir, tmp_path):
+    stream = read_sequences_stream(spark, replay_dir, C.allowed_lateness_s)
+    res = stream_session_stats(stream, C)
+    sink = ExactlyOnceSink(str(tmp_path / "out"), key_cols=("doc_id",))
+    run_available_now(res, sink.foreach_batch(), str(tmp_path / "ckpt"))
+    got = sink.read_committed(spark).toPandas()
+    assert len(got) > 0
+    # sessions per doc: rows are 11s apart with a 30s gap -> every doc's rows
+    # merge into ONE session of span 11*(n_rows-1)
+    seq = sequences(spark, SF_SMALL).toPandas()
+    sizes = seq.groupby("doc_id").size()
+    full = got.groupby("doc_id")["n_rows"].sum()
+    joined = pd.concat([sizes, full], axis=1, join="inner")
+    # every emitted doc's emitted rows equal its input rows (closed sessions)
+    emitted = joined.dropna()
+    assert (emitted.iloc[:, 0] == emitted.iloc[:, 1]).all()
