@@ -19,6 +19,7 @@ if _REPO not in sys.path:
 
 from spatialflink_spark import gate  # noqa: E402
 from spatialflink_spark.oracle import sql as osql  # noqa: E402
+from spatialflink_spark.oracle import sql_data as osqld  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -39,6 +40,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tstats_running": gate.q_tstats_running,
         "events_sessionize": gate.q_events_sessionize,
         "events_sliding_stats": gate.q_events_sliding_stats,
+        # training-data pipeline ops
+        "dedup_exact": gate.q_dedup_exact,
+        "dedup_minhash_lsh": gate.q_dedup_minhash_lsh,
+        "simhash": gate.q_simhash,
+        "dedup_ngram_jaccard": gate.q_dedup_ngram_jaccard,
+        "cosine_topk": gate.q_cosine_topk,
+        "cosine_topk_ivf": gate.q_cosine_topk_ivf,
+        "lang_id": gate.q_lang_id,
+        "quality_score": gate.q_quality_score,
+        "token_counts": gate.q_token_counts,
+        "doc_fingerprint": gate.q_fingerprint,
+        "media_features": gate.q_media_features,
     }
 
 
@@ -55,4 +68,15 @@ def oracle_sql() -> dict[str, str]:
         "tstats_running": osql.tstats_running(),
         "events_sessionize": osql.events_sessionize(),
         "events_sliding_stats": osql.events_sliding_stats(),
+        "dedup_exact": osqld.exact_dedup(),
+        "dedup_minhash_lsh": osqld.minhash_lsh_pairs(),
+        "simhash": osqld.simhash(),
+        "dedup_ngram_jaccard": osqld.ngram_jaccard_pairs(),
+        "cosine_topk": osqld.cosine_topk(),
+        "cosine_topk_ivf": osqld.cosine_topk_ivf(),
+        "lang_id": osqld.lang_id(),
+        "quality_score": osqld.quality_score(),
+        "token_counts": osqld.token_counts(),
+        "doc_fingerprint": osqld.fingerprint(),
+        "media_features": osqld.media_features(),
     }

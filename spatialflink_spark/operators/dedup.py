@@ -1,0 +1,178 @@
+"""Deduplication operators — exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+First-class training-data pipeline ops over the `documents` table. Design
+for 100 TB: every variant avoids the all-pairs O(n²) comparison —
+
+- exact:      one hash-groupBy (map-side partial dedup for free)
+- minhash:    shingles -> 16 minhashes -> 8 bands of 2 -> candidates are an
+              equi-join on (band_id, band_key); only candidates get the exact
+              Jaccard verification. Classic shingle->minhash->band->bucket.
+- simhash:    per-doc 16-bit signature; near-dup candidates share a bucket
+              (equality) or small Hamming distance — candidate generation is
+              again an equi-join, not a cross join.
+- ngram-jaccard: inverted-index join on shingle hash (docs sharing >=1
+              shingle), count-distinct common, exact Jaccard filter. The
+              shingle join IS the candidate pruning (same role as the grid's
+              candidate cells in the spatial reference).
+
+All candidate-generation math is built-in column expressions; each op has a
+bit-identical DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spatialflink_spark.config import HASH_MOD
+from spatialflink_spark.functions import tokens as T
+
+# MinHash parameters (fixed, shared with the oracle)
+MINHASH_A = (7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59, 61, 67)
+MINHASH_B = (3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59)
+N_HASHES = 16
+N_BANDS = 8  # 8 bands x 2 rows -> catches jaccard >= ~0.5 reliably
+ROWS_PER_BAND = N_HASHES // N_BANDS
+SHINGLE_K = 3
+
+
+def _shingle_hashes_expr(k: int = SHINGLE_K) -> str:
+    """array<bigint> of distinct shingle hashes (portable rolling hash)."""
+    sh = T.spark_word_shingles("text", k)
+    return (
+        f"array_distinct(transform({sh}, "
+        f"s -> aggregate(split(s, ''), cast(0 as bigint), "
+        f"(a, c) -> (a*31 + ascii(c)) % {HASH_MOD})))"
+    )
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact dedup on the normalized word sequence: content_hash groups,
+    dup_rank (1 = canonical = min doc_id). One shuffle on content_hash."""
+    w = T.spark_words("text")
+    d = docs.select(
+        "doc_id", F.expr(f"md5(concat_ws(' ', {w}))").alias("content_hash")
+    )
+    return d.select(
+        "doc_id",
+        "content_hash",
+        F.expr(
+            "row_number() OVER (PARTITION BY content_hash ORDER BY doc_id)"
+        ).cast("int").alias("dup_rank"),
+    )
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_shingles, sig array<bigint>[16])."""
+    hs = _shingle_hashes_expr()
+    sigs = ", ".join(
+        f"array_min(transform(_hs, h -> (h * {a} + {b}) % {HASH_MOD}))"
+        for a, b in zip(MINHASH_A, MINHASH_B)
+    )
+    return docs.select(
+        "doc_id", F.expr(hs).alias("_hs")
+    ).select(
+        "doc_id",
+        F.expr("size(_hs)").alias("n_shingles"),
+        F.expr(f"array({sigs})").alias("sig"),
+        "_hs",
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Candidate pairs sharing at least one LSH band, verified by exact
+    Jaccard over shingle-hash sets, filtered to >= threshold.
+
+    Output: left_doc, right_doc, est_sim (matching minhash fraction),
+    jaccard — all rounded for portability."""
+    sigs = minhash_signatures(docs)
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        "_hs",
+        F.explode(F.expr(f"sequence(0, {N_BANDS - 1})")).alias("band_id"),
+    ).withColumn(
+        "band_key",
+        F.expr(
+            f"concat_ws(',', slice(sig, band_id * {ROWS_PER_BAND} + 1, {ROWS_PER_BAND}))"
+        ),
+    )
+    l = bands.select(
+        F.col("band_id"), F.col("band_key"),
+        F.col("doc_id").alias("left_doc"), F.col("sig").alias("l_sig"),
+        F.col("_hs").alias("l_hs"),
+    )
+    r = bands.select(
+        F.col("band_id").alias("band_id_r"), F.col("band_key").alias("band_key_r"),
+        F.col("doc_id").alias("right_doc"), F.col("sig").alias("r_sig"),
+        F.col("_hs").alias("r_hs"),
+    )
+    cand = (
+        l.join(
+            r,
+            (l.band_id == r.band_id_r)
+            & (l.band_key == r.band_key_r)
+            & (l.left_doc < r.right_doc),
+        )
+        .select("left_doc", "right_doc", "l_sig", "r_sig", "l_hs", "r_hs")
+        .dropDuplicates(["left_doc", "right_doc"])
+    )
+    return cand.select(
+        "left_doc",
+        "right_doc",
+        F.expr(
+            f"round(size(filter(zip_with(l_sig, r_sig, (x, y) -> x = y), b -> b)) "
+            f"* 1.0 / {N_HASHES}, 6)"
+        ).alias("est_sim"),
+        F.expr(
+            "round(size(array_intersect(l_hs, r_hs)) * 1.0 / "
+            "size(array_union(l_hs, r_hs)), 6)"
+        ).alias("jaccard"),
+    ).where(F.col("jaccard") >= threshold)
+
+
+def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
+    """Per-doc SimHash over engine token ids: bit j set iff the sum of
+    (+1/-1 for bit j of each token) is positive."""
+    tok = T.spark_tokenize("text")
+    bit_terms = " + ".join(
+        f"(CASE WHEN aggregate(_t, 0, (a, t) -> a + "
+        f"(CASE WHEN cast(floor(t / {1 << j}) as int) % 2 = 1 THEN 1 ELSE -1 END)"
+        f") > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(bits)
+    )
+    return docs.select("doc_id", F.expr(tok).alias("_t")).select(
+        "doc_id", F.expr(f"cast({bit_terms} as int)").alias("simhash")
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.2) -> DataFrame:
+    """Inverted-index n-gram Jaccard: explode distinct shingle hashes,
+    equi-join on hash (candidate pruning), count common, exact Jaccard.
+
+    At scale the explode output is partitioned by shingle hash; hot shingles
+    (stopword n-grams) are the skew risk — bound them by dropping shingles
+    with document frequency above a cap (not needed at test scale; the cap
+    would be one additional groupBy)."""
+    hs = docs.select("doc_id", F.expr(_shingle_hashes_expr()).alias("_hs"))
+    sizes = hs.select("doc_id", F.expr("size(_hs)").alias("n_sh"))
+    ex = hs.select("doc_id", F.explode("_hs").alias("g"))
+    l = ex.select(F.col("doc_id").alias("left_doc"), "g")
+    r = ex.select(F.col("doc_id").alias("right_doc"), F.col("g").alias("g_r"))
+    common = (
+        l.join(r, (l.g == r.g_r) & (l.left_doc < r.right_doc))
+        .groupBy("left_doc", "right_doc")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        common.join(sizes.withColumnRenamed("doc_id", "left_doc").withColumnRenamed("n_sh", "n_l"), "left_doc")
+        .join(sizes.withColumnRenamed("doc_id", "right_doc").withColumnRenamed("n_sh", "n_r"), "right_doc")
+        .select(
+            "left_doc",
+            "right_doc",
+            F.expr("round(n_common * 1.0 / (n_l + n_r - n_common), 6)").alias(
+                "jaccard"
+            ),
+        )
+    )
+    return out.where(F.col("jaccard") >= threshold)

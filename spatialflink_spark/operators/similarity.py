@@ -1,0 +1,107 @@
+"""Similarity search over embedding vectors — brute-force + LSH-bucketed ANN.
+
+First-class training-data ops over the `embeddings` table
+(vec_id bigint, embedding array<float>, label int):
+
+- cosine_topk: exact brute-force top-k by cosine vs a query vector. The
+  baseline (and the oracle for ANN recall). Dot products run entirely in
+  codegen via zip_with + aggregate in double precision — no Python.
+- cosine_topk_ivf: sign-bit bucket (random-hyperplane LSH with axis-aligned
+  planes on the first `sign_bits` dims); the query probes only its own
+  bucket. At 100 TB scale the bucket id is the shuffle/partition key and the
+  probe touches 1/2^bits of the data; brute force stays as the verification
+  path. Same output shape, bucketed semantics (documented approximation).
+
+Both have exact DuckDB oracle twins (same summation order, double math,
+round(6)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+QUERY_VEC_ID = 0  # deterministic query: the embedding of vec_id 0
+DEFAULT_K = 10
+SIGN_BITS = 4
+
+
+def _cos_expr(a: str, b: str) -> str:
+    """cosine(a, b) in double precision, left-to-right summation."""
+    dot = (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+        "cast(0.0 as double), (s, v) -> s + v)"
+    )
+    na = (
+        f"aggregate({a}, cast(0.0 as double), "
+        "(s, x) -> s + cast(x as double) * cast(x as double))"
+    )
+    nb = (
+        f"aggregate({b}, cast(0.0 as double), "
+        "(s, x) -> s + cast(x as double) * cast(x as double))"
+    )
+    return f"round({dot} / (sqrt({na}) * sqrt({nb})), 6)"
+
+
+def _with_query(emb: DataFrame) -> DataFrame:
+    q = emb.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("q_emb")
+    )
+    return emb.where(F.col("vec_id") != QUERY_VEC_ID).crossJoin(F.broadcast(q))
+
+
+def cosine_topk(emb: DataFrame, k: int = DEFAULT_K) -> DataFrame:
+    """Exact top-k by (cosine desc, vec_id asc) vs the query vector."""
+    scored = _with_query(emb).select(
+        "vec_id",
+        "label",
+        F.expr(_cos_expr("embedding", "q_emb")).alias("cos_sim"),
+    )
+    return (
+        scored.withColumn(
+            "rank",
+            F.expr(
+                "row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC)"
+            ).cast("int"),
+        )
+        .where(F.col("rank") <= k)
+        .select("rank", "vec_id", "label", "cos_sim")
+    )
+
+
+def bucket_expr(col: str, bits: int = SIGN_BITS) -> Column:
+    """IVF/LSH bucket id: sign bits of the first `bits` dimensions."""
+    terms = " + ".join(
+        f"(CASE WHEN element_at({col}, {i + 1}) > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(bits)
+    )
+    return F.expr(f"cast({terms} as int)")
+
+
+def cosine_topk_ivf(emb: DataFrame, k: int = DEFAULT_K, bits: int = SIGN_BITS) -> DataFrame:
+    """ANN variant: probe only the query's sign bucket, then exact top-k
+    within it. Recall < 1 by design; the brute-force op is the oracle for
+    measuring it."""
+    b = emb.withColumn("bucket", bucket_expr("embedding", bits))
+    qb = b.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("bucket").alias("q_bucket"), F.col("embedding").alias("q_emb")
+    )
+    cand = (
+        b.where(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(qb), F.col("bucket") == F.col("q_bucket"))
+        .select(
+            "vec_id",
+            "label",
+            F.expr(_cos_expr("embedding", "q_emb")).alias("cos_sim"),
+        )
+    )
+    return (
+        cand.withColumn(
+            "rank",
+            F.expr(
+                "row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC)"
+            ).cast("int"),
+        )
+        .where(F.col("rank") <= k)
+        .select("rank", "vec_id", "label", "cos_sim")
+    )

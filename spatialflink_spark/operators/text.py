@@ -1,0 +1,127 @@
+"""Text-analysis operators for training-data pipelines.
+
+First-class large-scale pipeline ops (not in the reference, which is a
+spatial engine — these are the token-domain equivalents a 100 TB training
+corpus needs): language ID, quality scoring, token counting, document
+fingerprinting. All pure built-in column expressions (whole-stage codegen;
+zero Python), each with a bit-identical DuckDB oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spatialflink_spark.config import HASH_MOD
+from spatialflink_spark.functions import tokens as T
+
+# deterministic mini stopword profiles; priority order breaks ties
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "for"),
+    "de": ("der", "die", "das", "und", "zu", "ist", "ein"),
+    "es": ("el", "la", "de", "y", "que", "en", "es"),
+    "fr": ("le", "la", "de", "et", "que", "en", "est"),
+}
+LANG_ORDER = ("en", "de", "es", "fr")
+
+
+def _in_list(var: str, words: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"{var} IN ({lst})"
+
+
+def lang_score_sql(words_expr: str, lang: str, *, size_fn: str, filter_fn: str) -> str:
+    """score = stopword hits / word count (rounded) — same string for both
+    dialects modulo function names (size/filter vs len/list_filter)."""
+    prof = LANG_PROFILES[lang]
+    return (
+        f"round({size_fn}({filter_fn}({words_expr}, w -> {_in_list('w', prof)})) "
+        f"* 1.0 / greatest({size_fn}({words_expr}), 1), 6)"
+    )
+
+
+def pred_lang_sql() -> str:
+    """argmax over s_en/s_de/s_es/s_fr with LANG_ORDER tie priority."""
+    return (
+        "CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en' "
+        "WHEN s_de >= s_es AND s_de >= s_fr THEN 'de' "
+        "WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END"
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    w = T.spark_words("text")
+    d = docs.select(
+        "doc_id",
+        *[
+            F.expr(lang_score_sql(w, lg, size_fn="size", filter_fn="filter")).alias(
+                f"s_{lg}"
+            )
+            for lg in LANG_ORDER
+        ],
+    )
+    return d.select("doc_id", "s_en", "s_de", "s_es", "s_fr",
+                    F.expr(pred_lang_sql()).alias("pred_lang"))
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Length / stopword / digit-ratio quality heuristic, weighted and
+    rounded — the standard cheap pre-filter for corpus curation."""
+    w = T.spark_words("text")
+    d = docs.select(
+        "doc_id",
+        F.expr(f"size({w})").alias("n_words"),
+        F.length("text").alias("n_chars"),
+        F.expr(lang_score_sql(w, "en", size_fn="size", filter_fn="filter")).alias(
+            "stop_ratio"
+        ),
+        F.expr(
+            "round(length(regexp_replace(text, '[^0-9]', '')) * 1.0 / "
+            "greatest(length(text), 1), 6)"
+        ).alias("digit_ratio"),
+    )
+    return d.select(
+        "doc_id",
+        "n_words",
+        "n_chars",
+        "stop_ratio",
+        "digit_ratio",
+        F.expr(
+            "round(0.3 * least(n_words / 100.0, 1.0) + 0.3 * stop_ratio "
+            "+ 0.2 * (1.0 - digit_ratio) "
+            "+ 0.2 * least((n_chars * 1.0 / greatest(n_words, 1)) / 8.0, 1.0), 6)"
+        ).alias("quality"),
+    )
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Whitespace tokens + BPE-ish regex tokens (letters runs / digit runs /
+    single punctuation) + engine token count."""
+    return docs.select(
+        "doc_id",
+        F.expr("size(split(trim(text), '[ ]+'))").alias("n_ws_tokens"),
+        F.expr(
+            "size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))"
+        ).alias("n_bpe_tokens"),
+        F.expr(f"size({T.spark_tokenize('text')})").alias("n_engine_tokens"),
+    )
+
+
+def fingerprint(docs: DataFrame, k: int = 3, mod: int = 7) -> DataFrame:
+    """Mod-p shingle fingerprint (winnowing-lite): keep shingle hashes
+    h % mod == 0, sorted; emit count + order-sensitive checksum. Two docs
+    sharing most shingles share most fingerprint hashes."""
+    sh = T.spark_word_shingles("text", k)
+    hashes = (
+        f"array_sort(array_distinct(transform({sh}, "
+        f"s -> aggregate(split(s, ''), cast(0 as bigint), "
+        f"(a, c) -> (a*31 + ascii(c)) % {HASH_MOD}))))"
+    )
+    return docs.select(
+        "doc_id",
+        F.expr(f"size(filter({hashes}, h -> h % {mod} = 0))").alias("n_fp"),
+        F.expr(
+            f"aggregate(filter({hashes}, h -> h % {mod} = 0), cast(0 as bigint), "
+            f"(a, h) -> (a*131 + h) % {HASH_MOD})"
+        ).alias("fp_checksum"),
+    )

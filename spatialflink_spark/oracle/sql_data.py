@@ -1,0 +1,250 @@
+"""DuckDB oracle SQL for the training-data operators (dedup / similarity /
+text analysis / multimodal scalar features) — bit-identical twins of
+operators/{dedup,similarity,text,multimodal}.py."""
+
+from __future__ import annotations
+
+from spatialflink_spark.config import HASH_MOD
+from spatialflink_spark.functions import tokens as T
+from spatialflink_spark.operators.dedup import (
+    MINHASH_A,
+    MINHASH_B,
+    N_BANDS,
+    N_HASHES,
+    ROWS_PER_BAND,
+    SHINGLE_K,
+)
+from spatialflink_spark.operators.similarity import (
+    DEFAULT_K,
+    QUERY_VEC_ID,
+    SIGN_BITS,
+)
+from spatialflink_spark.operators.text import (
+    LANG_ORDER,
+    lang_score_sql,
+    pred_lang_sql,
+)
+
+_W = T.duck_words("text")
+
+
+def _duck_shingle_hashes() -> str:
+    sh = T.duck_word_shingles("text", SHINGLE_K)
+    return (
+        f"list_distinct(list_transform({sh}, "
+        "s -> list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(range(1, length(s)+1), i -> ascii(substr(s, i, 1)))), "
+        f"(a, c) -> (a*31 + c) % {HASH_MOD})))"
+    )
+
+
+def exact_dedup() -> str:
+    return f"""
+SELECT doc_id,
+       md5(array_to_string({_W}, ' ')) AS content_hash,
+       CAST(row_number() OVER (
+         PARTITION BY md5(array_to_string({_W}, ' ')) ORDER BY doc_id
+       ) AS INT) AS dup_rank
+FROM documents
+"""
+
+
+def minhash_lsh_pairs(threshold: float = 0.5) -> str:
+    sigs = ", ".join(
+        f"list_min(list_transform(_hs, h -> (h * {a} + {b}) % {HASH_MOD}))"
+        for a, b in zip(MINHASH_A, MINHASH_B)
+    )
+    est = " + ".join(
+        f"(CASE WHEN l.sig[{i + 1}] = r.sig[{i + 1}] THEN 1 ELSE 0 END)"
+        for i in range(N_HASHES)
+    )
+    return f"""
+WITH hs AS (
+  SELECT doc_id, {_duck_shingle_hashes()} AS _hs FROM documents
+),
+sigs AS (
+  SELECT doc_id, _hs, [{sigs}] AS sig FROM hs
+),
+bands AS (
+  SELECT s.doc_id, s._hs, s.sig, b.band_id,
+         array_to_string(list_slice(s.sig, b.band_id * {ROWS_PER_BAND} + 1,
+                                    b.band_id * {ROWS_PER_BAND} + {ROWS_PER_BAND}), ',') AS band_key
+  FROM sigs s CROSS JOIN (SELECT unnest(range(0, {N_BANDS})) AS band_id) b
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS left_doc, r.doc_id AS right_doc,
+         l.sig AS l_sig, r.sig AS r_sig, l._hs AS l_hs, r._hs AS r_hs
+  FROM bands l JOIN bands r
+    ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+),
+scored AS (
+  SELECT left_doc, right_doc,
+         round(({est.replace('l.sig', 'l_sig').replace('r.sig', 'r_sig')}) * 1.0 / {N_HASHES}, 6) AS est_sim,
+         round(len(list_intersect(l_hs, r_hs)) * 1.0 /
+               (len(l_hs) + len(r_hs) - len(list_intersect(l_hs, r_hs))), 6) AS jaccard
+  FROM (SELECT left_doc, right_doc,
+               any_value(l_sig) l_sig, any_value(r_sig) r_sig,
+               any_value(l_hs) l_hs, any_value(r_hs) r_hs
+        FROM cand GROUP BY left_doc, right_doc)
+)
+SELECT * FROM scored WHERE jaccard >= {threshold}
+"""
+
+
+def simhash(bits: int = 16) -> str:
+    tok = T.duck_tokenize("text")
+    bit_terms = " + ".join(
+        "(CASE WHEN list_reduce(list_prepend(0, _t), (a, t) -> a + "
+        f"(CASE WHEN CAST(floor(t / {1 << j}) AS INT) % 2 = 1 THEN 1 ELSE -1 END)"
+        f") > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(bits)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {tok} AS _t FROM documents)
+SELECT doc_id, CAST({bit_terms} AS INT) AS simhash FROM t
+"""
+
+
+def ngram_jaccard_pairs(threshold: float = 0.2) -> str:
+    return f"""
+WITH hs AS (
+  SELECT doc_id, {_duck_shingle_hashes()} AS _hs FROM documents
+),
+sizes AS (SELECT doc_id, len(_hs) AS n_sh FROM hs),
+ex AS (SELECT doc_id, unnest(_hs) AS g FROM hs),
+common AS (
+  SELECT l.doc_id AS left_doc, r.doc_id AS right_doc, count(*) AS n_common
+  FROM ex l JOIN ex r ON l.g = r.g AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.left_doc, c.right_doc,
+       round(c.n_common * 1.0 / (sl.n_sh + sr.n_sh - c.n_common), 6) AS jaccard
+FROM common c
+JOIN sizes sl ON sl.doc_id = c.left_doc
+JOIN sizes sr ON sr.doc_id = c.right_doc
+WHERE c.n_common * 1.0 / (sl.n_sh + sr.n_sh - c.n_common) >= {threshold}
+"""
+
+
+def _duck_cos(a: str, b: str) -> str:
+    dot = (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, len({a})+1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), (s, v) -> s + v)"
+    )
+    na = (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (s, v) -> s + v)"
+    )
+    nb = (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (s, v) -> s + v)"
+    )
+    return f"round({dot} / (sqrt({na}) * sqrt({nb})), 6)"
+
+
+def cosine_topk(k: int = DEFAULT_K) -> str:
+    return f"""
+WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+scored AS (
+  SELECT e.vec_id, e.label, {_duck_cos('e.embedding', 'q.q_emb')} AS cos_sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> {QUERY_VEC_ID}
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT rank, vec_id, label, cos_sim FROM ranked WHERE rank <= {k}
+"""
+
+
+def cosine_topk_ivf(k: int = DEFAULT_K, bits: int = SIGN_BITS) -> str:
+    bucket = " + ".join(
+        f"(CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(bits)
+    )
+    return f"""
+WITH b AS (SELECT *, CAST({bucket} AS INT) AS bucket FROM embeddings),
+q AS (SELECT bucket AS q_bucket, embedding AS q_emb FROM b WHERE vec_id = {QUERY_VEC_ID}),
+scored AS (
+  SELECT e.vec_id, e.label, {_duck_cos('e.embedding', 'q.q_emb')} AS cos_sim
+  FROM b e JOIN q ON e.bucket = q.q_bucket
+  WHERE e.vec_id <> {QUERY_VEC_ID}
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT rank, vec_id, label, cos_sim FROM ranked WHERE rank <= {k}
+"""
+
+
+def lang_id() -> str:
+    scores = ", ".join(
+        lang_score_sql(_W, lg, size_fn="len", filter_fn="list_filter")
+        + f" AS s_{lg}"
+        for lg in LANG_ORDER
+    )
+    return f"""
+WITH d AS (SELECT doc_id, {scores} FROM documents)
+SELECT doc_id, s_en, s_de, s_es, s_fr, {pred_lang_sql()} AS pred_lang FROM d
+"""
+
+
+def quality_score() -> str:
+    en = lang_score_sql(_W, "en", size_fn="len", filter_fn="list_filter")
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         len({_W}) AS n_words,
+         length(text) AS n_chars,
+         {en} AS stop_ratio,
+         round(length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 /
+               greatest(length(text), 1), 6) AS digit_ratio
+  FROM documents
+)
+SELECT doc_id, CAST(n_words AS INT) AS n_words, CAST(n_chars AS INT) AS n_chars,
+       stop_ratio, digit_ratio,
+       round(0.3 * least(n_words / 100.0, 1.0) + 0.3 * stop_ratio
+             + 0.2 * (1.0 - digit_ratio)
+             + 0.2 * least((n_chars * 1.0 / greatest(n_words, 1)) / 8.0, 1.0), 6) AS quality
+FROM d
+"""
+
+
+def token_counts() -> str:
+    return f"""
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), '[ ]+')) AS INT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_bpe_tokens,
+       CAST(len({T.duck_tokenize('text')}) AS INT) AS n_engine_tokens
+FROM documents
+"""
+
+
+def fingerprint(mod: int = 7) -> str:
+    hashes = f"list_sort({_duck_shingle_hashes()})"
+    return f"""
+WITH h AS (SELECT doc_id, list_filter({hashes}, h -> h % {mod} = 0) AS fp FROM documents)
+SELECT doc_id,
+       CAST(len(fp) AS INT) AS n_fp,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), fp),
+                   (a, h) -> (a*131 + h) % {HASH_MOD}) AS fp_checksum
+FROM h
+"""
+
+
+def media_features() -> str:
+    header = (
+        "list_reduce(list_prepend(0, list_transform("
+        "range(1, least(length(text), 16) + 1), i -> ascii(substr(text, i, 1)))), "
+        "(a, c) -> a + c) % 65536"
+    )
+    return f"""
+SELECT doc_id,
+       ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+       CAST(strlen(text) AS INT) AS n_bytes,
+       CAST({header} AS INT) AS header_sum
+FROM documents
+"""

@@ -47,3 +47,23 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
+
+
+def ensure_pyfiles(spark: SparkSession) -> None:
+    """Ship the engine package to executor Python workers — the programmatic
+    equivalent of `spark-submit --py-files engine.zip` (north_rule launch
+    mode). Required for any pandas-UDF / applyInPandasWithState operator when
+    the driver process isn't rooted at the repo (cloudpickle serializes
+    module-level functions by reference)."""
+    sc = spark.sparkContext
+    if getattr(sc, "_spatialflink_pyfiles", False):
+        return
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    base = os.path.join(tempfile.gettempdir(), "spatialflink_spark_pkg")
+    zip_path = shutil.make_archive(base, "zip", os.path.dirname(pkg_dir),
+                                   os.path.basename(pkg_dir))
+    sc.addPyFile(zip_path)
+    sc._spatialflink_pyfiles = True

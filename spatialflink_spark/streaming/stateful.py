@@ -70,6 +70,9 @@ def _tstats_fn(key, pdf_iter, state: GroupState):
 def tstats_stateful(stream: DataFrame) -> DataFrame:
     """Running per-doc stats, one updated row per key per micro-batch
     (update semantics, like the reference's emit-per-element RT path)."""
+    from spatialflink_spark.session import ensure_pyfiles
+
+    ensure_pyfiles(stream.sparkSession)
     return (
         stream.select("doc_id", "seq_no", "n_tok", "ts_s")
         .groupBy("doc_id")
@@ -117,6 +120,9 @@ def _heatmap_fn(key, pdf_iter, state: GroupState):
 def heatmap_stateful(stream_with_cell: DataFrame) -> DataFrame:
     """TAggregate RT analog: per-cell live map of doc -> (minTs, maxTs),
     re-aggregated on every batch (TAggregateQuery.java:53-377)."""
+    from spatialflink_spark.session import ensure_pyfiles
+
+    ensure_pyfiles(stream_with_cell.sparkSession)
     return (
         stream_with_cell.select("cell", "doc_id", "ts_s")
         .groupBy("cell")
@@ -174,6 +180,9 @@ def count_windows(stream: DataFrame, size: int) -> DataFrame:
     """Per-key tumbling COUNT windows (countWindow(size),
     PointTAggregateQuery.java:83-89): emit one aggregate row per key each
     time `size` rows have arrived."""
+    from spatialflink_spark.session import ensure_pyfiles
+
+    ensure_pyfiles(stream.sparkSession)
     return (
         stream.select("doc_id", "seq_no", "n_tok")
         .groupBy("doc_id")
