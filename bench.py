@@ -1,0 +1,85 @@
+"""Benchmark harness — driver contract.
+
+Runs the headline gate queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized with the noop sink (full execution, no driver
+collect). Scaling evidence (local[8] vs local[32]) lives in
+bench/scaling.py -> BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+HEADLINE = [
+    # streaming-semantics core (SURVEY.md §2)
+    "range_tumbling_count",
+    "range_rows",
+    "knn_sliding",
+    "join_self_tumbling",
+    "variation_sliding",
+    "variance_sliding",
+    "trajectory_tumbling",
+    "heatmap_sliding",
+    "tstats_running",
+    "events_sessionize",
+    "events_sliding_stats",
+    # training-data ops
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "simhash",
+    "dedup_ngram_jaccard",
+    "cosine_topk",
+    "cosine_topk_ivf",
+    "lang_id",
+    "quality_score",
+    "token_counts",
+    "doc_fingerprint",
+    "media_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    from spatialflink_spark.session import get_spark
+
+    spark = get_spark("spatialflink-bench", cores=cpus,
+                      shuffle_partitions=max(cpus, 32))
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    # warm-up: JVM/codegen/parquet-footer caches (excluded from timings)
+    qs["range_tumbling_count"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    out = {
+        "metric": "gate_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -110,18 +110,20 @@ def token_counts(docs: DataFrame) -> DataFrame:
 def fingerprint(docs: DataFrame, k: int = 3, mod: int = 7) -> DataFrame:
     """Mod-p shingle fingerprint (winnowing-lite): keep shingle hashes
     h % mod == 0, sorted; emit count + order-sensitive checksum. Two docs
-    sharing most shingles share most fingerprint hashes."""
-    sh = T.spark_word_shingles("text", k)
-    hashes = (
-        f"array_sort(array_distinct(transform({sh}, "
-        f"s -> aggregate(split(s, ''), cast(0 as bigint), "
-        f"(a, c) -> (a*31 + ascii(c)) % {HASH_MOD}))))"
-    )
-    return docs.select(
+    sharing most shingles share most fingerprint hashes.
+
+    Staged through intermediate columns so the shingle/hash pipeline
+    evaluates once per row (see dedup.with_shingle_hashes)."""
+    from spatialflink_spark.operators.dedup import with_shingle_hashes
+
+    fp = with_shingle_hashes(docs, k).select(
         "doc_id",
-        F.expr(f"size(filter({hashes}, h -> h % {mod} = 0))").alias("n_fp"),
+        F.expr(f"array_sort(filter(_hs, h -> h % {mod} = 0))").alias("_fp"),
+    )
+    return fp.select(
+        "doc_id",
+        F.expr("size(_fp)").alias("n_fp"),
         F.expr(
-            f"aggregate(filter({hashes}, h -> h % {mod} = 0), cast(0 as bigint), "
-            f"(a, h) -> (a*131 + h) % {HASH_MOD})"
+            f"aggregate(_fp, cast(0 as bigint), (a, h) -> (a*131 + h) % {HASH_MOD})"
         ).alias("fp_checksum"),
     )
