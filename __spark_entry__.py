@@ -19,6 +19,7 @@ if _REPO not in sys.path:
 
 from spatialflink_spark import gate  # noqa: E402
 from spatialflink_spark.oracle import sql as osql  # noqa: E402
+from spatialflink_spark.oracle import sql_apps as osqla  # noqa: E402
 from spatialflink_spark.oracle import sql_data as osqld  # noqa: E402
 
 
@@ -52,6 +53,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": gate.q_token_counts,
         "doc_fingerprint": gate.q_fingerprint,
         "media_features": gate.q_media_features,
+        # SNCB-analog app queries
+        "range_approx": gate.q_range_approx,
+        "trajectory_restricted": gate.q_trajectory_restricted,
+        "fence_speed_alert": gate.q_fence_speed_alert,
+        "exclude_cells": gate.q_exclude_cells,
+        "staytime_cells": gate.q_staytime_cells,
+        "tknn_trajectories": gate.q_tknn_trajectories,
+        "trange_trajectories": gate.q_trange_trajectories,
+        "join_two_streams": gate.q_join_two_streams,
     }
 
 
@@ -79,4 +89,12 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": osqld.token_counts(),
         "doc_fingerprint": osqld.fingerprint(),
         "media_features": osqld.media_features(),
+        "range_approx": osqla.range_approx(),
+        "trajectory_restricted": osqla.trajectory_restricted(),
+        "fence_speed_alert": osqla.fence_speed_alert(),
+        "exclude_cells": osqla.exclude_cells(),
+        "staytime_cells": osqla.staytime_cells(),
+        "tknn_trajectories": osqla.tknn_trajectories(),
+        "trange_trajectories": osqla.trange_trajectories(),
+        "join_two_streams": osqla.join_two_streams(),
     }

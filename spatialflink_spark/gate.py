@@ -188,3 +188,46 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm_ops.media_features(_docs(spark, sf_dir))
+
+
+# ---- SNCB-analog app queries (operators/apps.py) ---------------------------
+
+from spatialflink_spark.operators import apps as app_ops  # noqa: E402
+
+
+def q_range_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return app_ops.range_approximate(
+        _seq_t(spark, sf_dir), C.grid, DEFAULT_QUERY_POINTS
+    )
+
+
+def q_trajectory_restricted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return app_ops.trajectory_restricted(_seq_t(spark, sf_dir))
+
+
+def q_fence_speed_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return app_ops.fence_speed_alert(_seq_s(spark, sf_dir), C.grid)
+
+
+def q_exclude_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return app_ops.exclude_cells(sequences(spark, sf_dir), C.grid)
+
+
+def q_staytime_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return app_ops.staytime_cells(_seq_t(spark, sf_dir), C.grid)
+
+
+def q_tknn_trajectories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return app_ops.tknn_trajectories(
+        _seq_s(spark, sf_dir), C.grid, DEFAULT_QUERY_POINTS
+    )
+
+
+def q_trange_trajectories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return app_ops.trange_trajectories(_seq_t(spark, sf_dir), C.grid)
+
+
+def q_join_two_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    left = _seq_t(spark, sf_dir)
+    right = left.where(F.expr("doc_id % 10 = 0"))
+    return windowed_join(left, right, C.grid, radius=3, self_join=False)

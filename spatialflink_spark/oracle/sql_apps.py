@@ -1,0 +1,172 @@
+"""DuckDB oracle SQL for the SNCB-analog app queries (operators/apps.py)."""
+
+from __future__ import annotations
+
+from spatialflink_spark.config import (
+    DEFAULT_CONFIG as C,
+    DEFAULT_QUERY_POINTS,
+    HASH_MOD,
+)
+from spatialflink_spark.operators.apps import (
+    BLOCKED_CELLS,
+    FENCE_CELLS,
+    Q4_NTOK_HI,
+    Q4_NTOK_LO,
+    Q5_AVG_HI,
+    Q5_MIN_LO,
+)
+from spatialflink_spark.operators.cells import duck_cell_expr
+from spatialflink_spark.oracle.sql import _prologue, qpoints_values
+
+_CELL = duck_cell_expr(C.grid)
+_FENCE = ", ".join(str(c) for c in FENCE_CELLS)
+_BLOCKED = ", ".join(str(c) for c in BLOCKED_CELLS)
+_TRAJ_CHK = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), flatten(pts)), "
+    f"(a, t) -> (a*131 + t) % {HASH_MOD})"
+)
+
+
+def _query_cells_values() -> str:
+    """(q_id, q_n_tok, cell) literal rows: candidate ∪ guaranteed cells per
+    query — the same sets operators/range_query.query_cells_df materializes."""
+    rows = []
+    for q in DEFAULT_QUERY_POINTS:
+        cells = C.grid.guaranteed_cells(q.q_n_tok, q.radius) | C.grid.candidate_cells(
+            q.q_n_tok, q.radius
+        )
+        for cell in sorted(cells):
+            rows.append(f"('{q.q_id}', {q.q_n_tok}, {cell})")
+    return f"(VALUES {', '.join(rows)}) qc(q_id, q_n_tok, cell)"
+
+
+def range_approx() -> str:
+    return f"""{_prologue(tumbling=True)}
+SELECT s.ws AS ws, qc.q_id AS q_id, s.doc_id AS doc_id, s.seq_no AS seq_no,
+       s.n_tok AS n_tok, abs(s.n_tok - qc.q_n_tok) AS dist
+FROM seq_t s
+JOIN {_query_cells_values()} ON {_CELL.replace('n_tok', 's.n_tok')} = qc.cell
+"""
+
+
+def trajectory_restricted() -> str:
+    return f"""{_prologue(tumbling=True)}
+SELECT doc_id, ws, count(*) AS n_points,
+       min(n_tok) AS min_n_tok, max(n_tok) AS max_n_tok
+FROM seq_t
+WHERE n_tok >= {Q4_NTOK_LO} AND n_tok <= {Q4_NTOK_HI} AND ts_s % 600 < 300
+GROUP BY doc_id, ws
+"""
+
+
+def fence_speed_alert() -> str:
+    return f"""{_prologue(sliding=True)}
+, agg AS (
+  SELECT doc_id, ws, count(*) AS n_points,
+         round(avg(n_tok), 6) AS avg_val, min(n_tok) AS min_val
+  FROM seq_s
+  WHERE {_CELL} IN ({_FENCE})
+  GROUP BY doc_id, ws
+)
+SELECT * FROM agg WHERE avg_val > {Q5_AVG_HI} AND min_val > {Q5_MIN_LO}
+"""
+
+
+def exclude_cells() -> str:
+    return f"""{_prologue()}
+SELECT source, count(*) AS n_kept,
+       CAST(sum(n_tok) AS BIGINT) AS sum_n_tok
+FROM sequences
+WHERE {_CELL} NOT IN ({_BLOCKED})
+GROUP BY source
+"""
+
+
+def staytime_cells() -> str:
+    return f"""{_prologue(tumbling=True)}
+, per_doc AS (
+  SELECT doc_id, {_CELL} AS cell, ws, max(ts_s) - min(ts_s) AS stay
+  FROM seq_t GROUP BY doc_id, cell, ws
+)
+SELECT cell, ws, count(*) AS n_docs,
+       CAST(sum(stay) AS BIGINT) AS total_stay,
+       round(avg(stay), 6) AS avg_stay
+FROM per_doc GROUP BY cell, ws
+"""
+
+
+def tknn_trajectories() -> str:
+    return f"""{_prologue(sliding=True)}
+, cand AS (
+  SELECT s.ws, q.q_id, q.k, s.doc_id, s.seq_no,
+         abs(s.n_tok - q.q_n_tok) AS dist
+  FROM seq_s s
+  JOIN {qpoints_values()} ON abs(s.n_tok - q.q_n_tok) <= q.radius
+),
+per_doc AS (
+  SELECT ws, q_id, k, doc_id, seq_no, dist,
+         row_number() OVER (PARTITION BY ws, q_id, doc_id ORDER BY dist, seq_no) AS rd
+  FROM cand
+),
+ranked AS (
+  SELECT ws, q_id, k, doc_id, dist,
+         row_number() OVER (PARTITION BY ws, q_id ORDER BY dist, doc_id) AS rank
+  FROM per_doc WHERE rd = 1
+),
+topk AS (SELECT ws, q_id, CAST(rank AS INT) AS rank, doc_id, dist FROM ranked WHERE rank <= k),
+joined AS (
+  SELECT t.ws, t.q_id, t.rank, t.doc_id, t.dist, s.ts_s, s.seq_no, s.tokens
+  FROM topk t JOIN seq_s s ON s.ws = t.ws AND s.doc_id = t.doc_id
+),
+coll AS (
+  SELECT ws, q_id, rank, doc_id, dist, count(*) AS n_points,
+         list(tokens ORDER BY ts_s, seq_no) AS pts
+  FROM joined GROUP BY ws, q_id, rank, doc_id, dist
+)
+SELECT ws, q_id, rank, doc_id, dist, n_points, {_TRAJ_CHK} AS traj_checksum
+FROM coll
+"""
+
+
+def trange_trajectories() -> str:
+    return f"""{_prologue(tumbling=True)}
+, s AS (SELECT *, {_CELL} AS cell FROM seq_t),
+qualifying AS (
+  SELECT DISTINCT ws, doc_id FROM s WHERE cell IN ({_FENCE})
+),
+rows_q AS (
+  SELECT s.ws, s.doc_id, s.ts_s, s.seq_no, s.tokens
+  FROM s JOIN qualifying q ON s.ws = q.ws AND s.doc_id = q.doc_id
+),
+coll AS (
+  SELECT ws, doc_id, count(*) AS n_points,
+         list(tokens ORDER BY ts_s, seq_no) AS pts
+  FROM rows_q GROUP BY ws, doc_id
+)
+SELECT ws, doc_id, n_points, {_TRAJ_CHK} AS traj_checksum FROM coll
+"""
+
+
+def join_two_streams(radius: int = 3) -> str:
+    """Two distinct streams: the full sequence stream joined with the sparse
+    'query stream' (docs with doc_id % 10 = 0) — the non-self windowed join
+    of join/PointPointJoinQuery.java:124-183 (no id-skip)."""
+    return f"""{_prologue(tumbling=True)}
+, qstream AS (SELECT * FROM seq_t WHERE doc_id % 10 = 0),
+pairs AS (
+  SELECT l.ws, l.doc_id AS left_doc, r.doc_id AS right_doc,
+         l.seq_no AS left_seq, r.seq_no AS right_seq,
+         abs(l.n_tok - r.n_tok) AS dist,
+         greatest(l.ts_s, r.ts_s) AS pair_ts
+  FROM seq_t l JOIN qstream r
+    ON l.ws = r.ws AND abs(l.n_tok - r.n_tok) <= {radius}
+),
+dedup AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY ws, left_doc, right_doc
+    ORDER BY pair_ts DESC, left_seq DESC, right_seq DESC, dist DESC) AS rn
+  FROM pairs
+)
+SELECT ws, left_doc, right_doc, left_seq, right_seq, dist, pair_ts
+FROM dedup WHERE rn = 1
+"""

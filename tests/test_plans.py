@@ -1,0 +1,61 @@
+"""Physical-plan property tests — the plan we'd want at 100 TB, asserted.
+
+These catch silent regressions correctness tests can't: a lost filter
+pushdown, a broadcast that became a shuffle, a final agg without its partial.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spatialflink_spark import gate, plans
+from spatialflink_spark.sources.sequences import load_documents
+from tests.conftest import SF_SMALL
+
+
+def test_range_query_broadcasts_query_cells(spark):
+    df = gate.q_range_tumbling_count(spark, SF_SMALL)
+    assert plans.has_broadcast_join(df), plans.simple_plan(df)
+    # counting agg must have a map-side partial before the exchange
+    assert plans.has_partial_aggregate(df)
+
+
+def test_documents_scan_prunes_columns(spark):
+    """The sequences derivation reads only (doc_id, text, source) — column
+    pruning must reach the parquet scan (ReadSchema)."""
+    from spatialflink_spark.sources.sequences import sequences
+
+    df = sequences(spark, SF_SMALL)
+    schemas = plans.read_schemas(df)
+    assert schemas, plans.formatted_plan(df)[:500]
+    assert all("lang" not in s and "n_chars" not in s for s in schemas), schemas
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """A predicate on a raw scan column compiles to PushedFilters."""
+    df = load_documents(spark, SF_SMALL).where(F.col("doc_id") > 100).select("doc_id")
+    pf = plans.pushed_filters(df)
+    assert any("doc_id" in f for f in pf), plans.formatted_plan(df)[:800]
+
+
+def test_trajectory_restricted_pushes_box_filter(spark):
+    """Q4 analog: the n_tok box filter can't reach the scan (n_tok is
+    derived), but the plan must not shuffle before filtering — exactly one
+    exchange (the groupBy)."""
+    df = gate.q_trajectory_restricted(spark, SF_SMALL)
+    assert plans.exchange_count(df) <= 2, plans.simple_plan(df)
+
+
+def test_exclude_cells_is_broadcast_anti_join(spark):
+    df = gate.q_exclude_cells(spark, SF_SMALL)
+    s = plans.simple_plan(df)
+    assert "Broadcast" in s, s
+
+
+def test_join_replication_stays_equi_join(spark):
+    """The windowed join must plan as a hash/sort-merge EQUI join on
+    (cell, ws) — never a cartesian/nested-loop product."""
+    df = gate.q_join_self_tumbling(spark, SF_SMALL)
+    s = plans.simple_plan(df)
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
