@@ -62,6 +62,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tknn_trajectories": gate.q_tknn_trajectories,
         "trange_trajectories": gate.q_trange_trajectories,
         "join_two_streams": gate.q_join_two_streams,
+        "variation_salted": gate.q_variation_salted,
+        "events_json_props": gate.q_events_json_props,
+        # end-to-end Structured Streaming path (watermark, availableNow,
+        # exactly-once sink) inside the gate
+        "stream_range_e2e": gate.q_stream_range_e2e,
     }
 
 
@@ -97,4 +102,7 @@ def oracle_sql() -> dict[str, str]:
         "tknn_trajectories": osqla.tknn_trajectories(),
         "trange_trajectories": osqla.trange_trajectories(),
         "join_two_streams": osqla.join_two_streams(),
+        "variation_salted": osqla.variation_salted(),
+        "events_json_props": osqla.events_json_props(),
+        "stream_range_e2e": osqla.stream_range_e2e(),
     }

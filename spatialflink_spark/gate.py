@@ -231,3 +231,54 @@ def q_join_two_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
     left = _seq_t(spark, sf_dir)
     right = left.where(F.expr("doc_id % 10 = 0"))
     return windowed_join(left, right, C.grid, radius=3, self_join=False)
+
+
+# ---- format deserialization + salted skew path ------------------------------
+
+from spatialflink_spark.sources.formats import json_field  # noqa: E402
+
+
+def q_variation_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same output as variation_sliding, computed through the explicit
+    salted two-phase path (skew-bounded)."""
+    return agg_ops.variation_salted(_seq_s(spark, sf_dir), C.salt_buckets)
+
+
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON column parse (Deserialization.java analog):
+    extract props.k, aggregate per event_type."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return e.select(
+        "event_type", json_field("props", "k").cast("bigint").alias("k")
+    ).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").alias("sum_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+def q_stream_range_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL Structured Streaming path inside the correctness gate:
+    stage the sequence table as a 4-file replay, run the watermarked
+    tumbling range-count through availableNow + the exactly-once sink, and
+    return the committed output. Oracle = batch counts over windows the
+    final watermark closed (ws + tumbling <= max_ts - lateness)."""
+    import tempfile
+
+    from spatialflink_spark.sources.streams import (
+        read_sequences_stream,
+        stage_replay_files,
+    )
+    from spatialflink_spark.streaming.pipeline import (
+        run_available_now,
+        stream_range_count,
+    )
+    from spatialflink_spark.streaming.sink import ExactlyOnceSink
+
+    root = tempfile.mkdtemp(prefix="sfs_gate_stream_")
+    stage_replay_files(spark, sf_dir, f"{root}/replay", n_batches=4)
+    sink = ExactlyOnceSink(f"{root}/out", key_cols=("ws", "q_id"))
+    stream = read_sequences_stream(spark, f"{root}/replay", C.allowed_lateness_s)
+    res = stream_range_count(stream, C, DEFAULT_QUERY_POINTS)
+    run_available_now(res, sink.foreach_batch(), f"{root}/ckpt")
+    return sink.read_committed(spark)

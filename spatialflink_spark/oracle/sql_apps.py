@@ -170,3 +170,36 @@ dedup AS (
 SELECT ws, left_doc, right_doc, left_seq, right_seq, dist, pair_ts
 FROM dedup WHERE rn = 1
 """
+
+
+def variation_salted() -> str:
+    """Oracle identical to variation_sliding — salting must be invisible."""
+    from spatialflink_spark.oracle.sql import variation_sliding
+
+    return variation_sliding()
+
+
+def events_json_props() -> str:
+    return """
+SELECT event_type, count(*) AS n_events,
+       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+def stream_range_e2e() -> str:
+    """Batch range counts restricted to windows the final watermark closed:
+    watermark = max(ts_s) - lateness; a window [ws, ws+T) is emitted iff
+    ws + T <= watermark (verified empirically against Spark's eviction)."""
+    from spatialflink_spark.config import DEFAULT_CONFIG as C
+    from spatialflink_spark.oracle.sql import _prologue, qpoints_values
+
+    return f"""{_prologue(tumbling=True)}
+, wm AS (SELECT max(ts_s) - {C.allowed_lateness_s} AS w FROM sequences)
+SELECT ws, q.q_id AS q_id, count(*) AS n_matches
+FROM seq_t s
+JOIN {qpoints_values()} ON abs(s.n_tok - q.q_n_tok) <= q.radius
+WHERE s.ws + {C.tumbling_s} <= (SELECT w FROM wm)
+GROUP BY ws, q.q_id
+"""

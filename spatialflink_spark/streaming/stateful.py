@@ -90,44 +90,62 @@ HEATMAP_STATE = "docs map<string, array<long>>"
 HEATMAP_OUT = "cell int, n_docs bigint, sum_len bigint, min_len bigint, max_len bigint"
 
 
-def _heatmap_fn(key, pdf_iter, state: GroupState):
-    (cell,) = key
-    docs: dict[str, list[int]] = dict(state.get[0]) if state.exists else {}
-    docs = {k: list(v) for k, v in docs.items()}
-    for pdf in pdf_iter:
-        for d, ts in zip(pdf["doc_id"].to_numpy(), pdf["ts_s"].to_numpy()):
-            k, t = str(d), int(ts)
-            if k in docs:
-                lo, hi = docs[k]
-                docs[k] = [min(lo, t), max(hi, t)]
-            else:
-                docs[k] = [t, t]
-    state.update((docs,))
-    lens = [hi - lo for lo, hi in docs.values()]
-    yield pd.DataFrame(
-        [
-            {
-                "cell": cell,
-                "n_docs": len(lens),
-                "sum_len": sum(lens),
-                "min_len": min(lens) if lens else 0,
-                "max_len": max(lens) if lens else 0,
-            }
-        ]
-    )
+def make_heatmap_fn(idle_evict_s: int | None):
+    def _heatmap_fn(key, pdf_iter, state: GroupState):
+        (cell,) = key
+        docs: dict[str, list[int]] = dict(state.get[0]) if state.exists else {}
+        docs = {k: list(v) for k, v in docs.items()}
+        for pdf in pdf_iter:
+            for d, ts in zip(pdf["doc_id"].to_numpy(), pdf["ts_s"].to_numpy()):
+                k, t = str(d), int(ts)
+                if k in docs:
+                    lo, hi = docs[k]
+                    docs[k] = [min(lo, t), max(hi, t)]
+                else:
+                    docs[k] = [t, t]
+        # idle-trajectory eviction (TAggregateQuery.java:367-376), made
+        # deterministic: the reference uses WALL-CLOCK idle time; we evict on
+        # EVENT-TIME idleness vs the watermark (SURVEY.md §4 decision).
+        if idle_evict_s is not None:
+            wm_s = state.getCurrentWatermarkMs() // 1000
+            if wm_s > 0:
+                docs = {
+                    k: v for k, v in docs.items() if v[1] >= wm_s - idle_evict_s
+                }
+        state.update((docs,))
+        lens = [hi - lo for lo, hi in docs.values()]
+        yield pd.DataFrame(
+            [
+                {
+                    "cell": cell,
+                    "n_docs": len(lens),
+                    "sum_len": sum(lens),
+                    "min_len": min(lens) if lens else 0,
+                    "max_len": max(lens) if lens else 0,
+                }
+            ]
+        )
+
+    return _heatmap_fn
 
 
-def heatmap_stateful(stream_with_cell: DataFrame) -> DataFrame:
+def heatmap_stateful(
+    stream_with_cell: DataFrame, idle_evict_s: int | None = None
+) -> DataFrame:
     """TAggregate RT analog: per-cell live map of doc -> (minTs, maxTs),
-    re-aggregated on every batch (TAggregateQuery.java:53-377)."""
+    re-aggregated on every batch (TAggregateQuery.java:53-377); docs idle
+    longer than `idle_evict_s` of event time (vs the watermark) are dropped
+    from state — bounded state at 10^12-sequence scale."""
     from spatialflink_spark.session import ensure_pyfiles
 
     ensure_pyfiles(stream_with_cell.sparkSession)
     return (
-        stream_with_cell.select("cell", "doc_id", "ts_s")
+        # keep the watermarked event_ts column through the select — dropping
+        # it detaches the watermark and getCurrentWatermarkMs() throws
+        stream_with_cell.select("cell", "doc_id", "ts_s", "event_ts")
         .groupBy("cell")
         .applyInPandasWithState(
-            _heatmap_fn,
+            make_heatmap_fn(idle_evict_s),
             outputStructType=HEATMAP_OUT,
             stateStructType=HEATMAP_STATE,
             outputMode="update",

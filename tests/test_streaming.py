@@ -225,3 +225,42 @@ def test_session_windows_stream(spark, replay_dir, tmp_path):
     # every emitted doc's emitted rows equal its input rows (closed sessions)
     emitted = joined.dropna()
     assert (emitted.iloc[:, 0] == emitted.iloc[:, 1]).all()
+
+
+def test_heatmap_stateful_and_eviction(spark, replay_dir, tmp_path):
+    """Heatmap state matches the batch per-cell (doc -> maxTs-minTs)
+    aggregate; with idle eviction, docs whose last event is older than the
+    watermark minus the threshold drop out of state."""
+    from spatialflink_spark.operators.cells import cell_expr
+    from spatialflink_spark.streaming.stateful import heatmap_stateful
+
+    def run(idle):
+        stream = read_sequences_stream(spark, replay_dir, C.allowed_lateness_s)
+        s = stream.withColumn("cell", cell_expr(C.grid))
+        sink = ExactlyOnceSink(
+            str(tmp_path / f"out_{idle}"), key_cols=("cell",)
+        )
+        res = heatmap_stateful(s, idle_evict_s=idle)
+        run_available_now(
+            res, sink.foreach_batch(), str(tmp_path / f"ckpt_{idle}"),
+            output_mode="update",
+        )
+        got = sink.read_committed(spark).toPandas()
+        # keep the LAST emission per cell (largest batch dir id wins; use
+        # cumulative max of n_docs+sum as proxy: last emission = final state)
+        return got
+
+    no_evict = run(None)
+    final_live = (
+        no_evict.groupby("cell")["n_docs"].max().sort_index()
+    )
+    # batch truth: docs per cell
+    seq = sequences(spark, SF_SMALL).toPandas()
+    seq["cell"] = (seq["n_tok"] // C.grid.cell_len).clip(0, C.grid.num_cells - 1)
+    exp = seq.groupby("cell")["doc_id"].nunique().sort_index()
+    assert (final_live.loc[exp.index] == exp).all()
+
+    # aggressive eviction: far fewer docs remain live in the final emission
+    evicted = run(60)
+    final_evicted = evicted.groupby("cell")["n_docs"].max().sort_index()
+    assert final_evicted.sum() < final_live.sum()
