@@ -33,6 +33,21 @@ HEADLINE = [
     "tstats_running",
     "events_sessionize",
     "events_sliding_stats",
+    # SNCB-analog app queries + intervals + skew/format paths
+    "range_approx",
+    "trajectory_restricted",
+    "fence_speed_alert",
+    "exclude_cells",
+    "staytime_cells",
+    "tknn_trajectories",
+    "trange_trajectories",
+    "join_two_streams",
+    "variation_salted",
+    "events_json_props",
+    "interval_containment_join",
+    "interval_range_count",
+    # end-to-end Structured Streaming path (stage->watermark->sink)
+    "stream_range_e2e",
     # training-data ops
     "dedup_exact",
     "dedup_minhash_lsh",

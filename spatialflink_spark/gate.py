@@ -282,3 +282,16 @@ def q_stream_range_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = stream_range_count(stream, C, DEFAULT_QUERY_POINTS)
     run_available_now(res, sink.foreach_batch(), f"{root}/ckpt")
     return sink.read_committed(spark)
+
+
+# ---- interval (polygon-analog) type combos ----------------------------------
+
+from spatialflink_spark.operators import intervals as iv_ops  # noqa: E402
+
+
+def q_interval_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return iv_ops.interval_containment_join(_seq_t(spark, sf_dir), C.grid)
+
+
+def q_interval_range_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return iv_ops.interval_range_count(_seq_t(spark, sf_dir), q_n_tok=48)

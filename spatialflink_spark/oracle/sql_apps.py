@@ -203,3 +203,47 @@ JOIN {qpoints_values()} ON abs(s.n_tok - q.q_n_tok) <= q.radius
 WHERE s.ws + {C.tumbling_s} <= (SELECT w FROM wm)
 GROUP BY ws, q.q_id
 """
+
+
+def _iv_cte() -> str:
+    from spatialflink_spark.operators.intervals import HI_EXPR, LO_EXPR
+
+    lo = LO_EXPR.replace("cast(", "CAST(").replace(" as int)", " AS INT)")
+    hi = HI_EXPR.replace("cast(", "CAST(").replace(" as int)", " AS INT)")
+    return f"""
+iv AS (
+  SELECT ws, doc_id AS iv_id, seq_no AS iv_seq, {lo} AS lo, {hi} AS hi,
+         ts_s AS iv_ts
+  FROM seq_t
+)"""
+
+
+def interval_containment_join() -> str:
+    return f"""{_prologue(tumbling=True)}
+, {_iv_cte()},
+pairs AS (
+  SELECT p.ws, p.doc_id, i.iv_id, p.n_tok, i.lo, i.hi,
+         greatest(p.ts_s, i.iv_ts) AS pair_ts, p.seq_no, i.iv_seq
+  FROM seq_t p JOIN iv i
+    ON p.ws = i.ws AND p.n_tok >= i.lo AND p.n_tok <= i.hi
+),
+dedup AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY ws, doc_id, iv_id
+    ORDER BY pair_ts DESC, seq_no DESC, iv_seq DESC, n_tok DESC, lo DESC, hi DESC
+  ) AS rn
+  FROM pairs
+)
+SELECT ws, doc_id, iv_id, n_tok, lo, hi, pair_ts FROM dedup WHERE rn = 1
+"""
+
+
+def interval_range_count(q_n_tok: int = 48) -> str:
+    return f"""{_prologue(tumbling=True)}
+, {_iv_cte()}
+SELECT ws,
+       CAST(sum(CASE WHEN {q_n_tok} >= lo AND {q_n_tok} <= hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_containing,
+       count(*) AS n_intervals
+FROM iv GROUP BY ws
+"""

@@ -37,6 +37,7 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 class ExactlyOnceSink:
@@ -104,6 +105,28 @@ class ExactlyOnceSink:
             raise ValueError(f"no committed batches under {self.root}")
         paths = [os.path.join(self.data_dir, f"batch_id={b}") for b in batches]
         return spark.read.parquet(*paths)
+
+    def read_merged(self, spark: SparkSession) -> DataFrame:
+        """MERGE-on-read: latest write per key (max batch_id wins) — the
+        exact read semantics of an Iceberg `MERGE INTO ... ON key` target fed
+        by update-mode output. Append-mode pipelines never write a key twice,
+        so for them read_merged == read_committed."""
+        df = None
+        for b in sorted(self.committed_batches()):
+            part = spark.read.parquet(
+                os.path.join(self.data_dir, f"batch_id={b}")
+            ).withColumn("_bid", F.lit(b))
+            df = part if df is None else df.unionByName(part)
+        if df is None:
+            raise ValueError(f"no committed batches under {self.root}")
+        keys = [c for c in self.key_cols if c in df.columns]
+        ranked = df.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(*keys).orderBy(F.col("_bid").desc())
+            ),
+        )
+        return ranked.where(F.col("_rn") == 1).drop("_rn", "_bid")
 
     def lineage(self) -> list[dict]:
         out = []

@@ -264,3 +264,20 @@ def test_heatmap_stateful_and_eviction(spark, replay_dir, tmp_path):
     evicted = run(60)
     final_evicted = evicted.groupby("cell")["n_docs"].max().sort_index()
     assert final_evicted.sum() < final_live.sum()
+
+
+def test_sink_merge_on_read(spark, replay_dir, tmp_path):
+    """Update-mode stateful output read through MERGE semantics: latest
+    batch's row per key wins — equals the batch-mode final state."""
+    stream = read_sequences_stream(spark, replay_dir, C.allowed_lateness_s)
+    res = tstats_stateful(stream)
+    sink = ExactlyOnceSink(str(tmp_path / "out"), key_cols=("doc_id",))
+    run_available_now(res, sink.foreach_batch(), str(tmp_path / "ckpt"),
+                      output_mode="update")
+    merged = sink.read_merged(spark).toPandas()
+    assert not merged.duplicated(subset=["doc_id"]).any()
+    exp = running_stats(sequences(spark, SF_SMALL)).toPandas()
+    m = merged.merge(exp, on="doc_id", suffixes=("_s", "_b"))
+    assert len(m) == len(exp) == len(merged)
+    for c in ["n_seen", "n_accepted", "cum_len", "cum_dt", "rate_milli"]:
+        assert (m[f"{c}_s"] == m[f"{c}_b"]).all(), c
