@@ -281,3 +281,52 @@ def test_sink_merge_on_read(spark, replay_dir, tmp_path):
     assert len(m) == len(exp) == len(merged)
     for c in ["n_seen", "n_accepted", "cum_len", "cum_dt", "rate_milli"]:
         assert (m[f"{c}_s"] == m[f"{c}_b"]).all(), c
+
+
+def test_stream_knn_matches_batch_closed_windows(spark, replay_dir, tmp_path):
+    """Streaming per-cell collect + batch-side final merge == batch kNN for
+    windows the final watermark closed; runs on the RocksDB state store."""
+    from spatialflink_spark.streaming.pipeline import (
+        finalize_knn,
+        stream_knn_collect,
+    )
+
+    stream = read_sequences_stream(spark, replay_dir, C.allowed_lateness_s)
+    # tumbling kNN (streaming agg); batch expectation uses the same window
+    collected = stream_knn_collect(stream, C, DEFAULT_QUERY_POINTS)
+    sink = ExactlyOnceSink(str(tmp_path / "out"), key_cols=("ws", "q_id"))
+
+    def fb(df, bid):
+        sink.write_batch(finalize_knn(df), bid)
+
+    q = (
+        collected.writeStream.foreachBatch(fb)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .option(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = sink.read_committed(spark).toPandas()
+
+    # batch truth on tumbling windows
+    from spatialflink_spark.operators.knn import knn_windowed
+
+    seq_t = sequences(spark, SF_SMALL).withColumn(
+        "ws", __import__("pyspark.sql.functions", fromlist=["expr"]).expr(
+            f"cast(floor(ts_s / {C.tumbling_s}) * {C.tumbling_s} as bigint)"
+        )
+    )
+    exp = knn_windowed(seq_t, C.grid, DEFAULT_QUERY_POINTS).toPandas()
+    max_ts = sequences(spark, SF_SMALL).agg({"ts_s": "max"}).collect()[0][0]
+    closed = exp[exp["ws"] + C.tumbling_s <= max_ts - C.allowed_lateness_s]
+    keys = ["ws", "q_id", "rank"]
+    a = got.sort_values(keys).reset_index(drop=True)
+    b = closed.sort_values(keys).reset_index(drop=True)
+    assert len(a) == len(b)
+    for c in ["ws", "q_id", "rank", "doc_id", "seq_no", "dist"]:
+        assert (a[c].values == b[c].values).all(), c
