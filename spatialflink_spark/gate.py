@@ -29,18 +29,18 @@ from spatialflink_spark.operators.join import windowed_join
 from spatialflink_spark.operators.knn import knn_windowed
 from spatialflink_spark.operators.range_query import range_query
 from spatialflink_spark.operators.stats import running_stats
-from spatialflink_spark.sources.sequences import sequences
+from spatialflink_spark.sources.sequences import sequences, sequences_cached
 
 
 def _seq_t(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sequences(spark, sf_dir).withColumn(
+    return sequences_cached(spark, sf_dir).withColumn(
         "ws", tumbling_start("ts_s", C.tumbling_s)
     )
 
 
 def _seq_s(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_sliding_windows(
-        sequences(spark, sf_dir), "ts_s", C.sliding_size_s, C.sliding_slide_s
+        sequences_cached(spark, sf_dir), "ts_s", C.sliding_size_s, C.sliding_slide_s
     )
 
 
@@ -95,7 +95,7 @@ def q_heatmap_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_tstats_running(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return running_stats(sequences(spark, sf_dir))
+    return running_stats(sequences_cached(spark, sf_dir))
 
 
 def q_events_sessionize(spark: SparkSession, sf_dir: str, gap_s: int = 1800) -> DataFrame:
@@ -210,7 +210,7 @@ def q_fence_speed_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_exclude_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return app_ops.exclude_cells(sequences(spark, sf_dir), C.grid)
+    return app_ops.exclude_cells(sequences_cached(spark, sf_dir), C.grid)
 
 
 def q_staytime_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -276,11 +276,18 @@ def q_stream_range_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spatialflink_spark.streaming.sink import ExactlyOnceSink
 
     root = tempfile.mkdtemp(prefix="sfs_gate_stream_")
-    stage_replay_files(spark, sf_dir, f"{root}/replay", n_batches=4)
+    stage_replay_files(spark, sf_dir, f"{root}/replay", n_batches=2)
     sink = ExactlyOnceSink(f"{root}/out", key_cols=("ws", "q_id"))
-    stream = read_sequences_stream(spark, f"{root}/replay", C.allowed_lateness_s)
-    res = stream_range_count(stream, C, DEFAULT_QUERY_POINTS)
-    run_available_now(res, sink.foreach_batch(), f"{root}/ckpt")
+    # state-store partition count is fixed at first checkpoint write; 8 is
+    # plenty for the (window, q_id) key space and cuts per-batch fixed cost
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        stream = read_sequences_stream(spark, f"{root}/replay", C.allowed_lateness_s)
+        res = stream_range_count(stream, C, DEFAULT_QUERY_POINTS)
+        run_available_now(res, sink.foreach_batch(), f"{root}/ckpt")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return sink.read_committed(spark)
 
 
