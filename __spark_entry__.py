@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # interval (polygon-analog) type combinations
         "interval_containment_join": gate.q_interval_containment_join,
         "interval_range_count": gate.q_interval_range_count,
+        "knn_unbounded": gate.q_knn_unbounded,
     }
 
 
@@ -110,4 +111,5 @@ def oracle_sql() -> dict[str, str]:
         "stream_range_e2e": osqla.stream_range_e2e(),
         "interval_containment_join": osqla.interval_containment_join(),
         "interval_range_count": osqla.interval_range_count(),
+        "knn_unbounded": osqla.knn_unbounded(),
     }

@@ -302,3 +302,10 @@ def q_interval_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_interval_range_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return iv_ops.interval_range_count(_seq_t(spark, sf_dir), q_n_tok=48)
+
+
+def q_knn_unbounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbounded (layer-expansion) kNN on tumbling windows."""
+    from spatialflink_spark.operators.knn import knn_unbounded
+
+    return knn_unbounded(_seq_t(spark, sf_dir), C.grid, DEFAULT_QUERY_POINTS)

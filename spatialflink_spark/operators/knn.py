@@ -88,3 +88,35 @@ def knn_windowed(
 def knn_windowed_qdf(seq_with_ws: DataFrame, grid: GridConfig, qs) -> DataFrame:
     """Convenience alias mirroring the reference's run() naming."""
     return knn_windowed(seq_with_ws, grid, qs)
+
+
+def knn_unbounded(seq_with_ws: DataFrame, grid: GridConfig, qs) -> DataFrame:
+    """Unbounded kNN — no radius cut. The reference reaches this via
+    iterative grid-layer expansion (UniformGrid.getNeighboringLayerCells /
+    getAllNeighboringLayers, UniformGrid.java:447-501): grow the cell ring
+    until k neighbors are found. Declaratively the fixpoint of that loop is
+    simply the global per-doc min-distance top-k with NO candidate bound —
+    Catalyst's partial aggregation gives the per-partition pruning the layer
+    loop hand-codes. Output shape matches knn_windowed."""
+    from pyspark.sql import functions as F2
+
+    spark = seq_with_ws.sparkSession
+    qdf = spark.createDataFrame(
+        [(q.q_id, q.q_n_tok, q.k) for q in qs], "q_id string, q_n_tok int, k int"
+    )
+    cand = seq_with_ws.join(F2.broadcast(qdf)).withColumn(
+        "dist", F2.expr("abs(n_tok - q_n_tok)")
+    )
+    per_doc = cand.groupBy("ws", "q_id", "k", "doc_id").agg(
+        F2.min(F2.struct("dist", "seq_no")).alias("_m")
+    )
+    w = Window.partitionBy("ws", "q_id").orderBy(F2.col("_m.dist"), F2.col("doc_id"))
+    return (
+        per_doc.withColumn("rank", F2.row_number().over(w).cast("int"))
+        .where(F2.col("rank") <= F2.col("k"))
+        .select(
+            "ws", "q_id", "rank", "doc_id",
+            F2.col("_m.seq_no").alias("seq_no"),
+            F2.col("_m.dist").alias("dist"),
+        )
+    )

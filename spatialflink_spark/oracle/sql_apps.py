@@ -247,3 +247,25 @@ SELECT ws,
        count(*) AS n_intervals
 FROM iv GROUP BY ws
 """
+
+
+def knn_unbounded() -> str:
+    return f"""{_prologue(tumbling=True)}
+, cand AS (
+  SELECT s.ws, q.q_id, q.k, s.doc_id, s.seq_no,
+         abs(s.n_tok - q.q_n_tok) AS dist
+  FROM seq_t s CROSS JOIN {qpoints_values()}
+),
+per_doc AS (
+  SELECT ws, q_id, k, doc_id, seq_no, dist,
+         row_number() OVER (PARTITION BY ws, q_id, doc_id ORDER BY dist, seq_no) AS rd
+  FROM cand
+),
+ranked AS (
+  SELECT ws, q_id, k, doc_id, seq_no, dist,
+         row_number() OVER (PARTITION BY ws, q_id ORDER BY dist, doc_id) AS rank
+  FROM per_doc WHERE rd = 1
+)
+SELECT ws, q_id, CAST(rank AS INT) AS rank, doc_id, seq_no, dist
+FROM ranked WHERE rank <= k
+"""

@@ -77,3 +77,67 @@ def attach_metrics(spark: SparkSession, path: str) -> JsonlMetricsListener:
     lst = JsonlMetricsListener(path)
     spark.streams.addListener(lst)
     return lst
+
+
+FIXED_BUCKETS_MS = [0, 1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048,
+                    4096, 8192, 16384, 20000, 60000]
+
+
+class FixedBucketLatency:
+    """Fixed-bucket latency histogram with p50/p95/p99 gauges — the
+    com/mn/metrics/FixedBucketLatency.java:15-77 surface (buckets
+    {0,1,2,4,...,20000,60000} ms). Fed per micro-batch with the batch's
+    durationMs (the micro-batch analog of per-record sink latency)."""
+
+    def __init__(self, buckets=None):
+        self.buckets = list(buckets or FIXED_BUCKETS_MS)
+        self.counts = [0] * (len(self.buckets) + 1)
+        self.n = 0
+
+    def record(self, latency_ms: float) -> None:
+        import bisect
+
+        i = bisect.bisect_right(self.buckets, latency_ms)
+        self.counts[i] += 1
+        self.n += 1
+
+    def percentile(self, p: float) -> float:
+        """Upper bucket bound holding the p-th percentile (reference
+        semantics: gauge reports the bucket boundary, :38-42)."""
+        if self.n == 0:
+            return 0.0
+        target = p * self.n
+        seen = 0
+        for i, c in enumerate(self.counts):
+            seen += c
+            if seen >= target:
+                return float(
+                    self.buckets[i] if i < len(self.buckets) else float("inf")
+                )
+        return float(self.buckets[-1])
+
+    def summary(self) -> dict:
+        return {
+            "n": self.n,
+            "p50_ms": self.percentile(0.50),
+            "p95_ms": self.percentile(0.95),
+            "p99_ms": self.percentile(0.99),
+        }
+
+
+class HistogramListener(JsonlMetricsListener):
+    """Metrics listener that additionally maintains the fixed-bucket
+    histogram over batch durations and appends its summary per line."""
+
+    def __init__(self, path: str):
+        super().__init__(path)
+        self.hist = FixedBucketLatency()
+
+    def onQueryProgress(self, event):
+        p = event.progress
+        d = dict(p.durationMs or {})
+        if "triggerExecution" in d:
+            self.hist.record(float(d["triggerExecution"]))
+        super().onQueryProgress(event)
+        with open(self.path, "a") as f:
+            f.write(json.dumps({"histogram": self.hist.summary()}) + "\n")
