@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": gate.q_dedup_ngram_jaccard,
         "cosine_topk": gate.q_cosine_topk,
         "cosine_topk_ivf": gate.q_cosine_topk_ivf,
+        "embedding_dup_pairs": gate.q_embedding_dup_pairs,
         "lang_id": gate.q_lang_id,
         "quality_score": gate.q_quality_score,
         "token_counts": gate.q_token_counts,
@@ -93,6 +94,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": osqld.ngram_jaccard_pairs(),
         "cosine_topk": osqld.cosine_topk(),
         "cosine_topk_ivf": osqld.cosine_topk_ivf(),
+        "embedding_dup_pairs": osqld.embedding_dup_pairs(),
         "lang_id": osqld.lang_id(),
         "quality_score": osqld.quality_score(),
         "token_counts": osqld.token_counts(),

@@ -309,3 +309,7 @@ def q_knn_unbounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spatialflink_spark.operators.knn import knn_unbounded
 
     return knn_unbounded(_seq_t(spark, sf_dir), C.grid, DEFAULT_QUERY_POINTS)
+
+
+def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim_ops.embedding_dup_pairs(_emb(spark, sf_dir))

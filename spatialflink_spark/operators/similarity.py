@@ -105,3 +105,44 @@ def cosine_topk_ivf(emb: DataFrame, k: int = DEFAULT_K, bits: int = SIGN_BITS) -
         .where(F.col("rank") <= k)
         .select("rank", "vec_id", "label", "cos_sim")
     )
+
+
+DUP_COS_THRESHOLD = 0.4
+
+
+def embedding_dup_pairs(emb: DataFrame, threshold: float = DUP_COS_THRESHOLD) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all pairs (a < b) with
+    cosine >= threshold — the exact baseline for embedding dedup.
+
+    Scale path: at 10^9+ vectors the candidate generation becomes the
+    sign-bucket equi-join (bucket_expr) or IVF-centroid blocking, with this
+    exact pairwise check only inside blocks; the all-pairs form here is the
+    oracle those approximations are measured against (same role as the
+    reference's RealTimeNaive paths)."""
+    norm = (
+        "sqrt(aggregate(embedding, cast(0.0 as double), "
+        "(s, x) -> s + cast(x as double) * cast(x as double)))"
+    )
+    base = emb.select("vec_id", "embedding", F.expr(norm).alias("_n"))
+    l = base.select(
+        F.col("vec_id").alias("left_vec"),
+        F.col("embedding").alias("l_emb"),
+        F.col("_n").alias("l_n"),
+    )
+    r = base.select(
+        F.col("vec_id").alias("right_vec"),
+        F.col("embedding").alias("r_emb"),
+        F.col("_n").alias("r_n"),
+    )
+    dot = (
+        "aggregate(zip_with(l_emb, r_emb, (x, y) -> cast(x as double) * cast(y as double)), "
+        "cast(0.0 as double), (s, v) -> s + v)"
+    )
+    # norms precomputed per vector (once, not per pair) — the division
+    # happens in the same double order as the oracle, so round(6) agrees
+    pairs = l.join(r, F.col("left_vec") < F.col("right_vec")).select(
+        "left_vec",
+        "right_vec",
+        F.expr(f"round({dot} / (l_n * r_n), 6)").alias("cos_sim"),
+    )
+    return pairs.where(F.col("cos_sim") >= threshold)

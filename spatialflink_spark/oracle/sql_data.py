@@ -248,3 +248,14 @@ SELECT doc_id,
        CAST({header} AS INT) AS header_sum
 FROM documents
 """
+
+
+def embedding_dup_pairs(threshold: float = 0.4) -> str:
+    return f"""
+WITH pairs AS (
+  SELECT a.vec_id AS left_vec, b.vec_id AS right_vec,
+         {_duck_cos('a.embedding', 'b.embedding')} AS cos_sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT * FROM pairs WHERE cos_sim >= {threshold}
+"""
