@@ -103,3 +103,19 @@ def duck_str_hash(col: str) -> str:
         f"list_transform(range(1, length({col})+1), i -> ascii(substr({col}, i, 1)))), "
         f"(a, c) -> (a*31 + c) % {HASH_MOD})"
     )
+
+
+def spark_tokenize_fast(col: str) -> str:
+    """Production ingest tokenizer: xxhash64 per word (JVM-intrinsic) instead
+    of the per-char rolling hash — measured ~2.8x faster per core and
+    scan-bound rather than CPU-bound at high parallelism (BENCH.md).
+
+    Same word segmentation as spark_tokenize, so size(tokens), n_tok, cell
+    assignment, windows — every n_tok-derived result — are IDENTICAL under
+    either tokenizer; only token VALUES differ (different hash family).
+    The portable tokenizer remains the correctness-gate path because DuckDB
+    cannot reproduce xxhash64."""
+    return (
+        f"transform({spark_words(col)}, "
+        f"w -> cast(pmod(xxhash64(w), {VOCAB_SIZE}) as int))"
+    )
