@@ -330,3 +330,77 @@ def test_stream_knn_matches_batch_closed_windows(spark, replay_dir, tmp_path):
     assert len(a) == len(b)
     for c in ["ws", "q_id", "rank", "doc_id", "seq_no", "dist"]:
         assert (a[c].values == b[c].values).all(), c
+
+
+def test_stream_stream_join_matches_batch(spark, replay_dir, tmp_path):
+    """Watermarked stream-stream join (time-range bound) == batch pairs with
+    the same cell-equality + |Δts| <= bound + distance predicate."""
+    from pyspark.sql import functions as F
+    from spatialflink_spark.operators.cells import cell_expr
+    from spatialflink_spark.streaming.pipeline import stream_stream_join
+
+    radius = C.join_radius
+    left = read_sequences_stream(spark, replay_dir, C.allowed_lateness_s).withColumn(
+        "cell", cell_expr(C.grid)
+    )
+    right = read_sequences_stream(spark, replay_dir, C.allowed_lateness_s).withColumn(
+        "cell", cell_expr(C.grid)
+    )
+    joined = stream_stream_join(left, right, C, radius)
+    out = []
+
+    def fb(df, bid):
+        out.extend(df.collect())
+
+    q = (
+        joined.writeStream.foreachBatch(fb)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = (
+        pd.DataFrame([r.asDict() for r in out])
+        .assign(pair_ts=lambda d: d["pair_ts"].map(lambda t: int(t.timestamp())))
+        .sort_values(["left_doc", "right_doc", "left_seq", "right_seq"])
+        .reset_index(drop=True)
+    )
+
+    # batch truth: same predicate, no windows — time-range bound
+    seq = sequences(spark, SF_SMALL)
+    from spatialflink_spark.operators.cells import with_cell
+
+    s = with_cell(seq, C.grid)
+    import pyspark.sql.functions as F2
+
+    lf = s.select(
+        F2.col("cell").alias("l_cell"), F2.col("doc_id").alias("left_doc"),
+        F2.col("seq_no").alias("left_seq"), F2.col("n_tok").alias("l_nt"),
+        F2.col("ts_s").alias("l_ts"),
+    )
+    rf = s.select(
+        F2.col("cell").alias("r_cell"), F2.col("doc_id").alias("right_doc"),
+        F2.col("seq_no").alias("right_seq"), F2.col("n_tok").alias("r_nt"),
+        F2.col("ts_s").alias("r_ts"),
+    )
+    exp = (
+        lf.join(
+            rf,
+            (F2.col("l_cell") == F2.col("r_cell"))
+            & (F2.abs(F2.col("l_nt") - F2.col("r_nt")) <= radius)
+            & (F2.abs(F2.col("l_ts") - F2.col("r_ts")) <= C.tumbling_s)
+            & (F2.col("left_doc") != F2.col("right_doc")),
+        )
+        .select(
+            "left_doc", "right_doc", "left_seq", "right_seq",
+            F2.abs(F2.col("l_nt") - F2.col("r_nt")).alias("dist"),
+            F2.greatest("l_ts", "r_ts").alias("pair_ts"),
+        )
+        .toPandas()
+        .sort_values(["left_doc", "right_doc", "left_seq", "right_seq"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    for c in ["left_doc", "right_doc", "left_seq", "right_seq", "dist", "pair_ts"]:
+        assert (got[c].values == exp[c].values).all(), c
