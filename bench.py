@@ -55,6 +55,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "cosine_topk",
     "cosine_topk_ivf",
+    "cosine_topk_ivf_multiprobe",
     # embedding_dup_pairs is gate-graded (exact all-pairs oracle at sf0.01)
     # but excluded here: at sf0.1 it is a deliberate O(n^2) exact baseline
     # (2M pairs, ~28s) whose production form is the sign-bucket blocked

@@ -313,3 +313,7 @@ def q_knn_unbounded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.embedding_dup_pairs(_emb(spark, sf_dir))
+
+
+def q_cosine_topk_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim_ops.cosine_topk_ivf_multiprobe(_emb(spark, sf_dir))

@@ -146,3 +146,39 @@ def embedding_dup_pairs(emb: DataFrame, threshold: float = DUP_COS_THRESHOLD) ->
         F.expr(f"round({dot} / (l_n * r_n), 6)").alias("cos_sim"),
     )
     return pairs.where(F.col("cos_sim") >= threshold)
+
+
+def cosine_topk_ivf_multiprobe(
+    emb: DataFrame, k: int = DEFAULT_K, bits: int = SIGN_BITS
+) -> DataFrame:
+    """Multi-probe ANN: probe the query's sign bucket plus every bucket at
+    Hamming distance 1 (bits+1 buckets of 2^bits) — the standard recall
+    recovery for sign-LSH, still touching only (bits+1)/2^bits of the data.
+    Same output shape as cosine_topk; recall measured against it in tests."""
+    b = emb.withColumn("bucket", bucket_expr("embedding", bits))
+    qb = b.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("bucket").alias("q_bucket"), F.col("embedding").alias("q_emb")
+    )
+    probe = " OR ".join(
+        ["bucket = q_bucket"]
+        + [f"bucket = (q_bucket ^ {1 << i})" for i in range(bits)]
+    )
+    cand = (
+        b.where(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(qb), F.expr(probe))
+        .select(
+            "vec_id",
+            "label",
+            F.expr(_cos_expr("embedding", "q_emb")).alias("cos_sim"),
+        )
+    )
+    return (
+        cand.withColumn(
+            "rank",
+            F.expr(
+                "row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC)"
+            ).cast("int"),
+        )
+        .where(F.col("rank") <= k)
+        .select("rank", "vec_id", "label", "cos_sim")
+    )

@@ -259,3 +259,28 @@ WITH pairs AS (
 )
 SELECT * FROM pairs WHERE cos_sim >= {threshold}
 """
+
+
+def cosine_topk_ivf_multiprobe(k: int = DEFAULT_K, bits: int = SIGN_BITS) -> str:
+    bucket = " + ".join(
+        f"(CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(bits)
+    )
+    probe = " OR ".join(
+        ["e.bucket = q.q_bucket"]
+        + [f"e.bucket = xor(q.q_bucket, {1 << i})" for i in range(bits)]
+    )
+    return f"""
+WITH b AS (SELECT *, CAST({bucket} AS INT) AS bucket FROM embeddings),
+q AS (SELECT bucket AS q_bucket, embedding AS q_emb FROM b WHERE vec_id = {QUERY_VEC_ID}),
+scored AS (
+  SELECT e.vec_id, e.label, {_duck_cos('e.embedding', 'q.q_emb')} AS cos_sim
+  FROM b e JOIN q ON {probe}
+  WHERE e.vec_id <> {QUERY_VEC_ID}
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT rank, vec_id, label, cos_sim FROM ranked WHERE rank <= {k}
+"""
