@@ -248,8 +248,10 @@ def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured JSON column parse (Deserialization.java analog):
     extract props.k, aggregate per event_type."""
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # try_cast: props is untrusted input — plain .cast throws under ANSI mode
+    # on any non-numeric props.k (repo invariant; oracle mirrors TRY_CAST)
     return e.select(
-        "event_type", json_field("props", "k").cast("bigint").alias("k")
+        "event_type", json_field("props", "k").try_cast("bigint").alias("k")
     ).groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum("k").alias("sum_k"),

@@ -142,12 +142,15 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     return cand.select(
         "left_doc",
         "right_doc",
+        # cast(... as double) everywhere: a bare `* 1.0` literal is DECIMAL in
+        # Spark, and the driver's value hash distinguishes Decimal('0.9565')
+        # from the oracle's DOUBLE 0.9565 even when numerically equal
         F.expr(
-            f"round(size(filter(zip_with(l_sig, r_sig, (x, y) -> x = y), b -> b)) "
-            f"* 1.0 / {N_HASHES}, 6)"
+            f"round(cast(size(filter(zip_with(l_sig, r_sig, (x, y) -> x = y), b -> b)) "
+            f"as double) / {N_HASHES}, 6)"
         ).alias("est_sim"),
         F.expr(
-            "round(size(array_intersect(l_hs, r_hs)) * 1.0 / "
+            "round(cast(size(array_intersect(l_hs, r_hs)) as double) / "
             "size(array_union(l_hs, r_hs)), 6)"
         ).alias("jaccard"),
     ).where(F.col("jaccard") >= threshold)
@@ -192,7 +195,7 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.2) -> DataFrame:
         .select(
             "left_doc",
             "right_doc",
-            F.expr("round(n_common * 1.0 / (n_l + n_r - n_common), 6)").alias(
+            F.expr("round(cast(n_common as double) / (n_l + n_r - n_common), 6)").alias(
                 "jaccard"
             ),
         )

@@ -48,11 +48,15 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
 
 
 def fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
-    """Deterministic stand-in for image/audio decode: byte stats + a fixed
+    """Deterministic stand-in for image/audio decode: payload stats + a fixed
     8-dim 'feature'. Replace with PIL/libav decode in production —
-    raise NotImplementedError there if codecs are absent."""
+    raise NotImplementedError there if codecs are absent.
+
+    header sums the CODEPOINTS of the first 16 characters (not the first 16
+    bytes): the DuckDB oracle computes ascii(substr(text, i, 1)) over chars,
+    and the two only agree on non-ASCII text if both are codepoint-based."""
     n = len(payload)
-    header = sum(payload[:16]) % 65536
+    header = sum(ord(c) for c in payload.decode("utf-8")[:16]) % 65536
     feat = [float((header * (i + 1)) % 251) / 251.0 for i in range(8)]
     return n, header, feat
 

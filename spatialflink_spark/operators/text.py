@@ -34,9 +34,11 @@ def lang_score_sql(words_expr: str, lang: str, *, size_fn: str, filter_fn: str) 
     """score = stopword hits / word count (rounded) — same string for both
     dialects modulo function names (size/filter vs len/list_filter)."""
     prof = LANG_PROFILES[lang]
+    # cast(... as double): `* 1.0` would make Spark produce DECIMAL (the
+    # driver's value hash is dtype-sensitive); cast works in both dialects
     return (
-        f"round({size_fn}({filter_fn}({words_expr}, w -> {_in_list('w', prof)})) "
-        f"* 1.0 / greatest({size_fn}({words_expr}), 1), 6)"
+        f"round(cast({size_fn}({filter_fn}({words_expr}, w -> {_in_list('w', prof)})) "
+        f"as double) / greatest({size_fn}({words_expr}), 1), 6)"
     )
 
 
@@ -47,6 +49,18 @@ def pred_lang_sql() -> str:
         "WHEN s_de >= s_es AND s_de >= s_fr THEN 'de' "
         "WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END"
     )
+
+
+# weighted quality heuristic over (n_words, n_chars, stop_ratio, digit_ratio)
+# in pure double math — the same string runs in Spark SQL and DuckDB, so both
+# sides execute identical IEEE operations in identical order
+QUALITY_SQL = (
+    "round(0.3 * least(cast(n_words as double) / 100.0, cast(1.0 as double)) "
+    "+ 0.3 * stop_ratio "
+    "+ 0.2 * (cast(1.0 as double) - digit_ratio) "
+    "+ 0.2 * least(cast(n_chars as double) / greatest(n_words, 1) / 8.0, "
+    "cast(1.0 as double)), 6)"
+)
 
 
 def lang_id(docs: DataFrame) -> DataFrame:
@@ -76,7 +90,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
             "stop_ratio"
         ),
         F.expr(
-            "round(length(regexp_replace(text, '[^0-9]', '')) * 1.0 / "
+            "round(cast(length(regexp_replace(text, '[^0-9]', '')) as double) / "
             "greatest(length(text), 1), 6)"
         ).alias("digit_ratio"),
     )
@@ -86,11 +100,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
         "n_chars",
         "stop_ratio",
         "digit_ratio",
-        F.expr(
-            "round(0.3 * least(n_words / 100.0, 1.0) + 0.3 * stop_ratio "
-            "+ 0.2 * (1.0 - digit_ratio) "
-            "+ 0.2 * least((n_chars * 1.0 / greatest(n_words, 1)) / 8.0, 1.0), 6)"
-        ).alias("quality"),
+        F.expr(QUALITY_SQL).alias("quality"),
     )
 
 

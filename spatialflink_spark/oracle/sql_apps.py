@@ -180,10 +180,13 @@ def variation_salted() -> str:
 
 
 def events_json_props() -> str:
+    # CAST(sum(...) AS BIGINT): DuckDB sum(BIGINT) returns HUGEINT -> pandas
+    # float64, while Spark sum(bigint) stays int64; TRY_CAST mirrors the
+    # engine's try_cast on the untrusted JSON field.
     return """
 SELECT event_type, count(*) AS n_events,
-       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
-       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+       CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events GROUP BY event_type
 """
 

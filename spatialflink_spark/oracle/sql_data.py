@@ -21,6 +21,7 @@ from spatialflink_spark.operators.similarity import (
 )
 from spatialflink_spark.operators.text import (
     LANG_ORDER,
+    QUALITY_SQL,
     lang_score_sql,
     pred_lang_sql,
 )
@@ -79,8 +80,8 @@ cand AS (
 ),
 scored AS (
   SELECT left_doc, right_doc,
-         round(({est.replace('l.sig', 'l_sig').replace('r.sig', 'r_sig')}) * 1.0 / {N_HASHES}, 6) AS est_sim,
-         round(len(list_intersect(l_hs, r_hs)) * 1.0 /
+         round(cast(({est.replace('l.sig', 'l_sig').replace('r.sig', 'r_sig')}) as double) / {N_HASHES}, 6) AS est_sim,
+         round(cast(len(list_intersect(l_hs, r_hs)) as double) /
                (len(l_hs) + len(r_hs) - len(list_intersect(l_hs, r_hs))), 6) AS jaccard
   FROM (SELECT left_doc, right_doc,
                any_value(l_sig) l_sig, any_value(r_sig) r_sig,
@@ -118,11 +119,11 @@ common AS (
   GROUP BY 1, 2
 )
 SELECT c.left_doc, c.right_doc,
-       round(c.n_common * 1.0 / (sl.n_sh + sr.n_sh - c.n_common), 6) AS jaccard
+       round(cast(c.n_common as double) / (sl.n_sh + sr.n_sh - c.n_common), 6) AS jaccard
 FROM common c
 JOIN sizes sl ON sl.doc_id = c.left_doc
 JOIN sizes sr ON sr.doc_id = c.right_doc
-WHERE c.n_common * 1.0 / (sl.n_sh + sr.n_sh - c.n_common) >= {threshold}
+WHERE round(cast(c.n_common as double) / (sl.n_sh + sr.n_sh - c.n_common), 6) >= {threshold}
 """
 
 
@@ -200,15 +201,13 @@ WITH d AS (
          len({_W}) AS n_words,
          length(text) AS n_chars,
          {en} AS stop_ratio,
-         round(length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 /
+         round(cast(length(regexp_replace(text, '[^0-9]', '', 'g')) as double) /
                greatest(length(text), 1), 6) AS digit_ratio
   FROM documents
 )
 SELECT doc_id, CAST(n_words AS INT) AS n_words, CAST(n_chars AS INT) AS n_chars,
        stop_ratio, digit_ratio,
-       round(0.3 * least(n_words / 100.0, 1.0) + 0.3 * stop_ratio
-             + 0.2 * (1.0 - digit_ratio)
-             + 0.2 * least((n_chars * 1.0 / greatest(n_words, 1)) / 8.0, 1.0), 6) AS quality
+       {QUALITY_SQL} AS quality
 FROM d
 """
 

@@ -38,3 +38,43 @@ def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     rows = df.collect()
     assert len(rows) >= 0 and df.columns == ["ws", "q_id", "n_matches"]
+
+
+def test_comparator_catches_decimal_drift():
+    """Round-1 regression: the driver's hash distinguishes Decimal from
+    double even when numerically equal. The local comparator must too —
+    a reintroduced `* 1.0` (DECIMAL math) has to fail here, not at the gate."""
+    import decimal
+
+    import pandas as pd
+
+    dec = pd.DataFrame({"x": [decimal.Decimal("0.5")]})
+    dbl = pd.DataFrame({"x": [0.5]})
+    with pytest.raises(AssertionError, match="dtype kind"):
+        assert_frames_match(dec, dbl, "decimal_drift")
+    # and exact-value: 1e-10 drift used to slip through math.isclose
+    with pytest.raises(AssertionError):
+        assert_frames_match(
+            pd.DataFrame({"x": [0.5]}), pd.DataFrame({"x": [0.5 + 1e-10]}), "tol"
+        )
+
+
+def test_media_features_non_ascii(spark, duck):
+    """fake_decode (codepoints of first 16 chars) must agree with the DuckDB
+    oracle on NON-ASCII text — multi-byte UTF-8 is where byte-based and
+    codepoint-based header sums diverge (ADVICE round 1)."""
+    from spatialflink_spark.operators.multimodal import media_features
+    from spatialflink_spark.oracle.sql_data import media_features as media_sql
+
+    rows = [
+        (1, "héllo wörld straße café über naïve"),
+        (2, "日本語のテキスト señor jalapeño"),
+        (3, "plain ascii only row"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    spdf = media_features(docs).toPandas()
+    duck.execute("CREATE OR REPLACE TABLE _nonascii(doc_id BIGINT, text VARCHAR)")
+    duck.executemany("INSERT INTO _nonascii VALUES (?, ?)", rows)
+    ddf = duck.execute(media_sql().replace("FROM documents", "FROM _nonascii")).fetchdf()
+    duck.execute("DROP TABLE _nonascii")
+    assert_frames_match(spdf, ddf, "media_features_non_ascii")
