@@ -94,7 +94,7 @@ sequences AS (
 )"""
 
 
-_SEQ_CACHE: dict[tuple[int, str], DataFrame] = {}
+_SEQ_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def sequences_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -105,7 +105,10 @@ def sequences_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw documents. Persisting it makes every downstream query read the
     materialized table instead of re-tokenizing — and makes self-joins scan
     it once per side instead of re-deriving per branch."""
-    key = (id(spark.sparkContext), sf_dir)
+    # applicationId is unique per context — id(sparkContext) can be recycled
+    # by CPython after a stopped context is GC'd, handing back a DataFrame
+    # bound to a dead session (ADVICE round 1)
+    key = (spark.sparkContext.applicationId, sf_dir)
     df = _SEQ_CACHE.get(key)
     if df is None:
         df = sequences(spark, sf_dir).persist()

