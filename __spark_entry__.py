@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": gate.q_cosine_topk,
         "cosine_topk_ivf": gate.q_cosine_topk_ivf,
         "embedding_dup_pairs": gate.q_embedding_dup_pairs,
+        "embedding_dup_pairs_blocked": gate.q_embedding_dup_pairs_blocked,
         "cosine_topk_ivf_multiprobe": gate.q_cosine_topk_ivf_multiprobe,
         "lang_id": gate.q_lang_id,
         "quality_score": gate.q_quality_score,
@@ -96,6 +97,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": osqld.cosine_topk(),
         "cosine_topk_ivf": osqld.cosine_topk_ivf(),
         "embedding_dup_pairs": osqld.embedding_dup_pairs(),
+        "embedding_dup_pairs_blocked": osqld.embedding_dup_pairs_blocked(),
         "cosine_topk_ivf_multiprobe": osqld.cosine_topk_ivf_multiprobe(),
         "lang_id": osqld.lang_id(),
         "quality_score": osqld.quality_score(),

@@ -58,8 +58,8 @@ HEADLINE = [
     "cosine_topk_ivf_multiprobe",
     # embedding_dup_pairs is gate-graded (exact all-pairs oracle at sf0.01)
     # but excluded here: at sf0.1 it is a deliberate O(n^2) exact baseline
-    # (2M pairs, ~28s) whose production form is the sign-bucket blocked
-    # variant; timing the oracle-baseline would misrepresent the engine.
+    # (2M pairs, ~28s). Its production form IS benchmarked:
+    "embedding_dup_pairs_blocked",
     "lang_id",
     "quality_score",
     "token_counts",

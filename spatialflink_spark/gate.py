@@ -319,3 +319,10 @@ def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_cosine_topk_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.cosine_topk_ivf_multiprobe(_emb(spark, sf_dir))
+
+
+def q_embedding_dup_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-form embedding dedup: sign-bucket blocked candidate
+    equi-join + exact cosine within blocks (embedding_dup_pairs is its
+    all-pairs recall oracle)."""
+    return sim_ops.embedding_dup_pairs_blocked(_emb(spark, sf_dir))

@@ -260,6 +260,39 @@ SELECT * FROM pairs WHERE cos_sim >= {threshold}
 """
 
 
+def embedding_dup_pairs_blocked(
+    threshold: float = 0.4, bits: int | None = None, hamming: int | None = None
+) -> str:
+    from spatialflink_spark.operators.similarity import (
+        DUP_BLOCK_BITS,
+        DUP_BLOCK_HAMMING,
+        _hamming_masks,
+    )
+
+    bits = DUP_BLOCK_BITS if bits is None else bits
+    hamming = DUP_BLOCK_HAMMING if hamming is None else hamming
+
+    bucket = " + ".join(
+        f"(CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(bits)
+    )
+    masks = ", ".join(str(m) for m in _hamming_masks(bits, hamming))
+    return f"""
+WITH b AS (SELECT vec_id, embedding, CAST({bucket} AS INT) AS bucket FROM embeddings),
+l AS (
+  SELECT vec_id AS left_vec, embedding AS l_emb,
+         CAST(xor(bucket, m.mask) AS INT) AS probe
+  FROM b CROSS JOIN (SELECT unnest([{masks}]) AS mask) m
+),
+pairs AS (
+  SELECT l.left_vec, r.vec_id AS right_vec,
+         {_duck_cos('l.l_emb', 'r.embedding')} AS cos_sim
+  FROM l JOIN b r ON l.probe = r.bucket AND l.left_vec < r.vec_id
+)
+SELECT * FROM pairs WHERE cos_sim >= {threshold}
+"""
+
+
 def cosine_topk_ivf_multiprobe(k: int = DEFAULT_K, bits: int = SIGN_BITS) -> str:
     bucket = " + ".join(
         f"(CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)"

@@ -92,3 +92,51 @@ def test_knn_pruned_equals_naive(spark):
     keys = ["ws", "q_id", "rank"]
     a, b = _pdf(pruned, keys), _pdf(naive, keys)
     assert a.equals(b[a.columns])
+
+
+def test_blocked_dup_pairs_contained_in_all_pairs(spark):
+    """embedding_dup_pairs_blocked ⊆ embedding_dup_pairs with identical
+    cos_sim per found pair, and recall >= 0.9 on the fixture's weak
+    (cos ~0.4-0.5) pairs at (bits=4, hamming=2)."""
+    from spatialflink_spark.operators.similarity import (
+        embedding_dup_pairs,
+        embedding_dup_pairs_blocked,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    allp = embedding_dup_pairs(emb).toPandas()
+    akeys = {(r.left_vec, r.right_vec): r.cos_sim for r in allp.itertuples()}
+    # default config (production regime): strict containment
+    blk_default = embedding_dup_pairs_blocked(emb).toPandas()
+    # recall-tuned config for the fixture's weak cos ~0.4 pairs
+    blk_wide = embedding_dup_pairs_blocked(emb, bits=4, hamming=2).toPandas()
+    for blk in (blk_default, blk_wide):
+        for r in blk.itertuples():
+            assert (r.left_vec, r.right_vec) in akeys, "blocked emitted a non-pair"
+            assert r.cos_sim == akeys[(r.left_vec, r.right_vec)], "cos_sim differs"
+    recall = len(blk_wide) / len(allp)
+    assert recall >= 0.9, f"recall {recall:.3f} below 0.9 ({len(blk_wide)}/{len(allp)})"
+
+
+def test_blocked_dup_pairs_full_recall_on_true_near_dups(spark):
+    """For TRUE near-duplicates (cos >= 0.99 — the production dedup regime)
+    sign buckets agree on ~every bit: hamming=1 probing finds every pair."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 16)).astype("float32")
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i * 2, (v / np.linalg.norm(v)).tolist()))
+        dup = v + rng.normal(scale=1e-3, size=16).astype("float32")  # near-dup twin
+        rows.append((i * 2 + 1, (dup / np.linalg.norm(dup)).tolist()))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+    from spatialflink_spark.operators.similarity import embedding_dup_pairs_blocked
+
+    found = embedding_dup_pairs_blocked(
+        emb, threshold=0.99, bits=8, hamming=1
+    ).toPandas()
+    expected = {(i * 2, i * 2 + 1) for i in range(40)}
+    got = {(r.left_vec, r.right_vec) for r in found.itertuples()}
+    assert expected <= got, f"missed {sorted(expected - got)[:5]}"
