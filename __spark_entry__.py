@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trajectory_tumbling": gate.q_trajectory_tumbling,
         "heatmap_sliding": gate.q_heatmap_sliding,
         "tstats_running": gate.q_tstats_running,
+        "tstats_windowed": gate.q_tstats_windowed,
         "events_sessionize": gate.q_events_sessionize,
         "events_sliding_stats": gate.q_events_sliding_stats,
         # training-data pipeline ops
@@ -88,6 +89,7 @@ def oracle_sql() -> dict[str, str]:
         "trajectory_tumbling": osql.trajectory_tumbling(),
         "heatmap_sliding": osql.heatmap_sliding(),
         "tstats_running": osql.tstats_running(),
+        "tstats_windowed": osql.tstats_windowed(),
         "events_sessionize": osql.events_sessionize(),
         "events_sliding_stats": osql.events_sliding_stats(),
         "dedup_exact": osqld.exact_dedup(),

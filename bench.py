@@ -31,6 +31,7 @@ HEADLINE = [
     "trajectory_tumbling",
     "heatmap_sliding",
     "tstats_running",
+    "tstats_windowed",
     "events_sessionize",
     "events_sliding_stats",
     # SNCB-analog app queries + intervals + skew/format paths

@@ -98,6 +98,14 @@ def q_tstats_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     return running_stats(sequences_cached(spark, sf_dir))
 
 
+def q_tstats_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TStats WB (window-based): per-(doc, tumbling window) hop stats with
+    the in-window OOO guard (tStats/TStatsQuery.java:148-189)."""
+    from spatialflink_spark.operators.stats import windowed_stats
+
+    return windowed_stats(_seq_t(spark, sf_dir))
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str, gap_s: int = 1800) -> DataFrame:
     e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         "user_id",

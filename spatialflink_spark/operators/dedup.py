@@ -171,33 +171,53 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.2) -> DataFrame:
-    """Inverted-index n-gram Jaccard: explode distinct shingle hashes,
-    equi-join on hash (candidate pruning), count common, exact Jaccard.
+# document-frequency cap for candidate-generating shingles: a shingle seen in
+# more than NGRAM_DF_CAP documents (stopword n-grams) is excluded from the
+# inverted index — its bucket would otherwise join quadratically. 64 is far
+# above the fixture's max DF (25 at sf0.1), so the cap never binds at test
+# scale; at corpus scale it bounds the largest join bucket to cap^2 pairs.
+NGRAM_DF_CAP = 64
 
-    At scale the explode output is partitioned by shingle hash; hot shingles
-    (stopword n-grams) are the skew risk — bound them by dropping shingles
-    with document frequency above a cap (not needed at test scale; the cap
-    would be one additional groupBy)."""
-    hs = with_shingle_hashes(docs).persist()  # feeds sizes + both join sides
-    sizes = hs.select("doc_id", F.expr("size(_hs)").alias("n_sh"))
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.2, df_cap: int | None = NGRAM_DF_CAP
+) -> DataFrame:
+    """Inverted-index n-gram Jaccard: explode distinct shingle hashes,
+    equi-join on hash (candidate pruning), exact Jaccard verification.
+
+    Skew bound: shingles with document frequency > df_cap are dropped from
+    CANDIDATE GENERATION only (the inverted index), capping every join
+    bucket at df_cap rows per side — the hot-stopword-shingle skew bomb at
+    corpus scale. Verification then computes the EXACT Jaccard over the FULL
+    shingle sets of each candidate pair (array_intersect/array_union), so
+    found pairs carry identical values to the uncapped op; only pairs
+    sharing nothing but hot shingles are missed (which at any sane cap means
+    jaccard << threshold anyway). Same role as the reference's grid-cell
+    candidate pruning + exact distance check (UniformGrid.java:368-395)."""
+    hs = with_shingle_hashes(docs).persist()  # feeds the index + verification
     ex = hs.select("doc_id", F.explode("_hs").alias("g"))
+    if df_cap is not None:
+        freq = ex.groupBy("g").agg(F.count(F.lit(1)).alias("_df"))
+        ex = ex.join(freq.where(F.col("_df") <= df_cap).select("g"), "g")
     l = ex.select(F.col("doc_id").alias("left_doc"), "g")
     r = ex.select(F.col("doc_id").alias("right_doc"), F.col("g").alias("g_r"))
-    common = (
+    cand = (
         l.join(r, (l.g == r.g_r) & (l.left_doc < r.right_doc))
-        .groupBy("left_doc", "right_doc")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .select("left_doc", "right_doc")
+        .dropDuplicates()
     )
+    lh = hs.select(F.col("doc_id").alias("left_doc"), F.col("_hs").alias("l_hs"))
+    rh = hs.select(F.col("doc_id").alias("right_doc"), F.col("_hs").alias("r_hs"))
     out = (
-        common.join(sizes.withColumnRenamed("doc_id", "left_doc").withColumnRenamed("n_sh", "n_l"), "left_doc")
-        .join(sizes.withColumnRenamed("doc_id", "right_doc").withColumnRenamed("n_sh", "n_r"), "right_doc")
+        cand.join(lh, "left_doc")
+        .join(rh, "right_doc")
         .select(
             "left_doc",
             "right_doc",
-            F.expr("round(cast(n_common as double) / (n_l + n_r - n_common), 6)").alias(
-                "jaccard"
-            ),
+            F.expr(
+                "round(cast(size(array_intersect(l_hs, r_hs)) as double) / "
+                "size(array_union(l_hs, r_hs)), 6)"
+            ).alias("jaccard"),
         )
     )
     return out.where(F.col("jaccard") >= threshold)

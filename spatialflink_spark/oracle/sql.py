@@ -215,6 +215,37 @@ FROM totals t JOIN per_doc p ON t.doc_id = p.doc_id
 """
 
 
+def tstats_windowed() -> str:
+    """TStats WB twin (operators/stats.windowed_stats) — the per-(doc, ws)
+    OOO guard and hop sums, state reset per window."""
+    return f"""{_prologue(tumbling=True)}
+, guard AS (
+  SELECT doc_id, ws, seq_no, n_tok, ts_s,
+         max(ts_s) OVER (PARTITION BY doc_id, ws ORDER BY seq_no
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM seq_t
+),
+accepted AS (
+  SELECT doc_id, ws, seq_no, n_tok, ts_s,
+         lag(ts_s) OVER (PARTITION BY doc_id, ws ORDER BY seq_no) AS p_ts,
+         lag(n_tok) OVER (PARTITION BY doc_id, ws ORDER BY seq_no) AS p_nt
+  FROM guard WHERE prev_max IS NULL OR ts_s > prev_max
+),
+per_win AS (
+  SELECT doc_id, ws, count(*) AS n_accepted,
+         CAST(coalesce(sum(abs(n_tok - p_nt)), 0) AS BIGINT) AS win_len,
+         CAST(coalesce(sum(ts_s - p_ts), 0) AS BIGINT) AS win_dt
+  FROM accepted GROUP BY doc_id, ws
+),
+totals AS (SELECT doc_id, ws, count(*) AS n_points FROM seq_t GROUP BY doc_id, ws)
+SELECT t.doc_id, t.ws, t.n_points, p.n_accepted, p.win_len, p.win_dt,
+       CASE WHEN p.win_dt > 0
+            THEN CAST(floor(1000 * p.win_len / p.win_dt) AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS rate_milli
+FROM totals t JOIN per_win p ON t.doc_id = p.doc_id AND t.ws = p.ws
+"""
+
+
 def events_sessionize(gap_s: int = 1800) -> str:
     return f"""
 WITH e AS (

@@ -106,24 +106,33 @@ SELECT doc_id, CAST({bit_terms} AS INT) AS simhash FROM t
 """
 
 
-def ngram_jaccard_pairs(threshold: float = 0.2) -> str:
+def ngram_jaccard_pairs(threshold: float = 0.2, df_cap: int | None = None) -> str:
+    from spatialflink_spark.operators.dedup import NGRAM_DF_CAP
+
+    df_cap = NGRAM_DF_CAP if df_cap is None else df_cap
     return f"""
 WITH hs AS (
   SELECT doc_id, {_duck_shingle_hashes()} AS _hs FROM documents
 ),
-sizes AS (SELECT doc_id, len(_hs) AS n_sh FROM hs),
-ex AS (SELECT doc_id, unnest(_hs) AS g FROM hs),
-common AS (
-  SELECT l.doc_id AS left_doc, r.doc_id AS right_doc, count(*) AS n_common
+ex_all AS (SELECT doc_id, unnest(_hs) AS g FROM hs),
+freq AS (SELECT g, count(*) AS _df FROM ex_all GROUP BY g),
+ex AS (
+  SELECT e.doc_id, e.g FROM ex_all e JOIN freq f ON e.g = f.g
+  WHERE f._df <= {df_cap}
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS left_doc, r.doc_id AS right_doc
   FROM ex l JOIN ex r ON l.g = r.g AND l.doc_id < r.doc_id
-  GROUP BY 1, 2
+),
+scored AS (
+  SELECT c.left_doc, c.right_doc,
+         round(cast(len(list_intersect(lh._hs, rh._hs)) as double) /
+               (len(lh._hs) + len(rh._hs) - len(list_intersect(lh._hs, rh._hs))), 6) AS jaccard
+  FROM cand c
+  JOIN hs lh ON lh.doc_id = c.left_doc
+  JOIN hs rh ON rh.doc_id = c.right_doc
 )
-SELECT c.left_doc, c.right_doc,
-       round(cast(c.n_common as double) / (sl.n_sh + sr.n_sh - c.n_common), 6) AS jaccard
-FROM common c
-JOIN sizes sl ON sl.doc_id = c.left_doc
-JOIN sizes sr ON sr.doc_id = c.right_doc
-WHERE round(cast(c.n_common as double) / (sl.n_sh + sr.n_sh - c.n_common), 6) >= {threshold}
+SELECT * FROM scored WHERE jaccard >= {threshold}
 """
 
 

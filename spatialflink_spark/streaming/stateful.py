@@ -10,9 +10,10 @@ The three reference operators that have NO declarative Spark equivalent
   idle-key eviction (tAggregate/TAggregateQuery.java:53-377; lazy delete at
   :367-376). The reference evicts on wall-clock; we use the deterministic
   event-time timeout (GroupStateTimeout) per SURVEY.md §4.
-- count_windows: per-key count windows (countWindow(size, slide),
-  PointTAggregateQuery.java:83-89) — no SS primitive exists, so the state
-  carries a per-key row counter defining window ids.
+- count_windows: per-key count windows, tumbling AND sliding
+  (countWindow(size[, slide]), PointTAggregateQuery.java:83-89) — no SS
+  primitive exists, so the state carries a per-key arrival counter plus a
+  ring buffer of the last `size` values.
 
 All three receive Arrow record batches per key group (vectorized transfer);
 the per-key python work is O(rows in batch) numpy/pandas ops, not per-row
@@ -154,39 +155,48 @@ def heatmap_stateful(
     )
 
 
-CW_STATE = "n_in_window long, win_id long, acc_sum long, acc_min long, acc_max long"
+CW_STATE = "cnt long, buf array<long>"
 CW_OUT = (
     "doc_id bigint, win_id bigint, n_rows bigint, sum_n_tok bigint, "
     "min_n_tok bigint, max_n_tok bigint"
 )
 
 
-def make_count_window_fn(size: int):
+def make_count_window_fn(size: int, slide: int):
+    """countWindow(size, slide) semantics (Flink CountTrigger + CountEvictor,
+    PointTAggregateQuery.java:83-89): the window FIRES every `slide` arrivals
+    and its contents are the LAST min(size, seen) elements — overlapping when
+    slide < size, tumbling when slide == size (first fire at cnt == slide,
+    so the tumbling case always has exactly `size` rows). State = arrival
+    counter + ring buffer of the last `size` values (bounded per key)."""
+
     def _fn(key, pdf_iter, state: GroupState):
         (doc_id,) = key
-        n, win_id, s, mn, mx = state.get if state.exists else (0, 0, 0, 2**62, -(2**62))
+        if state.exists:
+            cnt, buf = state.get
+            buf = list(buf)
+        else:
+            cnt, buf = 0, []
         out = []
         for pdf in pdf_iter:
             pdf = pdf.sort_values(["seq_no"])
             for nt in pdf["n_tok"].to_numpy():
-                nt = int(nt)
-                n += 1
-                s += nt
-                mn = min(mn, nt)
-                mx = max(mx, nt)
-                if n == size:  # window fires
+                cnt += 1
+                buf.append(int(nt))
+                if len(buf) > size:
+                    buf.pop(0)
+                if cnt % slide == 0:  # window fires
                     out.append(
                         {
                             "doc_id": doc_id,
-                            "win_id": win_id,
-                            "n_rows": n,
-                            "sum_n_tok": s,
-                            "min_n_tok": mn,
-                            "max_n_tok": mx,
+                            "win_id": cnt // slide - 1,
+                            "n_rows": len(buf),
+                            "sum_n_tok": sum(buf),
+                            "min_n_tok": min(buf),
+                            "max_n_tok": max(buf),
                         }
                     )
-                    n, win_id, s, mn, mx = 0, win_id + 1, 0, 2**62, -(2**62)
-        state.update((n, win_id, s, mn, mx))
+        state.update((cnt, buf))
         yield pd.DataFrame(out, columns=[
             "doc_id", "win_id", "n_rows", "sum_n_tok", "min_n_tok", "max_n_tok"
         ])
@@ -194,10 +204,10 @@ def make_count_window_fn(size: int):
     return _fn
 
 
-def count_windows(stream: DataFrame, size: int) -> DataFrame:
-    """Per-key tumbling COUNT windows (countWindow(size),
-    PointTAggregateQuery.java:83-89): emit one aggregate row per key each
-    time `size` rows have arrived."""
+def count_windows(stream: DataFrame, size: int, slide: int | None = None) -> DataFrame:
+    """Per-key COUNT windows (countWindow(size[, slide]),
+    PointTAggregateQuery.java:83-89): emit one aggregate row per key every
+    `slide` arrivals over the last `size` rows; tumbling when slide omitted."""
     from spatialflink_spark.session import ensure_pyfiles
 
     ensure_pyfiles(stream.sparkSession)
@@ -205,7 +215,7 @@ def count_windows(stream: DataFrame, size: int) -> DataFrame:
         stream.select("doc_id", "seq_no", "n_tok")
         .groupBy("doc_id")
         .applyInPandasWithState(
-            make_count_window_fn(size),
+            make_count_window_fn(size, size if slide is None else slide),
             outputStructType=CW_OUT,
             stateStructType=CW_STATE,
             outputMode="append",

@@ -41,3 +41,46 @@ def test_salted_repartition_bounds_hot_keys(spark):
     assert max_salted <= total / 2
     # and no rows lost
     assert salted.count() == total
+
+
+def test_ngram_df_cap_bounds_hot_shingle_buckets(spark):
+    """Hot-shingle skew bound: with a corpus where one stopword shingle
+    appears in EVERY document, the uncapped inverted index would join that
+    bucket quadratically (n^2/2 candidate pairs). The DF cap removes it from
+    candidate generation, bounding every join bucket at <= cap rows/side,
+    while pairs that also share rare shingles keep their EXACT jaccard."""
+    from spatialflink_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        with_shingle_hashes,
+    )
+
+    n_docs = 60
+    # every doc: the same hot prefix (shared 3-shingles) + a distinctive
+    # tail; consecutive pairs (2i, 2i+1) also share a rare middle phrase
+    rows = []
+    for i in range(n_docs):
+        pair_phrase = f"rare phrase number {i // 2} marker"
+        rows.append((i, f"the quick brown fox {pair_phrase} tail{i} end{i} z{i}"))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    # cap=8: the 'the quick brown'/'quick brown fox' shingles (DF=60) and the
+    # pair phrases' boundary shingles stay iff DF <= 8
+    capped = ngram_jaccard_pairs(docs, threshold=0.1, df_cap=8).toPandas()
+    uncapped = ngram_jaccard_pairs(docs, threshold=0.1, df_cap=None).toPandas()
+
+    # every planted consecutive pair shares >= 3 rare shingles -> found, with
+    # jaccard identical to the uncapped op (verification uses full sets)
+    cap_pairs = {(r.left_doc, r.right_doc): r.jaccard for r in capped.itertuples()}
+    unc_pairs = {(r.left_doc, r.right_doc): r.jaccard for r in uncapped.itertuples()}
+    for i in range(0, n_docs, 2):
+        assert (i, i + 1) in cap_pairs, f"planted pair ({i},{i+1}) missed"
+        assert cap_pairs[(i, i + 1)] == unc_pairs[(i, i + 1)], "jaccard drifted"
+    # and the capped candidate index has NO bucket above the cap
+    from pyspark.sql import functions as F
+
+    ex = with_shingle_hashes(docs).select("doc_id", F.explode("_hs").alias("g"))
+    freq = ex.groupBy("g").count()
+    kept = freq.where(F.col("count") <= 8)
+    assert kept.agg(F.max("count")).first()[0] <= 8
+    # uncapped max bucket is the full corpus — the quadratic bomb the cap defuses
+    assert freq.agg(F.max("count")).first()[0] == n_docs

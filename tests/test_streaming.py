@@ -209,6 +209,46 @@ def test_count_windows(spark, replay_dir, tmp_path):
     assert (got["n_rows"] == 2).all()
 
 
+def test_sliding_count_windows(spark, replay_dir, tmp_path):
+    """countWindow(size=2, slide=1): fires on EVERY arrival over the last
+    <=2 rows — exact batch oracle replayed per doc in seq_no order (per-doc
+    arrival order is deterministic: ts = base + seq_no*11)."""
+    stream = read_sequences_stream(spark, replay_dir, C.allowed_lateness_s)
+    res = count_windows(stream, size=2, slide=1)
+    sink = ExactlyOnceSink(str(tmp_path / "out"), key_cols=("doc_id", "win_id"))
+    run_available_now(res, sink.foreach_batch(), str(tmp_path / "ckpt"))
+    got = (
+        sink.read_committed(spark)
+        .toPandas()
+        .sort_values(["doc_id", "win_id"])
+        .reset_index(drop=True)
+    )
+    seq = sequences(spark, SF_SMALL).toPandas().sort_values(["doc_id", "seq_no"])
+    exp_rows = []
+    for doc_id, g in seq.groupby("doc_id"):
+        vals = g["n_tok"].tolist()
+        for i in range(1, len(vals) + 1):  # slide=1 -> fire on every arrival
+            win = vals[max(0, i - 2) : i]  # last <= size rows
+            exp_rows.append(
+                {
+                    "doc_id": doc_id,
+                    "win_id": i - 1,
+                    "n_rows": len(win),
+                    "sum_n_tok": sum(win),
+                    "min_n_tok": min(win),
+                    "max_n_tok": max(win),
+                }
+            )
+    exp = (
+        pd.DataFrame(exp_rows)
+        .sort_values(["doc_id", "win_id"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    for c in ["doc_id", "win_id", "n_rows", "sum_n_tok", "min_n_tok", "max_n_tok"]:
+        assert (got[c].values == exp[c].values).all(), c
+
+
 def test_session_windows_stream(spark, replay_dir, tmp_path):
     stream = read_sequences_stream(spark, replay_dir, C.allowed_lateness_s)
     res = stream_session_stats(stream, C)
