@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trajectory_restricted": gate.q_trajectory_restricted,
         "fence_speed_alert": gate.q_fence_speed_alert,
         "exclude_cells": gate.q_exclude_cells,
+        "include_cells": gate.q_include_cells,
         "staytime_cells": gate.q_staytime_cells,
         "tknn_trajectories": gate.q_tknn_trajectories,
         "trange_trajectories": gate.q_trange_trajectories,
@@ -74,6 +75,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # interval (polygon-analog) type combinations
         "interval_containment_join": gate.q_interval_containment_join,
         "interval_range_count": gate.q_interval_range_count,
+        "interval_knn": gate.q_interval_knn,
         "knn_unbounded": gate.q_knn_unbounded,
     }
 
@@ -110,6 +112,7 @@ def oracle_sql() -> dict[str, str]:
         "trajectory_restricted": osqla.trajectory_restricted(),
         "fence_speed_alert": osqla.fence_speed_alert(),
         "exclude_cells": osqla.exclude_cells(),
+        "include_cells": osqla.include_cells(),
         "staytime_cells": osqla.staytime_cells(),
         "tknn_trajectories": osqla.tknn_trajectories(),
         "trange_trajectories": osqla.trange_trajectories(),
@@ -119,5 +122,6 @@ def oracle_sql() -> dict[str, str]:
         "stream_range_e2e": osqla.stream_range_e2e(),
         "interval_containment_join": osqla.interval_containment_join(),
         "interval_range_count": osqla.interval_range_count(),
+        "interval_knn": osqla.interval_knn(),
         "knn_unbounded": osqla.knn_unbounded(),
     }

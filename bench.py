@@ -39,6 +39,7 @@ HEADLINE = [
     "trajectory_restricted",
     "fence_speed_alert",
     "exclude_cells",
+    "include_cells",
     "staytime_cells",
     "tknn_trajectories",
     "trange_trajectories",
@@ -47,6 +48,7 @@ HEADLINE = [
     "events_json_props",
     "interval_containment_join",
     "interval_range_count",
+    "interval_knn",
     # end-to-end Structured Streaming path (stage->watermark->sink)
     "stream_range_e2e",
     # training-data ops

@@ -221,6 +221,10 @@ def q_exclude_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return app_ops.exclude_cells(sequences_cached(spark, sf_dir), C.grid)
 
 
+def q_include_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return app_ops.include_cells(sequences_cached(spark, sf_dir), C.grid)
+
+
 def q_staytime_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return app_ops.staytime_cells(_seq_t(spark, sf_dir), C.grid)
 
@@ -312,6 +316,11 @@ def q_interval_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_interval_range_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return iv_ops.interval_range_count(_seq_t(spark, sf_dir), q_n_tok=48)
+
+
+def q_interval_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-Polygon kNN type combo over the interval stream."""
+    return iv_ops.interval_knn(_seq_t(spark, sf_dir), C.grid, DEFAULT_QUERY_POINTS)
 
 
 def q_knn_unbounded(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -95,6 +95,20 @@ def exclude_cells(seq: DataFrame, grid: GridConfig) -> DataFrame:
     )
 
 
+def include_cells(seq: DataFrame, grid: GridConfig) -> DataFrame:
+    """PolygonProximityFn INCLUDE filter (sncb/ops/PolygonProximityFn.java:
+    12-33): broadcast SEMI-join keeping only rows whose cell intersects the
+    proximity set — the mirror of exclude_cells' anti-join; same per-source
+    survivor-count output shape."""
+    spark = seq.sparkSession
+    included = spark.createDataFrame([(c,) for c in FENCE_CELLS], "cell int")
+    kept = with_cell(seq, grid).join(F.broadcast(included), "cell", "left_semi")
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(F.col("n_tok").cast("bigint")).alias("sum_n_tok"),
+    )
+
+
 def staytime_cells(seq_t: DataFrame, grid: GridConfig) -> DataFrame:
     """StayTime: stage 1 per (doc, cell, window) stay = maxTs - minTs;
     stage 2 per (cell, window) totals. Two chained aggs sharing the shuffle

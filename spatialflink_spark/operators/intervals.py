@@ -88,6 +88,61 @@ def interval_containment_join(seq_ws: DataFrame, grid: GridConfig) -> DataFrame:
     )
 
 
+def interval_knn(seq_ws: DataFrame, grid: GridConfig, qs) -> DataFrame:
+    """Point-query kNN over the INTERVAL stream — the Point-Polygon kNN type
+    combo (knn/PointPolygonKNNQuery.java): top-k intervals per (window,
+    query) by the 1-D point-to-bbox distance max(0, lo - q, q - hi)
+    (DistanceFunctions.java:150-200 getPointPolygonBBoxMinEuclideanDistance).
+
+    Same two-stage shape as knn.knn_windowed: radius-bounded candidates via
+    the replicated covered-cell broadcast equi-join (guaranteed-cell bypass
+    is sound for extended objects: an interval overlapping a guaranteed cell
+    contains a point within the radius, so its bbox distance <= radius),
+    per-cell partial top-k after per-interval dedup-keep-min, bounded global
+    merge. Output: ws, q_id, rank, iv_id, iv_seq, dist."""
+    from pyspark.sql.window import Window
+
+    from spatialflink_spark.operators.range_query import query_cells_df
+
+    spark = seq_ws.sparkSession
+    qcells = query_cells_df(spark, grid, qs)
+    iv = _replicate_intervals(interval_stream(seq_ws), grid)
+    dist = F.expr("greatest(0, lo - q_n_tok, q_n_tok - hi)")
+    cand = (
+        iv.join(F.broadcast(qcells), "cell")
+        .withColumn("dist", dist)
+        .where(F.col("guaranteed") | (F.col("dist") <= F.col("radius")))
+    )
+    # stage 1: per-cell dedup-keep-min per interval object, cut to k per cell
+    cell_iv_min = cand.groupBy("ws", "q_id", "k", "cell", "iv_id").agg(
+        F.min(F.struct("dist", "iv_seq")).alias("_m")
+    )
+    w_cell = Window.partitionBy("ws", "q_id", "cell").orderBy(
+        F.col("_m.dist"), F.col("iv_id")
+    )
+    partial = (
+        cell_iv_min.withColumn("_r", F.row_number().over(w_cell))
+        .where(F.col("_r") <= F.col("k"))
+        .drop("_r")
+    )
+    # stage 2: bounded global merge (<= cells*k rows per (ws, q_id))
+    per_iv = partial.groupBy("ws", "q_id", "k", "iv_id").agg(
+        F.min("_m").alias("_m2")
+    )
+    w_final = Window.partitionBy("ws", "q_id").orderBy(
+        F.col("_m2.dist"), F.col("iv_id")
+    )
+    return (
+        per_iv.withColumn("rank", F.row_number().over(w_final).cast("int"))
+        .where(F.col("rank") <= F.col("k"))
+        .select(
+            "ws", "q_id", "rank", "iv_id",
+            F.col("_m2.iv_seq").alias("iv_seq"),
+            F.col("_m2.dist").alias("dist"),
+        )
+    )
+
+
 def interval_range_count(seq_ws: DataFrame, q_n_tok: int) -> DataFrame:
     """Windowed range over the INTERVAL stream: per window, how many
     intervals contain the query point (1-D bbox distance == 0) — the

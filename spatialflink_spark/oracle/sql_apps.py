@@ -82,6 +82,16 @@ GROUP BY source
 """
 
 
+def include_cells() -> str:
+    return f"""{_prologue()}
+SELECT source, count(*) AS n_kept,
+       CAST(sum(n_tok) AS BIGINT) AS sum_n_tok
+FROM sequences
+WHERE {_CELL} IN ({_FENCE})
+GROUP BY source
+"""
+
+
 def staytime_cells() -> str:
     return f"""{_prologue(tumbling=True)}
 , per_doc AS (
@@ -249,6 +259,33 @@ SELECT ws,
          AS n_containing,
        count(*) AS n_intervals
 FROM iv GROUP BY ws
+"""
+
+
+def interval_knn() -> str:
+    """Point-Polygon kNN twin (operators/intervals.interval_knn): 1-D
+    point-to-bbox distance, per-interval dedup-keep-min, rank cut to k."""
+    return f"""{_prologue(tumbling=True)}
+, {_iv_cte()},
+cand AS (
+  SELECT i.ws, q.q_id, q.k, i.iv_id, i.iv_seq,
+         greatest(0, i.lo - q.q_n_tok, q.q_n_tok - i.hi) AS dist
+  FROM iv i
+  JOIN {qpoints_values()}
+    ON greatest(0, i.lo - q.q_n_tok, q.q_n_tok - i.hi) <= q.radius
+),
+per_iv AS (
+  SELECT ws, q_id, k, iv_id, iv_seq, dist,
+         row_number() OVER (PARTITION BY ws, q_id, iv_id ORDER BY dist, iv_seq) AS rd
+  FROM cand
+),
+ranked AS (
+  SELECT ws, q_id, k, iv_id, iv_seq, dist,
+         row_number() OVER (PARTITION BY ws, q_id ORDER BY dist, iv_id) AS rank
+  FROM per_iv WHERE rd = 1
+)
+SELECT ws, q_id, CAST(rank AS INT) AS rank, iv_id, iv_seq, dist
+FROM ranked WHERE rank <= k
 """
 
 
