@@ -64,6 +64,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exclude_cells": gate.q_exclude_cells,
         "include_cells": gate.q_include_cells,
         "staytime_cells": gate.q_staytime_cells,
+        "checkin_fill": gate.q_checkin_fill,
+        "checkin_occupancy": gate.q_checkin_occupancy,
         "tknn_trajectories": gate.q_tknn_trajectories,
         "trange_trajectories": gate.q_trange_trajectories,
         "join_two_streams": gate.q_join_two_streams,
@@ -114,6 +116,8 @@ def oracle_sql() -> dict[str, str]:
         "exclude_cells": osqla.exclude_cells(),
         "include_cells": osqla.include_cells(),
         "staytime_cells": osqla.staytime_cells(),
+        "checkin_fill": osqla.checkin_fill(),
+        "checkin_occupancy": osqla.checkin_occupancy(),
         "tknn_trajectories": osqla.tknn_trajectories(),
         "trange_trajectories": osqla.trange_trajectories(),
         "join_two_streams": osqla.join_two_streams(),

@@ -41,6 +41,8 @@ HEADLINE = [
     "exclude_cells",
     "include_cells",
     "staytime_cells",
+    "checkin_fill",
+    "checkin_occupancy",
     "tknn_trajectories",
     "trange_trajectories",
     "join_two_streams",

@@ -225,6 +225,16 @@ def q_include_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return app_ops.include_cells(sequences_cached(spark, sf_dir), C.grid)
 
 
+def q_checkin_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CheckIn missing-value insertion (apps/CheckIn.java:251-318)."""
+    return app_ops.checkin_fill(sequences_cached(spark, sf_dir))
+
+
+def q_checkin_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CheckIn occupancy over the gap-filled stream (CheckIn.java:320-345)."""
+    return app_ops.checkin_occupancy(sequences_cached(spark, sf_dir))
+
+
 def q_staytime_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return app_ops.staytime_cells(_seq_t(spark, sf_dir), C.grid)
 

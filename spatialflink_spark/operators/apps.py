@@ -123,6 +123,70 @@ def staytime_cells(seq_t: DataFrame, grid: GridConfig) -> DataFrame:
     )
 
 
+# CheckIn analog: each sequence row is an in/out gate event (deterministic
+# direction from n_tok parity — the deviceID "-in"/"-out" suffix analog)
+CHECKIN_GATE_EXPR = "CASE WHEN n_tok % 2 = 0 THEN 'in' ELSE 'out' END"
+
+
+def checkin_fill(seq: DataFrame) -> DataFrame:
+    """CheckIn missing-value insertion (apps/CheckIn.java:251-318,
+    ProcessWinForInsertingMissingValues over countWindow(2,1)): when two
+    CONSECUTIVE events of one user share a direction (in,in or out,out), the
+    sensor missed the opposite crossing — synthesize it at the midpoint
+    timestamp with the flipped direction.
+
+    The reference's per-user countWindow(2,1) sees each consecutive pair
+    once; declaratively that pair enumeration is lag() over
+    (PARTITION BY user ORDER BY ts) — a single window pass, then a union of
+    originals and synthesized rows. Output: doc_id, ts_s, gate, inserted."""
+    base = seq.select(
+        "doc_id", "ts_s", "seq_no", F.expr(CHECKIN_GATE_EXPR).alias("gate")
+    )
+    w = "OVER (PARTITION BY doc_id ORDER BY ts_s, seq_no)"
+    with_prev = base.select(
+        "doc_id",
+        "ts_s",
+        "gate",
+        F.expr(f"lag(gate) {w}").alias("_pg"),
+        F.expr(f"lag(ts_s) {w}").alias("_pts"),
+    )
+    inserted = with_prev.where("_pg IS NOT NULL AND _pg = gate").select(
+        "doc_id",
+        # floor() before the bigint cast: Spark truncates, DuckDB rounds
+        F.expr("cast(floor((_pts + ts_s) / 2) as bigint)").alias("ts_s"),
+        F.expr("CASE WHEN gate = 'in' THEN 'out' ELSE 'in' END").alias("gate"),
+        F.lit(True).alias("inserted"),
+    )
+    originals = base.select("doc_id", "ts_s", "gate", F.lit(False).alias("inserted"))
+    return originals.unionByName(inserted)
+
+
+def checkin_occupancy(seq: DataFrame) -> DataFrame:
+    """CheckIn occupancy counts over the gap-filled stream
+    (ProcessForCountingObjects, apps/CheckIn.java:320-345): after insertion
+    every user alternates in/out, so room occupancy = #in - #out. Emitted
+    per tumbling window over the filled stream: ws, n_in, n_out, occupancy
+    (cumulative over windows in event-time order)."""
+    from spatialflink_spark.config import DEFAULT_CONFIG as C
+
+    filled = checkin_fill(seq)
+    per_ws = filled.withColumn(
+        "ws", F.expr(f"cast(floor(ts_s / {C.tumbling_s}) * {C.tumbling_s} as bigint)")
+    ).groupBy("ws").agg(
+        F.sum(F.expr("CASE WHEN gate = 'in' THEN 1 ELSE 0 END")).cast("bigint").alias("n_in"),
+        F.sum(F.expr("CASE WHEN gate = 'out' THEN 1 ELSE 0 END")).cast("bigint").alias("n_out"),
+    )
+    return per_ws.select(
+        "ws",
+        "n_in",
+        "n_out",
+        F.expr(
+            "cast(sum(n_in - n_out) OVER (ORDER BY ws "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint)"
+        ).alias("occupancy"),
+    )
+
+
 def tknn_trajectories(
     seq_ws: DataFrame, grid: GridConfig, qs: Iterable[QueryPoint]
 ) -> DataFrame:

@@ -262,6 +262,53 @@ FROM iv GROUP BY ws
 """
 
 
+_CHECKIN_GATE = "CASE WHEN n_tok % 2 = 0 THEN 'in' ELSE 'out' END"
+
+
+def _checkin_fill_ctes() -> str:
+    return f"""
+base AS (
+  SELECT doc_id, ts_s, seq_no, {_CHECKIN_GATE} AS gate FROM sequences
+),
+with_prev AS (
+  SELECT doc_id, ts_s, gate,
+         lag(gate) OVER w AS _pg, lag(ts_s) OVER w AS _pts
+  FROM base WINDOW w AS (PARTITION BY doc_id ORDER BY ts_s, seq_no)
+),
+filled AS (
+  SELECT doc_id, ts_s, gate, FALSE AS inserted FROM base
+  UNION ALL
+  SELECT doc_id,
+         CAST(floor((_pts + ts_s) / 2) AS BIGINT) AS ts_s,
+         CASE WHEN gate = 'in' THEN 'out' ELSE 'in' END AS gate,
+         TRUE AS inserted
+  FROM with_prev WHERE _pg IS NOT NULL AND _pg = gate
+)"""
+
+
+def checkin_fill() -> str:
+    return f"""{_prologue()}
+, {_checkin_fill_ctes()}
+SELECT doc_id, ts_s, gate, inserted FROM filled
+"""
+
+
+def checkin_occupancy() -> str:
+    return f"""{_prologue()}
+, {_checkin_fill_ctes()},
+per_ws AS (
+  SELECT CAST(floor(ts_s / {C.tumbling_s}) * {C.tumbling_s} AS BIGINT) AS ws,
+         CAST(sum(CASE WHEN gate = 'in' THEN 1 ELSE 0 END) AS BIGINT) AS n_in,
+         CAST(sum(CASE WHEN gate = 'out' THEN 1 ELSE 0 END) AS BIGINT) AS n_out
+  FROM filled GROUP BY 1
+)
+SELECT ws, n_in, n_out,
+       CAST(sum(n_in - n_out) OVER (ORDER BY ws
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS occupancy
+FROM per_ws
+"""
+
+
 def interval_knn() -> str:
     """Point-Polygon kNN twin (operators/intervals.interval_knn): 1-D
     point-to-bbox distance, per-interval dedup-keep-min, rank cut to k."""

@@ -48,3 +48,22 @@ def parse_json_lines(lines: DataFrame, col: str = "value") -> DataFrame:
 def json_field(col: str, path: str) -> Column:
     """get_json_object shortcut for semi-structured columns (events.props)."""
     return F.get_json_object(F.col(col), f"$.{path}")
+
+
+def serialize_json(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Output serialization surface — the analog of the reference's 12
+    Serialization.*OutputSchema classes (spatialStreams/Serialization.java:
+    17-774, each hand-writing one POJO -> JSON mapping): to_json(struct(...))
+    generates the serializer for ANY result schema, batch or streaming.
+    Returns a single-column `value: string` relation, ready for a Kafka/text
+    sink."""
+    cols = cols if cols is not None else df.columns
+    return df.select(F.to_json(F.struct(*cols)).alias("value"))
+
+
+def parse_typed_json_lines(lines: DataFrame, schema: str, col: str = "value") -> DataFrame:
+    """Generic inverse of serialize_json: JSON lines -> typed columns via an
+    explicit DDL schema (malformed rows become all-null structs, dropped by
+    the caller's notNull filters as in parse_json_lines)."""
+    parsed = lines.select(F.from_json(F.col(col), schema).alias("r"))
+    return parsed.select("r.*")

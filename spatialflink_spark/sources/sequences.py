@@ -37,14 +37,11 @@ def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
-def sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch derivation of the canonical sequences table.
-
-    Entirely built-in column expressions — the whole derivation compiles into
-    one WholeStageCodegen stage over the parquet scan (only doc_id, text,
-    source are read: column pruning reaches the scan).
-    """
-    d = load_documents(spark, sf_dir).select("doc_id", "text", "source")
+def derive_sequences(docs: DataFrame) -> DataFrame:
+    """Sequence derivation over any raw-doc relation (doc_id, text, source) —
+    batch parquet scan or a streaming source (Kafka/socket/file): the
+    expressions are plain Catalyst columns, valid on both."""
+    d = docs.select("doc_id", "text", "source")
     base = d.select(
         "doc_id",
         "source",
@@ -68,6 +65,16 @@ def sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"cast({EPOCH0} + (doc_id*7) % {TS_SPREAD_S} + seq_no*11 as bigint)"
         ).alias("ts_s"),
     )
+
+
+def sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch derivation of the canonical sequences table.
+
+    Entirely built-in column expressions — the whole derivation compiles into
+    one WholeStageCodegen stage over the parquet scan (only doc_id, text,
+    source are read: column pruning reaches the scan).
+    """
+    return derive_sequences(load_documents(spark, sf_dir))
 
 
 def duck_sequences_cte(table: str = "documents") -> str:

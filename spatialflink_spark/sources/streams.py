@@ -90,6 +90,45 @@ def stage_replay_files(
         seq.unpersist()
 
 
+def read_kafka_raw_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    lateness_s: int = 2,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """Kafka JSON ingest — the reference's primary source (StreamingJob.java:
+    255, JSONKeyValueDeserializationSchema): format("kafka") -> cast value to
+    string -> from_json into the canonical raw-doc schema -> watermark.
+    Compose with sources.sequences.derive_sequences for the sequence stream.
+
+    Requires the spark-sql-kafka connector jar on the classpath (the pip
+    pyspark distribution doesn't ship it); without it this raises a clear
+    RuntimeError instead of an opaque AnalysisException — the wiring itself
+    is exactly what runs against a real broker."""
+    from spatialflink_spark.sources.formats import parse_json_lines
+
+    try:
+        raw = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("subscribe", topic)
+            .option("startingOffsets", starting_offsets)
+            .load()
+        )
+    except Exception as e:  # AnalysisException: Failed to find data source
+        raise RuntimeError(
+            "Kafka source unavailable: add the spark-sql-kafka-0-10 connector "
+            "(spark-submit --packages org.apache.spark:spark-sql-kafka-0-10_2.13:"
+            f"{spark.version}). Original error: {str(e)[:200]}"
+        ) from e
+    lines = raw.selectExpr("cast(value as string) as value")
+    parsed = parse_json_lines(lines)
+    return parsed.withColumn(
+        "event_ts", F.expr("timestamp_seconds(ts_s)")
+    ).withWatermark("event_ts", f"{lateness_s} seconds")
+
+
 def read_sequences_stream(
     spark: SparkSession,
     replay_dir: str,

@@ -86,3 +86,39 @@ def test_socket_source_stream(spark, tmp_path):
     assert len(out) == 20
     assert {r.source for r in out} == {"src0", "src1"}
     assert sorted(r.doc_id for r in out) == list(range(20))
+
+
+def test_kafka_source_gated_clearly(spark):
+    """The Kafka wiring is complete but the connector jar isn't in this
+    container — the reader must fail with actionable guidance, not an opaque
+    AnalysisException."""
+    import pytest as _pytest
+
+    from spatialflink_spark.sources.streams import read_kafka_raw_stream
+
+    with _pytest.raises(RuntimeError, match="Kafka source unavailable"):
+        read_kafka_raw_stream(spark, "localhost:9092", "docs")
+
+
+def test_json_serialize_roundtrip(spark):
+    """serialize_json (Serialization.*OutputSchema analog) inverts through
+    parse_typed_json_lines losslessly, arrays included."""
+    from spatialflink_spark.sources.formats import (
+        parse_typed_json_lines,
+        serialize_json,
+    )
+    from spatialflink_spark.sources.sequences import sequences
+    from spatialflink_spark.sources.streams import SEQ_STREAM_SCHEMA
+    from tests.conftest import SF_SMALL
+
+    seq = sequences(spark, SF_SMALL)
+    back = parse_typed_json_lines(serialize_json(seq), SEQ_STREAM_SCHEMA)
+    a = seq.toPandas().sort_values(["doc_id", "seq_no"]).reset_index(drop=True)
+    b = back.toPandas().sort_values(["doc_id", "seq_no"]).reset_index(drop=True)
+    assert list(a.columns) == list(b.columns)
+    for c in a.columns:
+        av, bv = a[c].tolist(), b[c].tolist()
+        assert all(
+            (list(x) == list(y)) if isinstance(x, (list, tuple)) or hasattr(x, "__len__") and not isinstance(x, str) else x == y
+            for x, y in zip(av, bv)
+        ), c
