@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": gate.q_dedup_exact,
         "dedup_minhash_lsh": gate.q_dedup_minhash_lsh,
         "simhash": gate.q_simhash,
+        "simhash_dup_pairs": gate.q_simhash_dup_pairs,
         "dedup_ngram_jaccard": gate.q_dedup_ngram_jaccard,
         "cosine_topk": gate.q_cosine_topk,
         "cosine_topk_ivf": gate.q_cosine_topk_ivf,
@@ -64,6 +65,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exclude_cells": gate.q_exclude_cells,
         "include_cells": gate.q_include_cells,
         "staytime_cells": gate.q_staytime_cells,
+        "staytime_normalized": gate.q_staytime_normalized,
         "checkin_fill": gate.q_checkin_fill,
         "checkin_occupancy": gate.q_checkin_occupancy,
         "tknn_trajectories": gate.q_tknn_trajectories,
@@ -77,6 +79,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # interval (polygon-analog) type combinations
         "interval_containment_join": gate.q_interval_containment_join,
         "interval_range_count": gate.q_interval_range_count,
+        "interval_interval_join": gate.q_interval_interval_join,
         "interval_knn": gate.q_interval_knn,
         "knn_unbounded": gate.q_knn_unbounded,
     }
@@ -99,6 +102,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": osqld.exact_dedup(),
         "dedup_minhash_lsh": osqld.minhash_lsh_pairs(),
         "simhash": osqld.simhash(),
+        "simhash_dup_pairs": osqld.simhash_dup_pairs(),
         "dedup_ngram_jaccard": osqld.ngram_jaccard_pairs(),
         "cosine_topk": osqld.cosine_topk(),
         "cosine_topk_ivf": osqld.cosine_topk_ivf(),
@@ -116,6 +120,7 @@ def oracle_sql() -> dict[str, str]:
         "exclude_cells": osqla.exclude_cells(),
         "include_cells": osqla.include_cells(),
         "staytime_cells": osqla.staytime_cells(),
+        "staytime_normalized": osqla.staytime_normalized(),
         "checkin_fill": osqla.checkin_fill(),
         "checkin_occupancy": osqla.checkin_occupancy(),
         "tknn_trajectories": osqla.tknn_trajectories(),
@@ -126,6 +131,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_range_e2e": osqla.stream_range_e2e(),
         "interval_containment_join": osqla.interval_containment_join(),
         "interval_range_count": osqla.interval_range_count(),
+        "interval_interval_join": osqla.interval_interval_join(),
         "interval_knn": osqla.interval_knn(),
         "knn_unbounded": osqla.knn_unbounded(),
     }

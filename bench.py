@@ -41,6 +41,7 @@ HEADLINE = [
     "exclude_cells",
     "include_cells",
     "staytime_cells",
+    "staytime_normalized",
     "checkin_fill",
     "checkin_occupancy",
     "tknn_trajectories",
@@ -50,6 +51,7 @@ HEADLINE = [
     "events_json_props",
     "interval_containment_join",
     "interval_range_count",
+    "interval_interval_join",
     "interval_knn",
     # end-to-end Structured Streaming path (stage->watermark->sink)
     "stream_range_e2e",
@@ -57,6 +59,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "simhash",
+    "simhash_dup_pairs",
     "dedup_ngram_jaccard",
     "cosine_topk",
     "cosine_topk_ivf",

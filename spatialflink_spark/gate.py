@@ -166,6 +166,11 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.simhash(_docs(spark, sf_dir))
 
 
+def q_simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked SimHash near-dup pairs (banded equi-join + exact Hamming)."""
+    return dedup_ops.simhash_dup_pairs(_docs(spark, sf_dir))
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.ngram_jaccard_pairs(_docs(spark, sf_dir))
 
@@ -237,6 +242,12 @@ def q_checkin_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_staytime_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return app_ops.staytime_cells(_seq_t(spark, sf_dir), C.grid)
+
+
+def q_staytime_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """normalizedCellStayTime — join of two per-(cell, window) agg streams
+    (StayTime.java:113-202)."""
+    return app_ops.staytime_normalized(_seq_t(spark, sf_dir), C.grid)
 
 
 def q_tknn_trajectories(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -326,6 +337,11 @@ def q_interval_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_interval_range_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return iv_ops.interval_range_count(_seq_t(spark, sf_dir), q_n_tok=48)
+
+
+def q_interval_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon-Polygon windowed join type combo over the interval stream."""
+    return iv_ops.interval_interval_join(_seq_t(spark, sf_dir), C.grid, C.join_radius)
 
 
 def q_interval_knn(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -123,6 +123,50 @@ def staytime_cells(seq_t: DataFrame, grid: GridConfig) -> DataFrame:
     )
 
 
+def staytime_normalized(seq_t: DataFrame, grid: GridConfig) -> DataFrame:
+    """normalizedCellStayTime — the JOIN-of-two-aggregated-streams StayTime
+    variant (apps/StayTime.java:113-151): stream A = per-(cell, window) total
+    stay time (CellStayTime); stream B = per-(cell, window) count of DISTINCT
+    sensor timestamps whose range intersects the cell
+    (CellSensorRangeIntersection, StayTime.java:398-428, keyed on the
+    replicated covered-cell set); windowed equi-join on the cell, normalized
+    stay = stay / intersection_count * windowSize
+    (normalizedCellStayTimeWinFunction, StayTime.java:189-202).
+
+    The sensor-range stream is the interval stream (the extended-object
+    analog); intersection = cell within the interval's covered-cell span.
+    Both aggregations shuffle once on (cell, ws) and the join reuses that
+    partitioning — at scale this is two partial-agg streams meeting in one
+    co-partitioned SMJ, no re-shuffle. Output: cell, ws, total_stay,
+    n_sensor_ts, norm_stay."""
+    from spatialflink_spark.config import DEFAULT_CONFIG as C
+    from spatialflink_spark.operators.intervals import (
+        _replicate_intervals,
+        interval_stream,
+    )
+
+    per_doc = with_cell(seq_t, grid).groupBy("doc_id", "cell", "ws").agg(
+        (F.max("ts_s") - F.min("ts_s")).alias("stay")
+    )
+    stay = per_doc.groupBy("cell", "ws").agg(
+        F.sum("stay").cast("bigint").alias("total_stay")
+    )
+    sensor = (
+        _replicate_intervals(interval_stream(seq_t), grid)
+        .groupBy("cell", "ws")
+        .agg(F.countDistinct("iv_ts").alias("n_sensor_ts"))
+    )
+    return stay.join(sensor, ["cell", "ws"]).select(
+        "cell",
+        "ws",
+        "total_stay",
+        "n_sensor_ts",
+        F.expr(
+            f"round(cast(total_stay as double) / n_sensor_ts * {C.tumbling_s}, 6)"
+        ).alias("norm_stay"),
+    )
+
+
 # CheckIn analog: each sequence row is an in/out gate event (deterministic
 # direction from n_tok parity — the deviceID "-in"/"-out" suffix analog)
 CHECKIN_GATE_EXPR = "CASE WHEN n_tok % 2 = 0 THEN 'in' ELSE 'out' END"

@@ -171,6 +171,71 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     )
 
 
+# SimHash banding: 16 bits split into 2 bands of 8. A pair within Hamming
+# distance <= 1 differs in at most 1 bit position, so by pigeonhole at least
+# one of the 2 bands is IDENTICAL — the banded equi-join has recall 1.0 for
+# the <= SIMHASH_HAMMING_MAX filter (blocked result == exact all-pairs
+# result), while candidate generation touches only same-band-value buckets.
+# (hamming <= 1 because the fixture's docs share token distributions heavily:
+# at <= 3 nearly half of all pairs qualify, which is not a dedup.)
+SIMHASH_BITS = 16
+SIMHASH_BANDS = 2
+SIMHASH_HAMMING_MAX = 1  # must stay < SIMHASH_BANDS for the pigeonhole bound
+
+
+def simhash_dup_pairs(
+    docs: DataFrame,
+    bits: int = SIMHASH_BITS,
+    bands: int = SIMHASH_BANDS,
+    hamming_max: int = SIMHASH_HAMMING_MAX,
+) -> DataFrame:
+    """Blocked SimHash near-dup pairs — the candidate-generation op promised
+    by `simhash` (the signature alone is not a dedup): explode each doc to
+    (band_id, band_key) buckets, self equi-join per bucket, verify exact
+    Hamming distance, filter <= hamming_max.
+
+    Same candidate-pruning shape as the reference's grid-cell pruning + exact
+    distance check (UniformGrid.java:368-395): the band join IS the grid, the
+    bit_count(xor) IS the exact distance. With hamming_max < bands the output
+    is EXACTLY the all-pairs result (pigeonhole), so the DuckDB oracle is the
+    plain O(n²) hamming join at test scale while the engine never leaves its
+    buckets. Output: left_doc, right_doc, hamming."""
+    assert bits % bands == 0 and hamming_max < bands
+    band_bits = bits // bands
+    sh = simhash(docs, bits).persist()
+    banded = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.expr(f"sequence(0, {bands - 1})")).alias("band_id"),
+    ).withColumn(
+        "band_key",
+        F.expr(f"shiftright(simhash, band_id * {band_bits}) % {1 << band_bits}"),
+    )
+    l = banded.select(
+        "band_id", "band_key",
+        F.col("doc_id").alias("left_doc"), F.col("simhash").alias("l_sh"),
+    )
+    r = banded.select(
+        F.col("band_id").alias("band_id_r"), F.col("band_key").alias("band_key_r"),
+        F.col("doc_id").alias("right_doc"), F.col("simhash").alias("r_sh"),
+    )
+    cand = (
+        l.join(
+            r,
+            (l.band_id == r.band_id_r)
+            & (l.band_key == r.band_key_r)
+            & (l.left_doc < r.right_doc),
+        )
+        .select("left_doc", "right_doc", "l_sh", "r_sh")
+        .dropDuplicates(["left_doc", "right_doc"])
+    )
+    return cand.select(
+        "left_doc",
+        "right_doc",
+        F.expr("cast(bit_count(l_sh ^ r_sh) as int)").alias("hamming"),
+    ).where(F.col("hamming") <= hamming_max)
+
+
 # document-frequency cap for candidate-generating shingles: a shingle seen in
 # more than NGRAM_DF_CAP documents (stopword n-grams) is excluded from the
 # inverted index — its bucket would otherwise join quadratically. 64 is far

@@ -143,6 +143,73 @@ def interval_knn(seq_ws: DataFrame, grid: GridConfig, qs) -> DataFrame:
     )
 
 
+def interval_interval_join(
+    seq_ws: DataFrame, grid: GridConfig, radius: int
+) -> DataFrame:
+    """Windowed interval-interval self-join — the Polygon-Polygon join type
+    combo (join/PolygonPolygonJoinQuery shape): pairs of extended objects in
+    the same tumbling window whose 1-D bbox-to-bbox distance
+    max(0, l_lo - r_hi, r_lo - l_hi) <= radius
+    (DistanceFunctions.java polygon-polygon bbox distance), id-skip like the
+    point self-join (tJoin runSingle :341-435), latest-per-pair dedup.
+
+    Replication: the LEFT stream is exploded to the cells covering its
+    radius-EXPANDED span [lo-r, hi+r], the right to its plain covered cells
+    (JoinQuery.java:73-90 replicates one side by the neighboring-cell layer
+    the same way) — if dist <= radius the two clamped cell ranges overlap, so
+    every qualifying pair meets in >= 1 cell and the join is a pure
+    (ws, cell) equi-join. Output: ws, left_iv, right_iv, l_lo, l_hi, r_lo,
+    r_hi, dist, pair_ts."""
+    iv = interval_stream(seq_ws)
+    lo_c = f"cast(least(greatest(floor((lo - {radius}) / {grid.cell_len}), 0), {grid.num_cells - 1}) as int)"
+    hi_c = f"cast(least(greatest(floor((hi + {radius}) / {grid.cell_len}), 0), {grid.num_cells - 1}) as int)"
+    l = iv.withColumn("cell", F.explode(F.expr(f"sequence({lo_c}, {hi_c})"))).select(
+        "ws", "cell",
+        F.col("iv_id").alias("left_iv"), F.col("iv_seq").alias("l_seq"),
+        F.col("lo").alias("l_lo"), F.col("hi").alias("l_hi"),
+        F.col("iv_ts").alias("l_ts"),
+    )
+    r = _replicate_intervals(iv, grid).select(
+        F.col("ws").alias("r_ws"), F.col("cell").alias("r_cell"),
+        F.col("iv_id").alias("right_iv"), F.col("iv_seq").alias("r_seq"),
+        F.col("lo").alias("r_lo"), F.col("hi").alias("r_hi"),
+        F.col("iv_ts").alias("r_ts"),
+    )
+    dist = F.greatest(
+        F.lit(0), F.col("l_lo") - F.col("r_hi"), F.col("r_lo") - F.col("l_hi")
+    )
+    pairs = (
+        l.join(
+            r,
+            (l.ws == r.r_ws) & (l.cell == r.r_cell) & (l.left_iv != r.right_iv),
+        )
+        .withColumn("dist", dist)
+        .where(F.col("dist") <= radius)
+    )
+    latest = pairs.groupBy("ws", "left_iv", "right_iv").agg(
+        F.max(
+            F.struct(
+                F.greatest("l_ts", "r_ts").alias("pair_ts"),
+                F.col("l_seq"), F.col("r_seq"),
+                F.col("l_lo"), F.col("l_hi"),
+                F.col("r_lo"), F.col("r_hi"),
+                F.col("dist"),
+            )
+        ).alias("_m")
+    )
+    return latest.select(
+        "ws",
+        "left_iv",
+        "right_iv",
+        F.col("_m.l_lo").alias("l_lo"),
+        F.col("_m.l_hi").alias("l_hi"),
+        F.col("_m.r_lo").alias("r_lo"),
+        F.col("_m.r_hi").alias("r_hi"),
+        F.col("_m.dist").alias("dist"),
+        F.col("_m.pair_ts").alias("pair_ts"),
+    )
+
+
 def interval_range_count(seq_ws: DataFrame, q_n_tok: int) -> DataFrame:
     """Windowed range over the INTERVAL stream: per window, how many
     intervals contain the query point (1-D bbox distance == 0) — the

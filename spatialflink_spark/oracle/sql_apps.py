@@ -105,6 +105,70 @@ FROM per_doc GROUP BY cell, ws
 """
 
 
+def staytime_normalized() -> str:
+    """normalizedCellStayTime twin (StayTime.java:113-202): per-(cell, ws)
+    total stay joined with per-(cell, ws) distinct sensor-interval timestamps;
+    norm_stay = stay / n_sensor_ts * windowSize."""
+    cl, nc = C.grid.cell_len, C.grid.num_cells
+    return f"""{_prologue(tumbling=True)}
+, {_iv_cte()},
+per_doc AS (
+  SELECT doc_id, {_CELL} AS cell, ws, max(ts_s) - min(ts_s) AS stay
+  FROM seq_t GROUP BY doc_id, cell, ws
+),
+stay AS (
+  SELECT cell, ws, CAST(sum(stay) AS BIGINT) AS total_stay
+  FROM per_doc GROUP BY cell, ws
+),
+iv_cells AS (
+  SELECT ws, iv_ts,
+         CAST(unnest(range(
+           CAST(least(greatest(floor(lo / {cl}), 0), {nc - 1}) AS BIGINT),
+           CAST(least(greatest(floor(hi / {cl}), 0), {nc - 1}) AS BIGINT) + 1
+         )) AS INT) AS cell
+  FROM iv
+),
+sensor AS (
+  SELECT cell, ws, count(DISTINCT iv_ts) AS n_sensor_ts
+  FROM iv_cells GROUP BY cell, ws
+)
+SELECT s.cell AS cell, s.ws AS ws, s.total_stay AS total_stay,
+       se.n_sensor_ts AS n_sensor_ts,
+       round(CAST(s.total_stay AS DOUBLE) / se.n_sensor_ts * {C.tumbling_s}, 6)
+         AS norm_stay
+FROM stay s JOIN sensor se ON s.cell = se.cell AND s.ws = se.ws
+"""
+
+
+def interval_interval_join(radius: int | None = None) -> str:
+    """Polygon-Polygon join twin (operators/intervals.interval_interval_join):
+    all-pairs 1-D bbox distance join with id-skip + latest-per-pair dedup —
+    the row_number ordering mirrors the engine's max-struct field order
+    (pair_ts, l_seq, r_seq)."""
+    radius = C.join_radius if radius is None else radius
+    return f"""{_prologue(tumbling=True)}
+, {_iv_cte()},
+pairs AS (
+  SELECT l.ws, l.iv_id AS left_iv, r.iv_id AS right_iv,
+         l.iv_seq AS l_seq, r.iv_seq AS r_seq,
+         l.lo AS l_lo, l.hi AS l_hi, r.lo AS r_lo, r.hi AS r_hi,
+         greatest(0, l.lo - r.hi, r.lo - l.hi) AS dist,
+         greatest(l.iv_ts, r.iv_ts) AS pair_ts
+  FROM iv l JOIN iv r
+    ON l.ws = r.ws AND l.iv_id <> r.iv_id
+   AND greatest(0, l.lo - r.hi, r.lo - l.hi) <= {radius}
+),
+dedup AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY ws, left_iv, right_iv
+    ORDER BY pair_ts DESC, l_seq DESC, r_seq DESC) AS rn
+  FROM pairs
+)
+SELECT ws, left_iv, right_iv, l_lo, l_hi, r_lo, r_hi, dist, pair_ts
+FROM dedup WHERE rn = 1
+"""
+
+
 def tknn_trajectories() -> str:
     return f"""{_prologue(sliding=True)}
 , cand AS (

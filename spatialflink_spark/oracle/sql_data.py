@@ -106,6 +106,32 @@ SELECT doc_id, CAST({bit_terms} AS INT) AS simhash FROM t
 """
 
 
+def simhash_dup_pairs(bits: int | None = None, hamming_max: int | None = None) -> str:
+    """All-pairs Hamming join — exact twin of the engine's banded op because
+    hamming_max < bands makes blocking lossless (pigeonhole, dedup.py)."""
+    from spatialflink_spark.operators.dedup import SIMHASH_BITS, SIMHASH_HAMMING_MAX
+
+    bits = SIMHASH_BITS if bits is None else bits
+    hamming_max = SIMHASH_HAMMING_MAX if hamming_max is None else hamming_max
+    tok = T.duck_tokenize("text")
+    bit_terms = " + ".join(
+        "(CASE WHEN list_reduce(list_prepend(0, _t), (a, t) -> a + "
+        f"(CASE WHEN CAST(floor(t / {1 << j}) AS INT) % 2 = 1 THEN 1 ELSE -1 END)"
+        f") > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(bits)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {tok} AS _t FROM documents),
+s AS (SELECT doc_id, CAST({bit_terms} AS INT) AS simhash FROM t),
+pairs AS (
+  SELECT l.doc_id AS left_doc, r.doc_id AS right_doc,
+         CAST(bit_count(CAST(xor(l.simhash, r.simhash) AS BIGINT)) AS INT) AS hamming
+  FROM s l JOIN s r ON l.doc_id < r.doc_id
+)
+SELECT * FROM pairs WHERE hamming <= {hamming_max}
+"""
+
+
 def ngram_jaccard_pairs(threshold: float = 0.2, df_cap: int | None = None) -> str:
     from spatialflink_spark.operators.dedup import NGRAM_DF_CAP
 
