@@ -96,6 +96,11 @@ def main() -> None:
         df = qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        # each headline query is an independent job in production; drop the
+        # caches operators persisted so one query's intermediates never
+        # squeeze the next one's execution memory (sequences_cached
+        # re-persists itself on the next use)
+        spark.catalog.clearCache()
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     out = {

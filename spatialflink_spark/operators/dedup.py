@@ -61,8 +61,11 @@ def with_shingle_hashes(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
         f"i -> concat_ws(' ', slice(_w, i, {k}))) "
         f"ELSE array(concat_ws(' ', _w)) END"
     )
+    from spatialflink_spark.session import spread
+
     return (
-        docs.select("doc_id", F.expr(T.spark_words("text")).alias("_w"))
+        spread(docs)  # single-file scans otherwise serialize the hash work
+        .select("doc_id", F.expr(T.spark_words("text")).alias("_w"))
         .select("doc_id", F.expr(shingles).alias("_sh"))
         .select("doc_id", F.expr(f"array_distinct({hash_words})").alias("_hs"))
     )
@@ -166,7 +169,9 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
         f") > 0 THEN {1 << j} ELSE 0 END)"
         for j in range(bits)
     )
-    return docs.select("doc_id", F.expr(tok).alias("_t")).select(
+    from spatialflink_spark.session import spread
+
+    return spread(docs).select("doc_id", F.expr(tok).alias("_t")).select(
         "doc_id", F.expr(f"cast({bit_terms} as int)").alias("simhash")
     )
 
@@ -261,14 +266,24 @@ def ngram_jaccard_pairs(
     candidate pruning + exact distance check (UniformGrid.java:368-395)."""
     hs = with_shingle_hashes(docs).persist()  # feeds the index + verification
     ex = hs.select("doc_id", F.explode("_hs").alias("g"))
+    # inverted index as groupBy-and-emit, not a self-join: collect each
+    # shingle's (distinct) posting list in ONE shuffle on g, drop hot
+    # shingles by posting-list size (the df cap), and emit the i<j doc pairs
+    # directly from the sorted list with array lambdas — no second shuffle,
+    # no 2.5M-row-per-side equi-join. Output pair count is bounded by
+    # cap^2/2 per bucket by construction.
+    idx = ex.groupBy("g").agg(F.expr("array_sort(collect_list(doc_id))").alias("_d"))
     if df_cap is not None:
-        freq = ex.groupBy("g").agg(F.count(F.lit(1)).alias("_df"))
-        ex = ex.join(freq.where(F.col("_df") <= df_cap).select("g"), "g")
-    l = ex.select(F.col("doc_id").alias("left_doc"), "g")
-    r = ex.select(F.col("doc_id").alias("right_doc"), F.col("g").alias("g_r"))
+        idx = idx.where(F.expr(f"size(_d) <= {df_cap}"))
+    pairs_expr = (
+        "flatten(transform(sequence(1, size(_d) - 1), "
+        "i -> transform(slice(_d, i + 1, size(_d) - i), "
+        "b -> struct(element_at(_d, i) AS left_doc, b AS right_doc))))"
+    )
     cand = (
-        l.join(r, (l.g == r.g_r) & (l.left_doc < r.right_doc))
-        .select("left_doc", "right_doc")
+        idx.where(F.expr("size(_d) >= 2"))
+        .select(F.explode(F.expr(pairs_expr)).alias("p"))
+        .select("p.left_doc", "p.right_doc")
         .dropDuplicates()
     )
     lh = hs.select(F.col("doc_id").alias("left_doc"), F.col("_hs").alias("l_hs"))

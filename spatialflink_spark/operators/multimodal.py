@@ -68,9 +68,14 @@ def extract_features(
     """mapInPandas feature extraction over Arrow batches — the real plumbing
     (batched binary transfer, vectorized output assembly)."""
 
-    from spatialflink_spark.session import ensure_pyfiles
+    from spatialflink_spark.session import ensure_pyfiles, spread
 
     ensure_pyfiles(media.sparkSession)
+    # parallelize the decode, but cap the fan-out: each NEW partition forks a
+    # Python worker that imports the shipped package zip — at a fake-decode's
+    # cost the fork+import dominates past ~8 workers (real codec decode at
+    # cluster scale arrives pre-partitioned and skips this path entirely)
+    media = spread(media, parallelism=min(8, media.sparkSession.sparkContext.defaultParallelism))
 
     def _fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -44,10 +44,14 @@ def _cos_expr(a: str, b: str) -> str:
 
 
 def _with_query(emb: DataFrame) -> DataFrame:
+    from spatialflink_spark.session import spread
+
     q = emb.where(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("q_emb")
     )
-    return emb.where(F.col("vec_id") != QUERY_VEC_ID).crossJoin(F.broadcast(q))
+    # spread: a single-file embeddings scan otherwise scores every cosine
+    # serially on one core
+    return spread(emb.where(F.col("vec_id") != QUERY_VEC_ID)).crossJoin(F.broadcast(q))
 
 
 def cosine_topk(emb: DataFrame, k: int = DEFAULT_K) -> DataFrame:
@@ -123,7 +127,9 @@ def embedding_dup_pairs(emb: DataFrame, threshold: float = DUP_COS_THRESHOLD) ->
         "sqrt(aggregate(embedding, cast(0.0 as double), "
         "(s, x) -> s + cast(x as double) * cast(x as double)))"
     )
-    base = emb.select("vec_id", "embedding", F.expr(norm).alias("_n"))
+    from spatialflink_spark.session import spread
+
+    base = spread(emb).select("vec_id", "embedding", F.expr(norm).alias("_n"))
     l = base.select(
         F.col("vec_id").alias("left_vec"),
         F.col("embedding").alias("l_emb"),
@@ -193,7 +199,9 @@ def embedding_dup_pairs_blocked(
         "sqrt(aggregate(embedding, cast(0.0 as double), "
         "(s, x) -> s + cast(x as double) * cast(x as double)))"
     )
-    base = emb.select(
+    from spatialflink_spark.session import spread
+
+    base = spread(emb).select(
         "vec_id",
         "embedding",
         F.expr(norm).alias("_n"),

@@ -64,8 +64,10 @@ QUALITY_SQL = (
 
 
 def lang_id(docs: DataFrame) -> DataFrame:
+    from spatialflink_spark.session import spread
+
     w = T.spark_words("text")
-    d = docs.select(
+    d = spread(docs).select(
         "doc_id",
         *[
             F.expr(lang_score_sql(w, lg, size_fn="size", filter_fn="filter")).alias(
@@ -81,8 +83,10 @@ def lang_id(docs: DataFrame) -> DataFrame:
 def quality_score(docs: DataFrame) -> DataFrame:
     """Length / stopword / digit-ratio quality heuristic, weighted and
     rounded — the standard cheap pre-filter for corpus curation."""
+    from spatialflink_spark.session import spread
+
     w = T.spark_words("text")
-    d = docs.select(
+    d = spread(docs).select(
         "doc_id",
         F.expr(f"size({w})").alias("n_words"),
         F.length("text").alias("n_chars"),
@@ -107,7 +111,9 @@ def quality_score(docs: DataFrame) -> DataFrame:
 def token_counts(docs: DataFrame) -> DataFrame:
     """Whitespace tokens + BPE-ish regex tokens (letters runs / digit runs /
     single punctuation) + engine token count."""
-    return docs.select(
+    from spatialflink_spark.session import spread
+
+    return spread(docs).select(
         "doc_id",
         F.expr("size(split(trim(text), '[ ]+'))").alias("n_ws_tokens"),
         F.expr(

@@ -169,6 +169,69 @@ FROM dedup WHERE rn = 1
 """
 
 
+def _vdist(tokens: str, q: str) -> str:
+    """1-D vertex-set distance: min over the token array of |t - q| —
+    twin of operators/linestrings._vertex_dist_expr."""
+    return f"list_min(list_transform({tokens}, t -> abs(t - {q})))"
+
+
+def linestring_range() -> str:
+    return f"""{_prologue(tumbling=True)}
+, scored AS (
+  SELECT s.ws, q.q_id, s.doc_id AS ls_id, s.seq_no AS ls_seq,
+         {_vdist('s.tokens', 'q.q_n_tok')} AS dist, q.radius
+  FROM seq_t s CROSS JOIN {qpoints_values()}
+)
+SELECT ws, q_id, ls_id, ls_seq, dist FROM scored WHERE dist <= radius
+"""
+
+
+def linestring_knn() -> str:
+    return f"""{_prologue(tumbling=True)}
+, cand AS (
+  SELECT s.ws, q.q_id, q.k, s.doc_id AS ls_id, s.seq_no AS ls_seq,
+         {_vdist('s.tokens', 'q.q_n_tok')} AS dist
+  FROM seq_t s
+  JOIN {qpoints_values()}
+    ON {_vdist('s.tokens', 'q.q_n_tok')} <= q.radius
+),
+per_ls AS (
+  SELECT ws, q_id, k, ls_id, ls_seq, dist,
+         row_number() OVER (PARTITION BY ws, q_id, ls_id ORDER BY dist, ls_seq) AS rd
+  FROM cand
+),
+ranked AS (
+  SELECT ws, q_id, k, ls_id, ls_seq, dist,
+         row_number() OVER (PARTITION BY ws, q_id ORDER BY dist, ls_id) AS rank
+  FROM per_ls WHERE rd = 1
+)
+SELECT ws, q_id, CAST(rank AS INT) AS rank, ls_id, ls_seq, dist
+FROM ranked WHERE rank <= k
+"""
+
+
+def point_linestring_join(radius: int | None = None) -> str:
+    radius = C.join_radius if radius is None else radius
+    return f"""{_prologue(tumbling=True)}
+, pairs AS (
+  SELECT p.ws, p.doc_id, l.doc_id AS ls_id,
+         p.seq_no, l.seq_no AS ls_seq,
+         {_vdist('l.tokens', 'p.n_tok')} AS dist,
+         greatest(p.ts_s, l.ts_s) AS pair_ts
+  FROM seq_t p JOIN seq_t l
+    ON p.ws = l.ws AND p.doc_id <> l.doc_id
+   AND {_vdist('l.tokens', 'p.n_tok')} <= {radius}
+),
+dedup AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY ws, doc_id, ls_id
+    ORDER BY pair_ts DESC, seq_no DESC, ls_seq DESC, dist DESC) AS rn
+  FROM pairs
+)
+SELECT ws, doc_id, ls_id, dist, pair_ts FROM dedup WHERE rn = 1
+"""
+
+
 def tknn_trajectories() -> str:
     return f"""{_prologue(sliding=True)}
 , cand AS (

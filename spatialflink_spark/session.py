@@ -49,6 +49,20 @@ def get_spark(
     return b.getOrCreate()
 
 
+def spread(df, parallelism: int | None = None):
+    """Repartition UP to the session's parallelism when the input scan has
+    fewer partitions than cores — a small parquet file arrives as ONE
+    partition, serializing every compute-heavy derivation built on it
+    (tokenize/shingle/hash lambdas run 32x slower than they should on
+    local[32]). At 100 TB the scan has thousands of partitions and this is a
+    no-op; the shuffle it inserts at small scale moves only the raw rows."""
+    sc = df.sparkSession.sparkContext
+    target = parallelism or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def ensure_pyfiles(spark: SparkSession) -> None:
     """Ship the engine package to executor Python workers — the programmatic
     equivalent of `spark-submit --py-files engine.zip` (north_rule launch

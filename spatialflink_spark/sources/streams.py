@@ -52,39 +52,41 @@ def stage_replay_files(
         qs = [i / n_batches for i in range(1, n_batches)]
         cuts = seq.approxQuantile("ts_s", qs, 0.0) if n_batches > 1 else []
         # dedupe equal cut points (heavy ts duplication) — empty slices vanish
-        bounds: list[float | None] = [None]
+        bounds: list[float] = []
         for c in cuts:
-            if c != bounds[-1]:
+            if not bounds or c != bounds[-1]:
                 bounds.append(c)
-        bounds.append(None)
+        # slice id = #cut points <= ts_s; ONE shuffle-by-slice + ONE
+        # partitionBy write job produces every replay file (round-1 wrote one
+        # sorted coalesce(1) job PER slice — n sequential jobs; the per-slice
+        # sort was needless: neither the file source nor the watermark cares
+        # about intra-file order, only about which file holds which times)
+        slice_expr = (
+            " + ".join(f"(CASE WHEN ts_s >= {c} THEN 1 ELSE 0 END)" for c in bounds)
+            if bounds
+            else "0"
+        )
+        tmp = os.path.join(out_dir, "_stage")
+        (
+            seq.withColumn("_slice", F.expr(f"cast({slice_expr} as int)"))
+            .repartition(max(len(bounds) + 1, 1), "_slice")
+            .sortWithinPartitions("ts_s", "doc_id", "seq_no")
+            .write.mode("overwrite")
+            .partitionBy("_slice")
+            .parquet(tmp)
+        )
         os.makedirs(out_dir, exist_ok=True)
         paths = []
-        for i in range(len(bounds) - 1):
-            lo, hi = bounds[i], bounds[i + 1]
-            chunk = seq
-            if lo is not None:
-                chunk = chunk.where(F.col("ts_s") >= lo)
-            if hi is not None:
-                chunk = chunk.where(F.col("ts_s") < hi)
-            tmp = os.path.join(out_dir, f"_stage_{i:04d}")
-            # one file per replay batch: sort within the slice, collapse to a
-            # single partition executor-side (slice ~= table/n_batches rows)
-            (
-                chunk.orderBy("ts_s", "doc_id", "seq_no")
-                .coalesce(1)
-                .write.mode("overwrite")
-                .parquet(tmp)
-            )
-            parts = sorted(glob.glob(os.path.join(tmp, "part-*.parquet")))
+        for i in range(len(bounds) + 1):
+            parts = sorted(glob.glob(os.path.join(tmp, f"_slice={i}", "part-*.parquet")))
             if not parts:
-                shutil.rmtree(tmp, ignore_errors=True)
                 continue
             p = os.path.join(out_dir, f"batch_{i:04d}.parquet")
             os.replace(parts[0], p)
-            shutil.rmtree(tmp, ignore_errors=True)
             mt = time.time() + i  # monotone mtimes -> deterministic replay order
             os.utime(p, (mt, mt))
             paths.append(p)
+        shutil.rmtree(tmp, ignore_errors=True)
         return paths
     finally:
         seq.unpersist()
