@@ -81,6 +81,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_range_count": gate.q_interval_range_count,
         "interval_interval_join": gate.q_interval_interval_join,
         "interval_knn": gate.q_interval_knn,
+        # linestring (vertex-set polyline) type combinations
+        "linestring_range": gate.q_linestring_range,
+        "linestring_knn": gate.q_linestring_knn,
+        "point_linestring_join": gate.q_point_linestring_join,
         "knn_unbounded": gate.q_knn_unbounded,
     }
 
@@ -133,5 +137,8 @@ def oracle_sql() -> dict[str, str]:
         "interval_range_count": osqla.interval_range_count(),
         "interval_interval_join": osqla.interval_interval_join(),
         "interval_knn": osqla.interval_knn(),
+        "linestring_range": osqla.linestring_range(),
+        "linestring_knn": osqla.linestring_knn(),
+        "point_linestring_join": osqla.point_linestring_join(),
         "knn_unbounded": osqla.knn_unbounded(),
     }

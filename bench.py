@@ -53,6 +53,9 @@ HEADLINE = [
     "interval_range_count",
     "interval_interval_join",
     "interval_knn",
+    "linestring_range",
+    "linestring_knn",
+    "point_linestring_join",
     # end-to-end Structured Streaming path (stage->watermark->sink)
     "stream_range_e2e",
     # training-data ops

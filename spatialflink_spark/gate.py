@@ -349,6 +349,26 @@ def q_interval_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return iv_ops.interval_knn(_seq_t(spark, sf_dir), C.grid, DEFAULT_QUERY_POINTS)
 
 
+# ---- linestring (vertex-set polyline) type combos ---------------------------
+
+from spatialflink_spark.operators import linestrings as ls_ops  # noqa: E402
+
+
+def q_linestring_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-query range over the LineString (vertex-set) stream."""
+    return ls_ops.linestring_range(_seq_t(spark, sf_dir), C.grid, DEFAULT_QUERY_POINTS)
+
+
+def q_linestring_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-LineString kNN type combo."""
+    return ls_ops.linestring_knn(_seq_t(spark, sf_dir), C.grid, DEFAULT_QUERY_POINTS)
+
+
+def q_point_linestring_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed point-linestring join type combo."""
+    return ls_ops.point_linestring_join(_seq_t(spark, sf_dir), C.grid, C.join_radius)
+
+
 def q_knn_unbounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unbounded (layer-expansion) kNN on tumbling windows."""
     from spatialflink_spark.operators.knn import knn_unbounded
