@@ -40,10 +40,11 @@ def test_filter_pushdown_reaches_scan(spark):
 
 def test_trajectory_restricted_pushes_box_filter(spark):
     """Q4 analog: the n_tok box filter can't reach the scan (n_tok is
-    derived), but the plan must not shuffle before filtering — exactly one
-    exchange (the groupBy)."""
+    derived), but the plan must not shuffle AFTER filtering except for the
+    groupBy — allowed exchanges: the deliberate small-scan spread()
+    repartition (before any compute), the groupBy, and AQE reads."""
     df = gate.q_trajectory_restricted(spark, SF_SMALL)
-    assert plans.exchange_count(df) <= 2, plans.simple_plan(df)
+    assert plans.exchange_count(df) <= 3, plans.simple_plan(df)
 
 
 def test_exclude_cells_is_broadcast_anti_join(spark):
@@ -59,3 +60,41 @@ def test_join_replication_stays_equi_join(spark):
     s = plans.simple_plan(df)
     assert "CartesianProduct" not in s
     assert "BroadcastNestedLoopJoin" not in s
+
+
+def test_interval_interval_join_stays_equi_join(spark):
+    """Polygon-Polygon combo: radius-expanded cell replication must keep the
+    join a (ws, cell) equi-join — no cartesian/nested-loop fallback."""
+    df = gate.q_interval_interval_join(spark, SF_SMALL)
+    s = plans.simple_plan(df)
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+
+
+def test_point_linestring_join_stays_equi_join(spark):
+    df = gate.q_point_linestring_join(spark, SF_SMALL)
+    s = plans.simple_plan(df)
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+
+
+def test_linestring_range_broadcasts_query_cells(spark):
+    df = gate.q_linestring_range(spark, SF_SMALL)
+    assert plans.has_broadcast_join(df), plans.simple_plan(df)
+
+
+def test_simhash_dup_pairs_is_bucketed(spark):
+    """The banded SimHash join must be a (band_id, band_key) equi-join —
+    candidate generation never leaves its buckets."""
+    df = gate.q_simhash_dup_pairs(spark, SF_SMALL)
+    s = plans.simple_plan(df)
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+
+
+def test_staytime_normalized_single_shuffle_key(spark):
+    """Join of two agg streams on (cell, ws): both sides aggregate on the
+    join key, so the join adds no cartesian and stays hash/SMJ."""
+    df = gate.q_staytime_normalized(spark, SF_SMALL)
+    s = plans.simple_plan(df)
+    assert "CartesianProduct" not in s
