@@ -31,6 +31,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "range_tumbling_count": gate.q_range_tumbling_count,
+        "range_prefix_counts": gate.q_range_prefix_counts,
         "range_rows": gate.q_range_rows,
         "knn_sliding": gate.q_knn_sliding,
         "join_self_tumbling": gate.q_join_self_tumbling,
@@ -92,6 +93,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "range_tumbling_count": osql.range_tumbling_count(),
+        # same golden: the prefix-sum strategy must be answer-identical
+        "range_prefix_counts": osql.range_tumbling_count(),
         "range_rows": osql.range_rows(),
         "knn_sliding": osql.knn_sliding(),
         "join_self_tumbling": osql.join_self_tumbling(),

@@ -23,6 +23,7 @@ sys.path.insert(0, str(REPO))
 HEADLINE = [
     # streaming-semantics core (SURVEY.md §2)
     "range_tumbling_count",
+    "range_prefix_counts",
     "range_rows",
     "knn_sliding",
     "join_self_tumbling",

@@ -55,6 +55,15 @@ def q_range_tumbling_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_prefix_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same answer as range_tumbling_count via the per-window prefix-sum
+    candidate structure (north-star strategy; probe cost independent of row
+    count)."""
+    from spatialflink_spark.operators.range_query import range_count_prefix
+
+    return range_count_prefix(_seq_t(spark, sf_dir), C.grid, DEFAULT_QUERY_POINTS)
+
+
 def q_range_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     matched = range_query(_seq_t(spark, sf_dir), C.grid, DEFAULT_QUERY_POINTS)
     return matched.select(

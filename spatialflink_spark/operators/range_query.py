@@ -48,6 +48,84 @@ def query_cells_df(
     )
 
 
+def range_count_prefix(
+    seq_t: DataFrame, grid: GridConfig, qs: Iterable[QueryPoint]
+) -> DataFrame:
+    """Windowed range COUNT answered from a per-window prefix-sum candidate
+    structure over the cell axis — the literal "prefix-sum candidate
+    structure for the kNN/range-style query per window cell" physical
+    strategy, as an alternative to the broadcast-join row filter
+    (range_query + groupBy, the flagship plan).
+
+    Build: ONE groupBy(ws, cell) count, then ONE groupBy(ws) assembling the
+    cell-sorted cumulative-count arrays (the prefix structure: O(cells)
+    integers per window). Probe: each query's guaranteed span [g_lo, g_hi]
+    (cells fully inside [q-r, q+r], contiguous in 1-D) is answered in O(cells)
+    array ops as cum_at(g_hi) - cum_at(g_lo - 1) — NO row is touched. Only
+    the <= 2 boundary (candidate-but-not-guaranteed) cells fall back to the
+    exact per-row distance check. At 100 TB the probe side is O(windows x
+    cells), independent of row count — the reason the reference builds its
+    cell-keyed candidate structures (UniformGrid.java:165-190).
+
+    Output: ws, q_id, n_matches — bit-identical to the flagship
+    range_tumbling_count."""
+    spark = seq_t.sparkSession
+    s = with_cell(seq_t, grid)
+
+    # ---- the prefix structure: one row per window ----
+    per_cell = s.groupBy("ws", "cell").agg(F.count(F.lit(1)).alias("n"))
+    prefix = per_cell.groupBy("ws").agg(
+        F.expr("array_sort(collect_list(struct(cell, n)))").alias("_cn")
+    ).select(
+        "ws",
+        F.expr("transform(_cn, p -> p.cell)").alias("cells"),
+        # inclusive running sum: cum[i] = sum of counts for cells[0..i]
+        F.expr(
+            "transform(sequence(1, size(_cn)), "
+            "i -> aggregate(slice(_cn, 1, i), cast(0 as bigint), (a, p) -> a + p.n))"
+        ).alias("cum"),
+    )
+
+    # ---- static probe table: guaranteed span per query (tiny, broadcast) ----
+    rows = []
+    for q in qs:
+        g = grid.guaranteed_cells(q.q_n_tok, q.radius)
+        rows.append((q.q_id, min(g) if g else -1, max(g) if g else -2))
+    probes = spark.createDataFrame(rows, "q_id string, g_lo int, g_hi int")
+
+    # cum_at(X) = cum value at the last cell <= X (0 if none): O(cells) scan
+    # of the in-memory structure, no data rows involved
+    def cum_at(x: str) -> str:
+        # try_element_at: the filtered array is empty when no cell <= X
+        # exists (ANSI mode throws on element_at(-1) of an empty array)
+        return (
+            f"coalesce(try_element_at(filter(zip_with(cells, cum, (c, s) -> "
+            f"struct(c as c, s as s)), p -> p.c <= {x}), -1).s, cast(0 as bigint))"
+        )
+
+    g_counts = prefix.join(F.broadcast(probes)).select(
+        "ws",
+        "q_id",
+        F.expr(f"{cum_at('g_hi')} - {cum_at('g_lo - 1')}").alias("n_g"),
+    )
+
+    # ---- exact check only in the boundary cells ----
+    qcells = query_cells_df(spark, grid, qs).where(~F.col("guaranteed"))
+    boundary = (
+        s.join(F.broadcast(qcells), "cell")
+        .where(F.expr("abs(n_tok - q_n_tok) <= radius"))
+        .groupBy("ws", "q_id")
+        .agg(F.count(F.lit(1)).alias("n_b"))
+    )
+
+    total = g_counts.join(boundary, ["ws", "q_id"], "full_outer").select(
+        "ws",
+        "q_id",
+        (F.coalesce("n_g", F.lit(0)) + F.coalesce("n_b", F.lit(0))).alias("n_matches"),
+    )
+    return total.where(F.col("n_matches") > 0).orderBy("ws", "q_id")
+
+
 def range_query(
     seq: DataFrame,
     grid: GridConfig,
