@@ -98,3 +98,16 @@ def test_staytime_normalized_single_shuffle_key(spark):
     df = gate.q_staytime_normalized(spark, SF_SMALL)
     s = plans.simple_plan(df)
     assert "CartesianProduct" not in s
+
+
+def test_spread_parallelizes_single_partition_scan(spark):
+    """spread() must lift a 1-partition scan to session parallelism and be a
+    no-op when the input already has enough partitions."""
+    from spatialflink_spark.session import spread
+
+    docs = load_documents(spark, SF_SMALL)
+    assert docs.rdd.getNumPartitions() == 1
+    s = spread(docs)
+    assert s.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    again = spread(s)
+    assert again is s  # no extra shuffle when already spread
