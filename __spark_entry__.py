@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline ops
         "dedup_exact": gate.q_dedup_exact,
         "dedup_minhash_lsh": gate.q_dedup_minhash_lsh,
+        "dedup_components": gate.q_dedup_components,
         "simhash": gate.q_simhash,
         "simhash_dup_pairs": gate.q_simhash_dup_pairs,
         "dedup_ngram_jaccard": gate.q_dedup_ngram_jaccard,
@@ -108,6 +109,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sliding_stats": osql.events_sliding_stats(),
         "dedup_exact": osqld.exact_dedup(),
         "dedup_minhash_lsh": osqld.minhash_lsh_pairs(),
+        "dedup_components": osqld.dedup_components(),
         "simhash": osqld.simhash(),
         "simhash_dup_pairs": osqld.simhash_dup_pairs(),
         "dedup_ngram_jaccard": osqld.ngram_jaccard_pairs(),

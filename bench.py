@@ -62,6 +62,7 @@ HEADLINE = [
     # training-data ops
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_components",
     "simhash",
     "simhash_dup_pairs",
     "dedup_ngram_jaccard",

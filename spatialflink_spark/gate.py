@@ -171,6 +171,14 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.minhash_lsh_pairs(_docs(spark, sf_dir))
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over MinHash near-dup pairs (iterative min-label
+    propagation; the keep/drop decision step)."""
+    return dedup_ops.dedup_components(
+        dedup_ops.minhash_lsh_pairs(_docs(spark, sf_dir))
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.simhash(_docs(spark, sf_dir))
 

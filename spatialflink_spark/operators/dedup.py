@@ -241,6 +241,67 @@ def simhash_dup_pairs(
     ).where(F.col("hamming") <= hamming_max)
 
 
+def dedup_components(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
+    """Connected components over near-dup pairs — the decision step of every
+    dedup pipeline: docs in one component are mutual (transitive) near-dups;
+    keep component == doc_id (the minimum), drop the rest.
+
+    Iterative min-label propagation: each round every doc takes the min of
+    its own label and its neighbors' labels; converges in O(component
+    diameter) rounds (near-dup components are short chains, so single-digit
+    rounds in practice; max_iters bounds pathological inputs). Each round is
+    ONE shuffle join + ONE groupBy — the Spark-idiomatic iterative-algorithm
+    loop (persist + unpersist per round, convergence checked with a count
+    action). At extreme scale the large-star/small-star variant (Kiveris et
+    al., "Connected Components in MapReduce") bounds skew per round; plain
+    propagation is the honest baseline and identical in output.
+
+    Input: (left_doc, right_doc) pairs. Output: (doc_id, component) for every
+    doc appearing in >= 1 pair, component = min doc_id reachable."""
+    edges = (
+        pairs.select(F.col("left_doc").alias("a"), F.col("right_doc").alias("b"))
+        .unionByName(
+            pairs.select(F.col("right_doc").alias("a"), F.col("left_doc").alias("b"))
+        )
+        .dropDuplicates()
+        .persist()
+    )
+    labels = edges.select(F.col("a").alias("doc_id")).dropDuplicates().withColumn(
+        "component", F.col("doc_id")
+    ).persist()
+    labels.count()  # materialize before the loop
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(labels, edges.b == labels.doc_id)
+            .groupBy(F.col("a").alias("doc_id"))
+            .agg(F.min("component").alias("_nc"))
+        )
+        new_labels = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("component"), F.coalesce("_nc", F.col("component"))).alias(
+                    "component"
+                ),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.expr("n.component != o.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"dedup_components: no fixpoint in {max_iters} rounds")
+    edges.unpersist()
+    return labels
+
+
 # document-frequency cap for candidate-generating shingles: a shingle seen in
 # more than NGRAM_DF_CAP documents (stopword n-grams) is excluded from the
 # inverted index — its bucket would otherwise join quadratically. 64 is far

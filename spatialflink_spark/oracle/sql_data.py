@@ -92,6 +92,24 @@ SELECT * FROM scored WHERE jaccard >= {threshold}
 """
 
 
+def dedup_components() -> str:
+    """Transitive closure over the MinHash near-dup pairs via recursive CTE —
+    golden for the engine's iterative min-label propagation (the fixpoint is
+    unique, so any convergent algorithm matches)."""
+    return f"""
+WITH RECURSIVE
+pairs AS ({minhash_lsh_pairs()}),
+edges AS (SELECT left_doc AS a, right_doc AS b FROM pairs
+          UNION SELECT right_doc AS a, left_doc AS b FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a
+"""
+
+
 def simhash(bits: int = 16) -> str:
     tok = T.duck_tokenize("text")
     bit_terms = " + ".join(
