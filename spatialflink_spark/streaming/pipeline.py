@@ -88,6 +88,30 @@ def stream_session_stats(stream: DataFrame, cfg: EngineConfig) -> DataFrame:
     )
 
 
+def stream_exact_dedup(stream: DataFrame) -> DataFrame:
+    """Streaming exact dedup — the streaming face of dedup.exact_dedup: emit
+    each content hash's FIRST-arriving row, drop later duplicates.
+
+    Uses SS's stateful `dropDuplicatesWithinWatermark` companion semantics
+    via dropDuplicates on (content_hash): the state store keeps one entry per
+    seen hash; the event-time watermark (already on the stream) bounds state
+    for `dropDuplicates` with an event-time column included. At corpus scale
+    this is the online dedup-on-ingest every curation pipeline runs before
+    anything else touches the stream. Output: content_hash, doc_id, seq_no —
+    append-mode rows, one per distinct content."""
+    hashed = stream.select(
+        "event_ts",
+        "doc_id",
+        "seq_no",
+        F.expr("md5(concat_ws(' ', transform(tokens, t -> cast(t as string))))").alias(
+            "content_hash"
+        ),
+    )
+    return hashed.dropDuplicates(["content_hash"]).select(
+        "content_hash", "doc_id", "seq_no"
+    )
+
+
 def stream_stream_join(
     left: DataFrame, right: DataFrame, cfg: EngineConfig, radius: int
 ) -> DataFrame:

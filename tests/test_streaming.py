@@ -461,3 +461,41 @@ def test_stream_stream_join_matches_batch(spark, replay_dir, tmp_path):
     assert len(got) == len(exp)
     for c in ["left_doc", "right_doc", "left_seq", "right_seq", "dist", "pair_ts"]:
         assert (got[c].values == exp[c].values).all(), c
+
+
+def test_stream_exact_dedup_matches_batch_hash_set(spark, replay_dir, tmp_path):
+    """Streaming dropDuplicates on content_hash: emits exactly one row per
+    distinct content (hash set == batch), and each emitted (doc, seq) is one
+    of that hash's actual rows (arrival order picks which)."""
+    from spatialflink_spark.streaming.pipeline import stream_exact_dedup
+
+    stream = read_sequences_stream(spark, replay_dir, C.allowed_lateness_s)
+    res = stream_exact_dedup(stream)
+    q = (
+        res.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from dedup_stream").toPandas()
+
+    import pyspark.sql.functions as F
+
+    batch = (
+        sequences(spark, SF_SMALL)
+        .select(
+            "doc_id",
+            "seq_no",
+            F.expr(
+                "md5(concat_ws(' ', transform(tokens, t -> cast(t as string))))"
+            ).alias("content_hash"),
+        )
+        .toPandas()
+    )
+    assert set(got.content_hash) == set(batch.content_hash)
+    assert len(got) == batch.content_hash.nunique()
+    valid = set(map(tuple, batch[["content_hash", "doc_id", "seq_no"]].values))
+    assert all(tuple(r) in valid for r in got[["content_hash", "doc_id", "seq_no"]].values)
