@@ -71,13 +71,23 @@ def job_minhash_kernel(spark, stage_dir: str, n_rows: int, cores: int) -> dict:
         f"array_min(transform(_hs, h -> (h * {a} + {b}) % {HASH_MOD}))"
         for a, b in zip(MINHASH_A, MINHASH_B)
     )
+
+    def pipeline(d):
+        return (
+            with_shingle_hashes(d)
+            .select(
+                F.expr(f"aggregate(array({sigs}), 0L, (a, x) -> a + x)").alias("chk")
+            )
+            .agg(F.sum("chk"))
+        )
+
+    # same-shape warm-up OUTSIDE the timed region: whole-stage codegen compile
+    # + JIT of the generated class is a fixed per-JVM cost (several seconds
+    # for this expression), not per-row throughput — leaving it inside the
+    # timing biases the short 4N wall and understates scaling efficiency
+    pipeline(df.limit(2000)).collect()
     t0 = time.time()
-    out = (
-        with_shingle_hashes(df)
-        .select(F.expr(f"aggregate(array({sigs}), 0L, (a, x) -> a + x)").alias("chk"))
-        .agg(F.sum("chk"))
-        .collect()
-    )
+    out = pipeline(df).collect()
     wall = time.time() - t0
     return {"wall_s": round(wall, 2), "checksum": int(out[0][0])}
 
