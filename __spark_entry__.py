@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linestring_range": gate.q_linestring_range,
         "linestring_knn": gate.q_linestring_knn,
         "point_linestring_join": gate.q_point_linestring_join,
+        "interval_linestring_join": gate.q_interval_linestring_join,
         "knn_unbounded": gate.q_knn_unbounded,
     }
 
@@ -145,5 +146,6 @@ def oracle_sql() -> dict[str, str]:
         "linestring_range": osqla.linestring_range(),
         "linestring_knn": osqla.linestring_knn(),
         "point_linestring_join": osqla.point_linestring_join(),
+        "interval_linestring_join": osqla.interval_linestring_join(),
         "knn_unbounded": osqla.knn_unbounded(),
     }

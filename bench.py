@@ -57,6 +57,7 @@ HEADLINE = [
     "linestring_range",
     "linestring_knn",
     "point_linestring_join",
+    "interval_linestring_join",
     # end-to-end Structured Streaming path (stage->watermark->sink)
     "stream_range_e2e",
     # training-data ops

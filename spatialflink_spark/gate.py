@@ -386,6 +386,11 @@ def q_point_linestring_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ls_ops.point_linestring_join(_seq_t(spark, sf_dir), C.grid, C.join_radius)
 
 
+def q_interval_linestring_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon-LineString join type combo (completes the 3x3 matrix)."""
+    return ls_ops.interval_linestring_join(_seq_t(spark, sf_dir), C.grid, C.join_radius)
+
+
 def q_knn_unbounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unbounded (layer-expansion) kNN on tumbling windows."""
     from spatialflink_spark.operators.knn import knn_unbounded

@@ -131,6 +131,62 @@ def linestring_knn(
     )
 
 
+def interval_linestring_join(
+    seq_ws: DataFrame, grid: GridConfig, radius: int
+) -> DataFrame:
+    """Windowed interval-linestring join — the Polygon-LineString type combo
+    (join/PolygonLineStringJoinQuery.java shape), completing the 3x3 geometry
+    matrix: distance = min over the polyline's VERTICES of the 1-D bbox
+    distance max(0, lo - t, t - hi).
+
+    Replication: intervals to their radius-EXPANDED covered cells,
+    linestrings to their bbox cells; a vertex within `radius` of [lo, hi]
+    lies in [lo - radius, hi + radius], so every qualifying pair shares a
+    cell and the join is a pure (ws, cell) equi-join. Output: ws, iv_id,
+    ls_id, lo, hi, dist, pair_ts."""
+    from spatialflink_spark.operators.intervals import interval_stream
+
+    iv = interval_stream(seq_ws)
+    lo_c = f"cast(least(greatest(floor((lo - {radius}) / {grid.cell_len}), 0), {grid.num_cells - 1}) as int)"
+    hi_c = f"cast(least(greatest(floor((hi + {radius}) / {grid.cell_len}), 0), {grid.num_cells - 1}) as int)"
+    l = iv.withColumn("cell", F.explode(F.expr(f"sequence({lo_c}, {hi_c})"))).select(
+        "ws", "cell", "iv_id", "iv_seq", "lo", "hi", "iv_ts"
+    )
+    r = _replicate_bbox(linestring_stream(seq_ws), grid).select(
+        F.col("ws").alias("r_ws"), F.col("cell").alias("r_cell"),
+        "ls_id", "ls_seq", "tokens", "ls_ts",
+    )
+    pairs = (
+        l.join(
+            r,
+            (l.ws == r.r_ws) & (l.cell == r.r_cell) & (l.iv_id != r.ls_id),
+        )
+        .withColumn(
+            "dist",
+            F.expr("array_min(transform(tokens, t -> greatest(0, lo - t, t - hi)))"),
+        )
+        .where(F.col("dist") <= radius)
+    )
+    latest = pairs.groupBy("ws", "iv_id", "ls_id").agg(
+        F.max(
+            F.struct(
+                F.greatest("iv_ts", "ls_ts").alias("pair_ts"),
+                F.col("iv_seq"), F.col("ls_seq"),
+                F.col("lo"), F.col("hi"), F.col("dist"),
+            )
+        ).alias("_m")
+    )
+    return latest.select(
+        "ws",
+        "iv_id",
+        "ls_id",
+        F.col("_m.lo").alias("lo"),
+        F.col("_m.hi").alias("hi"),
+        F.col("_m.dist").alias("dist"),
+        F.col("_m.pair_ts").alias("pair_ts"),
+    )
+
+
 def point_linestring_join(
     seq_ws: DataFrame, grid: GridConfig, radius: int
 ) -> DataFrame:

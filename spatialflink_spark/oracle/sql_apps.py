@@ -210,6 +210,32 @@ FROM ranked WHERE rank <= k
 """
 
 
+def interval_linestring_join(radius: int | None = None) -> str:
+    """Polygon-LineString combo twin: min over vertices of the 1-D bbox
+    distance, id-skip, latest-per-pair dedup (struct-max field order
+    pair_ts, iv_seq, ls_seq)."""
+    radius = C.join_radius if radius is None else radius
+    vd = "list_min(list_transform(l.tokens, t -> greatest(0, i.lo - t, t - i.hi)))"
+    return f"""{_prologue(tumbling=True)}
+, {_iv_cte()},
+pairs AS (
+  SELECT i.ws, i.iv_id, l.doc_id AS ls_id,
+         i.iv_seq, l.seq_no AS ls_seq, i.lo, i.hi,
+         {vd} AS dist,
+         greatest(i.iv_ts, l.ts_s) AS pair_ts
+  FROM iv i JOIN seq_t l
+    ON i.ws = l.ws AND i.iv_id <> l.doc_id AND {vd} <= {radius}
+),
+dedup AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY ws, iv_id, ls_id
+    ORDER BY pair_ts DESC, iv_seq DESC, ls_seq DESC) AS rn
+  FROM pairs
+)
+SELECT ws, iv_id, ls_id, lo, hi, dist, pair_ts FROM dedup WHERE rn = 1
+"""
+
+
 def point_linestring_join(radius: int | None = None) -> str:
     radius = C.join_radius if radius is None else radius
     return f"""{_prologue(tumbling=True)}
