@@ -60,6 +60,7 @@ HEADLINE = [
     "interval_linestring_join",
     # end-to-end Structured Streaming path (stage->watermark->sink)
     "stream_range_e2e",
+    "stream_knn_e2e",
     # training-data ops
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -343,6 +343,49 @@ def q_stream_range_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.read_committed(spark)
 
 
+def q_stream_knn_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second end-to-end Structured Streaming path in the gate: watermarked
+    tumbling kNN — per-(window, query, cell) incremental candidate collect in
+    the state store, batch-side final merge per emitted micro-batch, through
+    the exactly-once sink. Oracle = batch kNN over windows the final
+    watermark closed."""
+    import tempfile
+
+    from spatialflink_spark.sources.streams import (
+        read_sequences_stream,
+        stage_replay_files,
+    )
+    from spatialflink_spark.streaming.pipeline import (
+        finalize_knn,
+        stream_knn_collect,
+    )
+    from spatialflink_spark.streaming.sink import ExactlyOnceSink
+
+    root = tempfile.mkdtemp(prefix="sfs_gate_sknn_")
+    stage_replay_files(spark, sf_dir, f"{root}/replay", n_batches=2)
+    sink = ExactlyOnceSink(f"{root}/out", key_cols=("ws", "q_id", "rank"))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        stream = read_sequences_stream(spark, f"{root}/replay", C.allowed_lateness_s)
+        collected = stream_knn_collect(stream, C, DEFAULT_QUERY_POINTS)
+
+        def fb(df, bid):
+            sink.write_batch(finalize_knn(df), bid)
+
+        q = (
+            collected.writeStream.foreachBatch(fb)
+            .option("checkpointLocation", f"{root}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return sink.read_committed(spark)
+
+
 # ---- interval (polygon-analog) type combos ----------------------------------
 
 from spatialflink_spark.operators import intervals as iv_ops  # noqa: E402

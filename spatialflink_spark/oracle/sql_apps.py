@@ -371,6 +371,36 @@ GROUP BY ws, q.q_id
 """
 
 
+def stream_knn_e2e() -> str:
+    """Batch tumbling kNN restricted to watermark-closed windows — golden for
+    the streaming collect + batch-merge kNN path (same closure rule as
+    stream_range_e2e)."""
+    from spatialflink_spark.config import DEFAULT_CONFIG as C
+
+    return f"""{_prologue(tumbling=True)}
+, wm AS (SELECT max(ts_s) - {C.allowed_lateness_s} AS w FROM sequences),
+cand AS (
+  SELECT s.ws, q.q_id, q.k, s.doc_id, s.seq_no,
+         abs(s.n_tok - q.q_n_tok) AS dist
+  FROM seq_t s
+  JOIN {qpoints_values()} ON abs(s.n_tok - q.q_n_tok) <= q.radius
+  WHERE s.ws + {C.tumbling_s} <= (SELECT w FROM wm)
+),
+per_doc AS (
+  SELECT ws, q_id, k, doc_id, seq_no, dist,
+         row_number() OVER (PARTITION BY ws, q_id, doc_id ORDER BY dist, seq_no) AS rd
+  FROM cand
+),
+ranked AS (
+  SELECT ws, q_id, k, doc_id, seq_no, dist,
+         row_number() OVER (PARTITION BY ws, q_id ORDER BY dist, doc_id) AS rank
+  FROM per_doc WHERE rd = 1
+)
+SELECT ws, q_id, CAST(rank AS INT) AS rank, doc_id, seq_no, dist
+FROM ranked WHERE rank <= k
+"""
+
+
 def _iv_cte() -> str:
     from spatialflink_spark.operators.intervals import HI_EXPR, LO_EXPR
 
