@@ -62,3 +62,57 @@ def test_clamping_edges():
     assert GRID.cell_of(0) == 0
     lo, hi = GRID.cell_bounds(GRID.num_cells - 1)
     assert hi > GRID.max_n_tok  # open-ended top cell
+
+
+def _clamp_cell(grid: GridConfig, v: int) -> int:
+    return max(0, min(grid.num_cells - 1, v // grid.cell_len))
+
+
+@given(
+    l_lo=st.integers(min_value=0, max_value=150),
+    l_len=st.integers(min_value=0, max_value=40),
+    r_lo=st.integers(min_value=0, max_value=150),
+    r_len=st.integers(min_value=0, max_value=40),
+    radius=st.integers(min_value=0, max_value=30),
+)
+@settings(max_examples=400, deadline=None)
+def test_interval_join_replication_lemma(l_lo, l_len, r_lo, r_len, radius):
+    """The lemma interval_interval_join relies on: if two intervals are
+    within bbox distance `radius`, the left's radius-EXPANDED clamped cell
+    range overlaps the right's plain clamped cell range — so the (ws, cell)
+    equi-join finds every qualifying pair (completeness)."""
+    l_hi, r_hi = l_lo + l_len, r_lo + r_len
+    dist = max(0, l_lo - r_hi, r_lo - l_hi)
+    if dist > radius:
+        return
+    lc_lo = _clamp_cell(GRID, l_lo - radius)
+    lc_hi = _clamp_cell(GRID, l_hi + radius)
+    rc_lo = _clamp_cell(GRID, r_lo)
+    rc_hi = _clamp_cell(GRID, r_hi)
+    assert lc_lo <= rc_hi and rc_lo <= lc_hi, (
+        f"no shared cell for dist={dist} <= r={radius}: "
+        f"l=[{l_lo},{l_hi}] r=[{r_lo},{r_hi}]"
+    )
+
+
+@given(
+    tokens=st.lists(st.integers(min_value=0, max_value=140), min_size=1, max_size=12),
+    q=st.integers(min_value=0, max_value=140),
+    radius=st.integers(min_value=0, max_value=30),
+)
+@settings(max_examples=400, deadline=None)
+def test_linestring_vertex_pruning_lemma(tokens, q, radius):
+    """The lemma linestring_range/knn rely on: (a) the bbox distance
+    lower-bounds the vertex distance (sound to prune on it), and (b) any
+    vertex within `radius` of q lies in a bbox-covered cell that is also a
+    candidate-or-guaranteed cell of q (complete)."""
+    lo, hi = min(tokens), max(tokens)
+    vdist = min(abs(t - q) for t in tokens)
+    bdist = max(0, lo - q, q - hi)
+    assert bdist <= vdist  # soundness of the bbox lower bound
+    if vdist <= radius:
+        v = min(tokens, key=lambda t: abs(t - q))
+        vc = GRID.cell_of(v)
+        covered = set(range(_clamp_cell(GRID, lo), _clamp_cell(GRID, hi) + 1))
+        qcells = GRID.guaranteed_cells(q, radius) | GRID.candidate_cells(q, radius)
+        assert vc in covered and vc in qcells
