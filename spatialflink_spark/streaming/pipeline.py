@@ -88,17 +88,21 @@ def stream_session_stats(stream: DataFrame, cfg: EngineConfig) -> DataFrame:
     )
 
 
-def stream_exact_dedup(stream: DataFrame) -> DataFrame:
+def stream_exact_dedup(stream: DataFrame, within_watermark: bool = False) -> DataFrame:
     """Streaming exact dedup — the streaming face of dedup.exact_dedup: emit
     each content hash's FIRST-arriving row, drop later duplicates.
 
-    Uses SS's stateful `dropDuplicatesWithinWatermark` companion semantics
-    via dropDuplicates on (content_hash): the state store keeps one entry per
-    seen hash; the event-time watermark (already on the stream) bounds state
-    for `dropDuplicates` with an event-time column included. At corpus scale
-    this is the online dedup-on-ingest every curation pipeline runs before
-    anything else touches the stream. Output: content_hash, doc_id, seq_no —
-    append-mode rows, one per distinct content."""
+    Two state regimes:
+    - within_watermark=False (default): global dedup — one state entry per
+      distinct hash EVER seen, exact forever, state grows with distinct
+      content (fine when distinct << total, the usual dedup situation).
+    - within_watermark=True: `dropDuplicatesWithinWatermark` — state entries
+      expire once the watermark passes them, bounding state size for
+      unbounded runs; duplicates arriving farther apart than the watermark
+      delay are re-emitted. At a 10^12-sequence scale this is the knob that
+      keeps the dedup state store finite.
+
+    Output: content_hash, doc_id, seq_no — append-mode rows."""
     hashed = stream.select(
         "event_ts",
         "doc_id",
@@ -107,9 +111,11 @@ def stream_exact_dedup(stream: DataFrame) -> DataFrame:
             "content_hash"
         ),
     )
-    return hashed.dropDuplicates(["content_hash"]).select(
-        "content_hash", "doc_id", "seq_no"
-    )
+    if within_watermark:
+        deduped = hashed.dropDuplicatesWithinWatermark(["content_hash"])
+    else:
+        deduped = hashed.dropDuplicates(["content_hash"])
+    return deduped.select("content_hash", "doc_id", "seq_no")
 
 
 def stream_stream_join(

@@ -499,3 +499,42 @@ def test_stream_exact_dedup_matches_batch_hash_set(spark, replay_dir, tmp_path):
     assert len(got) == batch.content_hash.nunique()
     valid = set(map(tuple, batch[["content_hash", "doc_id", "seq_no"]].values))
     assert all(tuple(r) in valid for r in got[["content_hash", "doc_id", "seq_no"]].values)
+
+
+def test_stream_exact_dedup_within_watermark(spark, replay_dir, tmp_path):
+    """Bounded-state variant: dropDuplicatesWithinWatermark emits at least
+    one row per distinct hash (exactly one when all duplicates arrive within
+    the watermark delay) and never invents rows."""
+    from spatialflink_spark.streaming.pipeline import stream_exact_dedup
+
+    stream = read_sequences_stream(spark, replay_dir, C.allowed_lateness_s)
+    res = stream_exact_dedup(stream, within_watermark=True)
+    q = (
+        res.writeStream.format("memory")
+        .queryName("dedup_stream_ww")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from dedup_stream_ww").toPandas()
+
+    import pyspark.sql.functions as F
+
+    batch = (
+        sequences(spark, SF_SMALL)
+        .select(
+            "doc_id",
+            "seq_no",
+            F.expr(
+                "md5(concat_ws(' ', transform(tokens, t -> cast(t as string))))"
+            ).alias("content_hash"),
+        )
+        .toPandas()
+    )
+    # every distinct hash appears (>= once: far-apart duplicates may re-emit)
+    assert set(got.content_hash) == set(batch.content_hash)
+    # every emitted row is a genuine input row of its hash
+    valid = set(map(tuple, batch[["content_hash", "doc_id", "seq_no"]].values))
+    assert all(tuple(r) in valid for r in got[["content_hash", "doc_id", "seq_no"]].values)
