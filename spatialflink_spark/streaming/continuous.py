@@ -1,0 +1,79 @@
+"""Continuous-processing (per-record) RT queries — the reference's
+per-element trigger, for real.
+
+GeoFlink's RealTime query mode fires its window trigger on EVERY element
+(`realTimeWindowTrigger`, tJoin/TJoinQuery.java:215-260; RT dispatch
+PointPointRangeQuery.java:44-107): each arriving point is evaluated and
+emitted immediately, no batching. Spark's micro-batch mode can only
+approximate that (small update-mode triggers — SURVEY §4); its CONTINUOUS
+processing mode (`trigger(continuous=...)`) is the exact analog: long-running
+per-partition tasks process records one at a time with ~millisecond latency,
+checkpointing by epoch.
+
+Continuous mode's plan restrictions are severe — Project and Filter only (no
+joins, no Generate/explode, no aggregation, no LogicalRDD). The RT range
+query fits: the static query set is inlined as an ARRAY LITERAL and evaluated
+with higher-order functions (`filter`/`transform` are projections), so the
+whole per-record pipeline is one codegen'd map over the stream. Matches per
+record are an array column instead of exploded rows (explode is a Generate —
+unsupported); downstream consumers explode micro-batch-side if they need
+row-per-match.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spatialflink_spark.config import QueryPoint, VOCAB_SIZE
+
+
+def synthetic_rate_sequences(
+    spark: SparkSession, rows_per_second: int = 500, num_partitions: int = 2
+) -> DataFrame:
+    """SyntheticGpsSource RT analog (sncb/tests/SyntheticGpsSource.java:8-57,
+    rate-limited seeded generator): the rate source's (timestamp, value)
+    mapped deterministically to the canonical sequence schema with
+    projection-only expressions — valid in continuous mode."""
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_second))
+        .option("numPartitions", str(num_partitions))
+        .load()
+    )
+    return rate.select(
+        F.col("timestamp").alias("event_ts"),
+        F.col("value").alias("doc_id"),
+        F.expr("cast(value % 3 as int)").alias("seq_no"),
+        F.expr(f"cast(1 + (value * 37) % {min(VOCAB_SIZE, 127)} as int)").alias(
+            "n_tok"
+        ),
+        F.expr("concat('src_', cast(value % 4 as string))").alias("source"),
+    )
+
+
+def continuous_range_alerts(
+    stream: DataFrame, qs: Iterable[QueryPoint]
+) -> DataFrame:
+    """Per-record RT range query: emit each arriving row the instant it
+    matches >= 1 query, with the matching query ids as an array column.
+    Project/Filter only — runs under trigger(continuous=...)."""
+    qlits = ", ".join(
+        f"named_struct('q_id', '{q.q_id}', 'q_n_tok', {q.q_n_tok}, "
+        f"'radius', {q.radius})"
+        for q in qs
+    )
+    matched = stream.select(
+        "event_ts",
+        "doc_id",
+        "seq_no",
+        "n_tok",
+        "source",
+        F.expr(
+            f"transform(filter(array({qlits}), "
+            "q -> abs(n_tok - q.q_n_tok) <= q.radius), q -> q.q_id)"
+        ).alias("matched_q_ids"),
+    )
+    return matched.where(F.expr("size(matched_q_ids) > 0"))

@@ -538,3 +538,54 @@ def test_stream_exact_dedup_within_watermark(spark, replay_dir, tmp_path):
     # every emitted row is a genuine input row of its hash
     valid = set(map(tuple, batch[["content_hash", "doc_id", "seq_no"]].values))
     assert all(tuple(r) in valid for r in got[["content_hash", "doc_id", "seq_no"]].values)
+
+
+def test_continuous_mode_rt_range_alerts(spark, tmp_path):
+    """TRUE per-element trigger: the RT range query under continuous
+    processing (no micro-batches). Asserts rows flow while running and that
+    every emitted row's matches equal the batch-computed predicate for its
+    deterministic doc_id."""
+    import time as _time
+
+    from spatialflink_spark.config import DEFAULT_QUERY_POINTS
+    from spatialflink_spark.streaming.continuous import (
+        continuous_range_alerts,
+        synthetic_rate_sequences,
+    )
+
+    stream = synthetic_rate_sequences(spark, rows_per_second=400, num_partitions=2)
+    res = continuous_range_alerts(stream, DEFAULT_QUERY_POINTS)
+    q = (
+        res.writeStream.format("memory")
+        .queryName("cont_rt_alerts")
+        .trigger(continuous="1 second")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = _time.time() + 30
+        got = None
+        while _time.time() < deadline:
+            _time.sleep(3)
+            got = spark.sql("select * from cont_rt_alerts").toPandas()
+            if len(got) >= 100:
+                break
+        assert got is not None and len(got) >= 100, "no continuous flow"
+    finally:
+        import threading
+
+        t = threading.Thread(target=q.stop)
+        t.daemon = True
+        t.start()
+        t.join(30)
+    # per-record correctness: recompute matches from the deterministic doc_id
+    vocab = 127
+    for _, r in got.head(500).iterrows():
+        n_tok = 1 + (r.doc_id * 37) % vocab
+        assert n_tok == r.n_tok
+        expect = [
+            qp.q_id
+            for qp in DEFAULT_QUERY_POINTS
+            if abs(n_tok - qp.q_n_tok) <= qp.radius
+        ]
+        assert list(r.matched_q_ids) == expect and expect
