@@ -17,6 +17,15 @@ three genuinely distinct distance functions — point |a-b|, interval bbox
 clamp, vertex-set min — and the linestring's exact check genuinely iterates
 the geometry array, as the reference's does.
 
+The LineString-LineString combo is deliberately NOT implemented: token
+vertex sets are drawn from the one shared vocabulary, so two polylines'
+bboxes essentially always overlap (zero grid pruning — candidate set = all
+pairs) and the min pairwise vertex distance is ~0 for every pair — the combo
+is semantically degenerate in the 1-D token domain. Its two non-degenerate
+aspects are covered elsewhere: extent-vs-extent by
+intervals.interval_interval_join, vertex distance by point_linestring_join
+and interval_linestring_join.
+
 Candidate pruning is grid-shaped like the reference's
 (UniformGrid.java:368-395): replicate each linestring to the cells its bbox
 covers (gridIDsSet, HelperClass.java:123-143); the bbox distance
