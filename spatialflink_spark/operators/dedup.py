@@ -266,10 +266,18 @@ def dedup_components(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
         .dropDuplicates()
         .persist()
     )
-    labels = edges.select(F.col("a").alias("doc_id")).dropDuplicates().withColumn(
-        "component", F.col("doc_id")
-    ).persist()
-    labels.count()  # materialize before the loop
+    # localCheckpoint (eager) per round, NOT persist: an iterative loop's
+    # logical plan otherwise nests one join level per round and the
+    # analyzer/codegen blows up long before the data does (a 20-round chain
+    # OOMs a default-heap session). Checkpointing truncates lineage so every
+    # round plans against a flat scan; on a cluster use reliable checkpoint()
+    # for executor-loss tolerance.
+    labels = (
+        edges.select(F.col("a").alias("doc_id"))
+        .dropDuplicates()
+        .withColumn("component", F.col("doc_id"))
+        .localCheckpoint()
+    )
     for _ in range(max_iters):
         neigh = (
             edges.join(labels, edges.b == labels.doc_id)
@@ -284,7 +292,7 @@ def dedup_components(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
                     "component"
                 ),
             )
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -292,7 +300,6 @@ def dedup_components(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
             .where(F.expr("n.component != o.component"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

@@ -84,3 +84,35 @@ def test_ngram_df_cap_bounds_hot_shingle_buckets(spark):
     assert kept.agg(F.max("count")).first()[0] <= 8
     # uncapped max bucket is the full corpus — the quadratic bomb the cap defuses
     assert freq.agg(F.max("count")).first()[0] == n_docs
+
+
+def test_dedup_components_long_chain(spark):
+    """Label propagation must survive a long chain (worst-case diameter) and
+    match a pure-python union-find on a mixed chain+clique+singleton graph."""
+    from spatialflink_spark.operators.dedup import dedup_components
+
+    pairs = [(i, i + 1) for i in range(0, 20)]            # chain 0..20
+    pairs += [(100 + a, 100 + b) for a in range(5) for b in range(a + 1, 5)]
+    pairs += [(200, 201)]
+    pdf = spark.createDataFrame(pairs, "left_doc bigint, right_doc bigint")
+    got = {
+        (r.doc_id, r.component)
+        for r in dedup_components(pdf, max_iters=30).collect()
+    }
+
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in pairs:
+        union(a, b)
+    nodes = {n for p in pairs for n in p}
+    expect = {(n, find(n)) for n in nodes}
+    assert got == expect
