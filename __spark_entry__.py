@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tstats_windowed": gate.q_tstats_windowed,
         "events_sessionize": gate.q_events_sessionize,
         "events_sliding_stats": gate.q_events_sliding_stats,
+        "serde_roundtrip": gate.q_serde_roundtrip,
         # training-data pipeline ops
         "dedup_exact": gate.q_dedup_exact,
         "dedup_minhash_lsh": gate.q_dedup_minhash_lsh,
@@ -109,6 +110,7 @@ def oracle_sql() -> dict[str, str]:
         "tstats_windowed": osql.tstats_windowed(),
         "events_sessionize": osql.events_sessionize(),
         "events_sliding_stats": osql.events_sliding_stats(),
+        "serde_roundtrip": osql.serde_roundtrip(),
         "dedup_exact": osqld.exact_dedup(),
         "dedup_minhash_lsh": osqld.minhash_lsh_pairs(),
         "dedup_components": osqld.dedup_components(),

@@ -50,6 +50,7 @@ HEADLINE = [
     "join_two_streams",
     "variation_salted",
     "events_json_props",
+    "serde_roundtrip",
     "interval_containment_join",
     "interval_range_count",
     "interval_interval_join",

@@ -343,6 +343,33 @@ def q_stream_range_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.read_committed(spark)
 
 
+def q_serde_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grades the output-serialization surface (Serialization.*OutputSchema
+    x12 -> sources/formats.serialize_json/parse_typed_json_lines): every
+    sequence row is serialized to a JSON line and parsed back; the oracle
+    computes the same checksums directly, so any lossy field (arrays
+    included) hash-mismatches."""
+    from spatialflink_spark.sources.formats import (
+        parse_typed_json_lines,
+        serialize_json,
+    )
+
+    seq = sequences_cached(spark, sf_dir)
+    schema = (
+        "doc_id bigint, seq_no int, tokens array<int>, n_tok int, "
+        "source string, ts_s bigint"
+    )
+    back = parse_typed_json_lines(serialize_json(seq), schema)
+    return back.select(
+        "doc_id",
+        "seq_no",
+        "n_tok",
+        "source",
+        "ts_s",
+        F.expr(T.spark_tok_checksum("tokens")).alias("tok_checksum"),
+    )
+
+
 def q_stream_knn_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second end-to-end Structured Streaming path in the gate: watermarked
     tumbling kNN — per-(window, query, cell) incremental candidate collect in

@@ -286,3 +286,16 @@ SELECT event_type, ws, count(*) AS n_events,
        round(avg(value), 6) AS avg_value, round(sum(value), 6) AS sum_value
 FROM ew GROUP BY event_type, ws
 """
+
+
+def serde_roundtrip() -> str:
+    """Direct checksums of the sequences relation — golden for the JSON
+    serialize -> parse round trip (gate.q_serde_roundtrip): any field the
+    serializer loses or retypes (arrays included) hash-mismatches."""
+    from spatialflink_spark.functions.tokens import duck_tok_checksum
+
+    return f"""{_prologue()}
+SELECT doc_id, seq_no, n_tok, source, ts_s,
+       {duck_tok_checksum('tokens')} AS tok_checksum
+FROM sequences
+"""
