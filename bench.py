@@ -51,6 +51,7 @@ HEADLINE = [
     "variation_salted",
     "events_json_props",
     "serde_roundtrip",
+    "csv_ingest",
     "interval_containment_join",
     "interval_range_count",
     "interval_interval_join",

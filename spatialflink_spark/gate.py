@@ -370,6 +370,34 @@ def q_serde_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grades the CSV deserialization surface (Deserialization.java:118-325 /
+    CSVToGpsEventMapFunction analog): documents serialized to positional CSV
+    lines (text LAST so embedded commas survive the limit-4 split), two
+    malformed lines injected, parsed back with parse_csv_lines. The oracle
+    reads the table directly — if the parser leaked a malformed row or
+    mangled a field, counts/values mismatch."""
+    from spatialflink_spark.sources.formats import parse_csv_lines
+
+    docs = _docs(spark, sf_dir)
+    lines = docs.select(
+        F.expr(
+            "concat_ws(',', cast(1700000000 + doc_id % 1000 as string), "
+            "cast(doc_id as string), source, text)"
+        ).alias("value")
+    )
+    bad = spark.createDataFrame(
+        [("garbage",), ("not_a_ts,not_an_id,src,text",)], "value string"
+    )
+    parsed = parse_csv_lines(lines.unionByName(bad))
+    return parsed.select(
+        "doc_id",
+        "ts_s",
+        "source",
+        F.length("text").alias("n_chars"),
+    )
+
+
 def q_stream_knn_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second end-to-end Structured Streaming path in the gate: watermarked
     tumbling kNN — per-(window, query, cell) incremental candidate collect in

@@ -539,3 +539,15 @@ ranked AS (
 SELECT ws, q_id, CAST(rank AS INT) AS rank, doc_id, seq_no, dist
 FROM ranked WHERE rank <= k
 """
+
+
+def csv_ingest() -> str:
+    """Direct read of documents — golden for the CSV serialize -> parse
+    ingest (gate.q_csv_ingest); the injected malformed lines must vanish."""
+    return """
+SELECT doc_id,
+       CAST(1700000000 + doc_id % 1000 AS BIGINT) AS ts_s,
+       source,
+       CAST(length(text) AS INT) AS n_chars
+FROM documents
+"""
