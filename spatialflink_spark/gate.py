@@ -343,6 +343,31 @@ def q_stream_range_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.read_committed(spark)
 
 
+def q_count_windows_tumbling(spark: SparkSession, sf_dir: str, size: int = 4) -> DataFrame:
+    """TAggregate WB COUNT semantics, batch-graded (countWindow(size),
+    TAggregateQuery.java:381-494 / PointTAggregateQuery.java:83-89): per-key
+    tumbling COUNT windows — window id = floor(arrival_rank / size) with the
+    deterministic (ts_s, seq_no) arrival order. The streaming stateful form
+    (stateful.count_windows) is equality-tested against this same math; this
+    gate query grades the window-id/aggregate semantics against DuckDB.
+    Output: doc_id, win_id, n_rows, sum_n_tok, min_n_tok, max_n_tok."""
+    seq = sequences_cached(spark, sf_dir)
+    ranked = seq.select(
+        "doc_id",
+        "n_tok",
+        F.expr(
+            "cast(floor((row_number() OVER (PARTITION BY doc_id ORDER BY ts_s, seq_no) - 1) "
+            f"/ {size}) as int)"
+        ).alias("win_id"),
+    )
+    return ranked.groupBy("doc_id", "win_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("n_tok").cast("bigint")).alias("sum_n_tok"),
+        F.min("n_tok").alias("min_n_tok"),
+        F.max("n_tok").alias("max_n_tok"),
+    )
+
+
 def q_serde_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grades the output-serialization surface (Serialization.*OutputSchema
     x12 -> sources/formats.serialize_json/parse_typed_json_lines): every

@@ -299,3 +299,20 @@ SELECT doc_id, seq_no, n_tok, source, ts_s,
        {duck_tok_checksum('tokens')} AS tok_checksum
 FROM sequences
 """
+
+
+def count_windows_tumbling(size: int = 4) -> str:
+    """Per-key tumbling COUNT windows — twin of gate.q_count_windows_tumbling
+    (countWindow semantics on the deterministic arrival order)."""
+    return f"""{_prologue()}
+, ranked AS (
+  SELECT doc_id, n_tok,
+         CAST(floor((row_number() OVER (PARTITION BY doc_id ORDER BY ts_s, seq_no) - 1)
+              / {size}) AS INT) AS win_id
+  FROM sequences
+)
+SELECT doc_id, win_id, count(*) AS n_rows,
+       CAST(sum(n_tok) AS BIGINT) AS sum_n_tok,
+       min(n_tok) AS min_n_tok, max(n_tok) AS max_n_tok
+FROM ranked GROUP BY doc_id, win_id
+"""
