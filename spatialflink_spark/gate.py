@@ -319,7 +319,7 @@ def q_stream_range_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from spatialflink_spark.sources.streams import (
         read_sequences_stream,
-        stage_replay_files,
+        stage_replay_files_cached,
     )
     from spatialflink_spark.streaming.pipeline import (
         run_available_now,
@@ -328,14 +328,14 @@ def q_stream_range_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spatialflink_spark.streaming.sink import ExactlyOnceSink
 
     root = tempfile.mkdtemp(prefix="sfs_gate_stream_")
-    stage_replay_files(spark, sf_dir, f"{root}/replay", n_batches=2)
+    replay = stage_replay_files_cached(spark, sf_dir, n_batches=2)
     sink = ExactlyOnceSink(f"{root}/out", key_cols=("ws", "q_id"))
     # state-store partition count is fixed at first checkpoint write; 8 is
     # plenty for the (window, q_id) key space and cuts per-batch fixed cost
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        stream = read_sequences_stream(spark, f"{root}/replay", C.allowed_lateness_s)
+        stream = read_sequences_stream(spark, replay, C.allowed_lateness_s)
         res = stream_range_count(stream, C, DEFAULT_QUERY_POINTS)
         run_available_now(res, sink.foreach_batch(), f"{root}/ckpt")
     finally:
@@ -433,7 +433,7 @@ def q_stream_knn_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from spatialflink_spark.sources.streams import (
         read_sequences_stream,
-        stage_replay_files,
+        stage_replay_files_cached,
     )
     from spatialflink_spark.streaming.pipeline import (
         finalize_knn,
@@ -442,12 +442,12 @@ def q_stream_knn_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spatialflink_spark.streaming.sink import ExactlyOnceSink
 
     root = tempfile.mkdtemp(prefix="sfs_gate_sknn_")
-    stage_replay_files(spark, sf_dir, f"{root}/replay", n_batches=2)
+    replay = stage_replay_files_cached(spark, sf_dir, n_batches=2)
     sink = ExactlyOnceSink(f"{root}/out", key_cols=("ws", "q_id", "rank"))
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        stream = read_sequences_stream(spark, f"{root}/replay", C.allowed_lateness_s)
+        stream = read_sequences_stream(spark, replay, C.allowed_lateness_s)
         collected = stream_knn_collect(stream, C, DEFAULT_QUERY_POINTS)
 
         def fb(df, bid):

@@ -92,6 +92,29 @@ def stage_replay_files(
         seq.unpersist()
 
 
+_REPLAY_CACHE: dict[tuple[str, str, int], str] = {}
+
+
+def stage_replay_files_cached(
+    spark: SparkSession, sf_dir: str, n_batches: int = 4
+) -> str:
+    """Stage once per (session, sf_dir, n_batches) and reuse: the replay
+    files are a deterministic immutable artifact of the input table, and both
+    end-to-end streaming gate queries (range + kNN) replay the same table —
+    re-deriving and re-writing it per query doubled the staging jobs.
+    Checkpoints/sinks stay per-query; only the input files are shared.
+    Returns the replay directory."""
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir, n_batches)
+    out = _REPLAY_CACHE.get(key)
+    if out is None or not os.path.isdir(out):
+        out = tempfile.mkdtemp(prefix="sfs_replay_") + "/replay"
+        stage_replay_files(spark, sf_dir, out, n_batches=n_batches)
+        _REPLAY_CACHE[key] = out
+    return out
+
+
 def read_kafka_raw_stream(
     spark: SparkSession,
     bootstrap_servers: str,
