@@ -57,6 +57,10 @@ HEADLINE = [
     "interval_range_count",
     "interval_interval_join",
     "interval_knn",
+    # knn_unbounded is gate-graded but bench-excluded like embedding_dup_pairs:
+    # it is the deliberate NO-PRUNE layer-expansion baseline (all rows are
+    # candidates for every query; ~12s at sf0.1 by design, vs ~1s for the
+    # grid-pruned knn queries that are its production form)
     "linestring_range",
     "linestring_knn",
     "point_linestring_join",
