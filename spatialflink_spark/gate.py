@@ -405,10 +405,20 @@ def q_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spatialflink_spark.sources.formats import parse_csv_lines
 
     docs = _docs(spark, sf_dir)
+    # the positional limit-4 split is only safe while `source` contains no
+    # commas and `text` is non-null (concat_ws silently drops a null text,
+    # shifting nothing but producing a 3-field line) — fail LOUDLY if a
+    # future fixture violates the format contract instead of silently
+    # hash-mismatching the oracle
+    guarded_source = (
+        "CASE WHEN source LIKE '%,%' OR text IS NULL THEN "
+        "raise_error('csv_ingest: source must be comma-free and text non-null "
+        "for the positional CSV layout (SEQ_CSV_COLUMNS)') ELSE source END"
+    )
     lines = docs.select(
         F.expr(
             "concat_ws(',', cast(1700000000 + doc_id % 1000 as string), "
-            "cast(doc_id as string), source, text)"
+            f"cast(doc_id as string), {guarded_source}, text)"
         ).alias("value")
     )
     bad = spark.createDataFrame(
@@ -460,7 +470,12 @@ def q_stream_knn_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "stream_knn_e2e: streaming query did not drain within 300s — "
+                "refusing to read a partial sink"
+            )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return sink.read_committed(spark)

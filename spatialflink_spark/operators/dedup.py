@@ -109,7 +109,9 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     jaccard — all rounded for portability."""
     # persist: the signature table feeds BOTH join sides; without it the
     # whole tokenize->shingle->minhash pipeline runs twice. At cluster scale
-    # this is a write-once intermediate table (or .checkpoint()).
+    # this is a write-once intermediate table (or .checkpoint()). The small
+    # candidate set is localCheckpointed below so sigs can be unpersisted
+    # here instead of leaking into the caller's session.
     sigs = minhash_signatures(docs).persist()
     bands = sigs.select(
         "doc_id",
@@ -132,16 +134,20 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
         F.col("doc_id").alias("right_doc"), F.col("sig").alias("r_sig"),
         F.col("_hs").alias("r_hs"),
     )
-    cand = (
-        l.join(
-            r,
-            (l.band_id == r.band_id_r)
-            & (l.band_key == r.band_key_r)
-            & (l.left_doc < r.right_doc),
+    try:
+        cand = (
+            l.join(
+                r,
+                (l.band_id == r.band_id_r)
+                & (l.band_key == r.band_key_r)
+                & (l.left_doc < r.right_doc),
+            )
+            .select("left_doc", "right_doc", "l_sig", "r_sig", "l_hs", "r_hs")
+            .dropDuplicates(["left_doc", "right_doc"])
+            .localCheckpoint()
         )
-        .select("left_doc", "right_doc", "l_sig", "r_sig", "l_hs", "r_hs")
-        .dropDuplicates(["left_doc", "right_doc"])
-    )
+    finally:
+        sigs.unpersist()
     return cand.select(
         "left_doc",
         "right_doc",
@@ -207,6 +213,9 @@ def simhash_dup_pairs(
     buckets. Output: left_doc, right_doc, hamming."""
     assert bits % bands == 0 and hamming_max < bands
     band_bits = bits // bands
+    # persist: the signature table feeds both join sides; localCheckpoint the
+    # (small) candidate set below so sh can be unpersisted HERE instead of
+    # leaking into the caller's session (library callers don't clearCache)
     sh = simhash(docs, bits).persist()
     banded = sh.select(
         "doc_id",
@@ -224,16 +233,20 @@ def simhash_dup_pairs(
         F.col("band_id").alias("band_id_r"), F.col("band_key").alias("band_key_r"),
         F.col("doc_id").alias("right_doc"), F.col("simhash").alias("r_sh"),
     )
-    cand = (
-        l.join(
-            r,
-            (l.band_id == r.band_id_r)
-            & (l.band_key == r.band_key_r)
-            & (l.left_doc < r.right_doc),
+    try:
+        cand = (
+            l.join(
+                r,
+                (l.band_id == r.band_id_r)
+                & (l.band_key == r.band_key_r)
+                & (l.left_doc < r.right_doc),
+            )
+            .select("left_doc", "right_doc", "l_sh", "r_sh")
+            .dropDuplicates(["left_doc", "right_doc"])
+            .localCheckpoint()  # eager: materializes the candidate join
         )
-        .select("left_doc", "right_doc", "l_sh", "r_sh")
-        .dropDuplicates(["left_doc", "right_doc"])
-    )
+    finally:
+        sh.unpersist()
     return cand.select(
         "left_doc",
         "right_doc",
@@ -278,35 +291,40 @@ def dedup_components(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
         .withColumn("component", F.col("doc_id"))
         .localCheckpoint()
     )
-    for _ in range(max_iters):
-        neigh = (
-            edges.join(labels, edges.b == labels.doc_id)
-            .groupBy(F.col("a").alias("doc_id"))
-            .agg(F.min("component").alias("_nc"))
-        )
-        new_labels = (
-            labels.join(neigh, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(F.col("component"), F.coalesce("_nc", F.col("component"))).alias(
-                    "component"
-                ),
+    try:
+        for _ in range(max_iters):
+            neigh = (
+                edges.join(labels, edges.b == labels.doc_id)
+                .groupBy(F.col("a").alias("doc_id"))
+                .agg(F.min("component").alias("_nc"))
             )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.expr("n.component != o.component"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    else:
+            # convergence folded into the round's single action: the changed
+            # flag rides along as a column, the LAZY localCheckpoint
+            # materializes on the count() below — one job per round, not a
+            # propagation job plus a separate diff-join job
+            new_labels = (
+                labels.join(neigh, "doc_id", "left")
+                .select(
+                    F.col("doc_id"),
+                    F.least(
+                        F.col("component"), F.coalesce("_nc", F.col("component"))
+                    ).alias("_new"),
+                    F.col("component").alias("_old"),
+                )
+                .select(
+                    "doc_id",
+                    F.col("_new").alias("component"),
+                    (F.col("_new") != F.col("_old")).alias("_ch"),
+                )
+                .localCheckpoint(eager=False)
+            )
+            changed = new_labels.where("_ch").count()
+            labels = new_labels.select("doc_id", "component")
+            if changed == 0:
+                return labels
         raise RuntimeError(f"dedup_components: no fixpoint in {max_iters} rounds")
-    edges.unpersist()
-    return labels
+    finally:
+        edges.unpersist()
 
 
 # document-frequency cap for candidate-generating shingles: a shingle seen in

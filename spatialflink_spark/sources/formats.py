@@ -14,7 +14,11 @@ from pyspark.sql import functions as F
 
 # canonical CSV layout of a raw sequence event, mirroring the reference's
 # 14-column GPS CSV (sncb/common/CSVToGpsEventMapFunction.java:13-24):
-# ts_s(0), doc_id(1), source(2), text(3...) — text may contain no commas here
+# ts_s(0), doc_id(1), source(2), text(3...). Format contract: the limit-4
+# split puts text LAST so embedded commas in text survive, which requires
+# `source` to be comma-free and `text` non-null (concat_ws drops nulls,
+# shifting the line to 3 fields) — serializers must enforce this loudly
+# (see gate.q_csv_ingest's raise_error guard).
 SEQ_CSV_COLUMNS = ("ts_s", "doc_id", "source", "text")
 
 

@@ -81,6 +81,15 @@ def stage_replay_files(
             parts = sorted(glob.glob(os.path.join(tmp, f"_slice={i}", "part-*.parquet")))
             if not parts:
                 continue
+            # one slice == one partition == one part file (repartition by
+            # _slice). If a conf like maxRecordsPerFile ever splits a slice,
+            # fail loudly rather than silently dropping rows from the replay.
+            if len(parts) != 1:
+                raise RuntimeError(
+                    f"stage_replay_files: slice {i} produced {len(parts)} part "
+                    "files; replay expects exactly one per slice "
+                    "(is spark.sql.files.maxRecordsPerFile set?)"
+                )
             p = os.path.join(out_dir, f"batch_{i:04d}.parquet")
             os.replace(parts[0], p)
             mt = time.time() + i  # monotone mtimes -> deterministic replay order

@@ -170,7 +170,12 @@ def run_available_now(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise RuntimeError(
+            f"streaming query did not drain within {timeout_s}s "
+            f"(checkpoint={checkpoint}) — refusing to read a partial sink"
+        )
     return q
 
 
