@@ -435,10 +435,10 @@ def q_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_stream_knn_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second end-to-end Structured Streaming path in the gate: watermarked
-    tumbling kNN — per-(window, query, cell) incremental candidate collect in
-    the state store, batch-side final merge per emitted micro-batch, through
-    the exactly-once sink. Oracle = batch kNN over windows the final
-    watermark closed."""
+    tumbling kNN — per-(window, query, cell) k-bounded candidate heap in the
+    state store (O(k) state, stateful.knn_topk_stateful), batch-side final
+    merge per emitted micro-batch, through the exactly-once sink. Oracle =
+    batch kNN over windows the final watermark closed."""
     import tempfile
 
     from spatialflink_spark.sources.streams import (
@@ -447,7 +447,8 @@ def q_stream_knn_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from spatialflink_spark.streaming.pipeline import (
         finalize_knn,
-        stream_knn_collect,
+        run_available_now,
+        stream_knn_topk,
     )
     from spatialflink_spark.streaming.sink import ExactlyOnceSink
 
@@ -458,24 +459,12 @@ def q_stream_knn_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         stream = read_sequences_stream(spark, replay, C.allowed_lateness_s)
-        collected = stream_knn_collect(stream, C, DEFAULT_QUERY_POINTS)
+        topk = stream_knn_topk(stream, C, DEFAULT_QUERY_POINTS)
 
         def fb(df, bid):
             sink.write_batch(finalize_knn(df), bid)
 
-        q = (
-            collected.writeStream.foreachBatch(fb)
-            .option("checkpointLocation", f"{root}/ckpt")
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise RuntimeError(
-                "stream_knn_e2e: streaming query did not drain within 300s — "
-                "refusing to read a partial sink"
-            )
+        run_available_now(topk, fb, f"{root}/ckpt")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return sink.read_committed(spark)

@@ -179,79 +179,67 @@ def run_available_now(
     return q
 
 
-def stream_knn_collect(
+def stream_knn_topk(
     stream: DataFrame, cfg: EngineConfig, qs: Iterable[QueryPoint]
 ) -> DataFrame:
-    """Streaming half of the two-stage windowed kNN
-    (knn/PointPointKNNQuery.java:132-201): per (window, query, CELL) the
-    streaming aggregation maintains the radius-bounded candidate set
-    incrementally (collect_list in the state store — the per-cell heap
-    analog); rows emit at window close. The tiny final merge (per-doc
-    dedup-keep-min + global top-k, KNNQuery.java:204-308) runs batch-side on
-    each emitted micro-batch via `finalize_knn` — bounded by cells x k rows
-    per (window, query)."""
+    """Streaming half of the two-stage windowed kNN with O(k) state per
+    (window, query, cell) — the reference's per-cell size-k heap
+    (knn/PointPointKNNQuery.java:132-201). Grid-pruned candidates flow into
+    the stateful top-k operator (stateful.knn_topk_stateful), which keeps
+    only the k best docs per open window and emits them at window close.
+    The tiny final merge (per-doc dedup-keep-min + global top-k,
+    KNNQuery.java:204-308) runs batch-side per micro-batch via
+    `finalize_knn` — its input is bounded by cells x k rows per (window,
+    query) BY CONSTRUCTION, because the state itself is already cut.
+
+    Round 2 kept the full radius-qualifying candidate set per (window,
+    query, cell) in a collect_list state — O(candidates) state that a hot
+    (window, cell) under a wide query grows without bound (judged the one
+    genuine scale-killer). This operator is the fix."""
     spark = stream.sparkSession
     from spatialflink_spark.operators.range_query import query_cells_df
+    from spatialflink_spark.streaming.stateful import knn_topk_stateful
 
     qcells = query_cells_df(spark, cfg.grid, qs)
     s = stream.withColumn("cell", cell_expr(cfg.grid))
-    cand = s.join(F.broadcast(qcells), "cell").where(
-        F.col("guaranteed") | (F.expr("abs(n_tok - q_n_tok)") <= F.col("radius"))
+    cand = (
+        s.join(F.broadcast(qcells), "cell")
+        .where(
+            F.col("guaranteed") | (F.expr("abs(n_tok - q_n_tok)") <= F.col("radius"))
+        )
+        .select(
+            "event_ts",
+            "ts_s",
+            "q_id",
+            "k",
+            "cell",
+            "doc_id",
+            "seq_no",
+            F.expr("cast(abs(n_tok - q_n_tok) as int)").alias("dist"),
+        )
     )
-    collected = cand.groupBy(
-        F.window("event_ts", f"{cfg.tumbling_s} seconds").alias("win"),
-        "q_id",
-        "k",
-        "cell",
-    ).agg(
-        F.expr(
-            "collect_list(struct(abs(n_tok - q_n_tok) as dist, doc_id, seq_no))"
-        ).alias("cands")
-    )
-    return collected.select(
-        F.expr("cast(unix_timestamp(win.start) as bigint)").alias("ws"),
-        "q_id",
-        "k",
-        "cell",
-        "cands",
-    )
+    return knn_topk_stateful(cand, cfg.tumbling_s)
 
 
 def finalize_knn(batch_df: DataFrame) -> DataFrame:
-    """Batch-side final merge for stream_knn_collect output: per-cell cut,
-    per-doc dedup keep min (dist, seq_no), global rank, cut at k — identical
-    math to operators/knn.knn_windowed stage 1+2."""
+    """Batch-side final merge for stream_knn_topk output (already per-cell
+    top-k docs at min (dist, seq_no)): per-doc dedup keep min ACROSS cells
+    (KNNQuery.java:226-238), global rank, cut at k — identical math to
+    operators/knn.knn_windowed stage 2."""
     from pyspark.sql.window import Window
 
-    ex = batch_df.select(
-        "ws", "q_id", "k", "cell", F.explode("cands").alias("c")
-    ).select(
-        "ws", "q_id", "k", "cell",
-        F.col("c.dist").alias("dist"),
-        F.col("c.doc_id").alias("doc_id"),
-        F.col("c.seq_no").alias("seq_no"),
-    )
-    cell_doc = ex.groupBy("ws", "q_id", "k", "cell", "doc_id").agg(
+    per_doc = batch_df.groupBy("ws", "q_id", "k", "doc_id").agg(
         F.min(F.struct("dist", "seq_no")).alias("_m")
     )
-    w_cell = Window.partitionBy("ws", "q_id", "cell").orderBy(
-        F.col("_m.dist"), F.col("doc_id")
-    )
-    partial = cell_doc.withColumn("_r", F.row_number().over(w_cell)).where(
-        F.col("_r") <= F.col("k")
-    )
-    per_doc = partial.groupBy("ws", "q_id", "k", "doc_id").agg(
-        F.min("_m").alias("_m2")
-    )
     w_final = Window.partitionBy("ws", "q_id").orderBy(
-        F.col("_m2.dist"), F.col("doc_id")
+        F.col("_m.dist"), F.col("doc_id")
     )
     return (
         per_doc.withColumn("rank", F.row_number().over(w_final).cast("int"))
         .where(F.col("rank") <= F.col("k"))
         .select(
             "ws", "q_id", "rank", "doc_id",
-            F.col("_m2.seq_no").alias("seq_no"),
-            F.col("_m2.dist").alias("dist"),
+            F.col("_m.seq_no").alias("seq_no"),
+            F.col("_m.dist").alias("dist"),
         )
     )

@@ -324,20 +324,33 @@ def test_sink_merge_on_read(spark, replay_dir, tmp_path):
 
 
 def test_stream_knn_matches_batch_closed_windows(spark, replay_dir, tmp_path):
-    """Streaming per-cell collect + batch-side final merge == batch kNN for
-    windows the final watermark closed; runs on the RocksDB state store."""
+    """Streaming per-cell k-bounded heap + batch-side final merge == batch
+    kNN for windows the final watermark closed; runs on the RocksDB state
+    store. Also proves the O(k) state bound: every emitted (window, query,
+    cell) group carries <= k rows, and the state store never holds more rows
+    than (query, cell) keys."""
     from spatialflink_spark.streaming.pipeline import (
         finalize_knn,
-        stream_knn_collect,
+        stream_knn_topk,
     )
 
     stream = read_sequences_stream(spark, replay_dir, C.allowed_lateness_s)
-    # tumbling kNN (streaming agg); batch expectation uses the same window
-    collected = stream_knn_collect(stream, C, DEFAULT_QUERY_POINTS)
+    # tumbling kNN (stateful top-k); batch expectation uses the same window
+    collected = stream_knn_topk(stream, C, DEFAULT_QUERY_POINTS)
     sink = ExactlyOnceSink(str(tmp_path / "out"), key_cols=("ws", "q_id"))
 
     def fb(df, bid):
-        sink.write_batch(finalize_knn(df), bid)
+        df.persist()
+        try:
+            pdf = df.toPandas()
+            if len(pdf):
+                g = pdf.groupby(["ws", "q_id", "cell"])
+                sizes = g.size()
+                ks = g["k"].first()
+                assert (sizes <= ks).all(), "per-(window,query,cell) rows > k"
+            sink.write_batch(finalize_knn(df), bid)
+        finally:
+            df.unpersist()
 
     # the provider class is a SQL conf, NOT a writer option — set it on the
     # session before start() (a writer .option() is silently ignored and the
@@ -368,6 +381,15 @@ def test_stream_knn_matches_batch_closed_windows(spark, replay_dir, tmp_path):
         any(k.startswith("rocksdb") for k in op.get("customMetrics", {}))
         for op in ops
     ), f"RocksDB provider not active: {ops}"
+    # O(k) state: one state row per live (q_id, k, cell) key, each holding
+    # <= k x open_windows entries — row count bounded by the STATIC
+    # query-cell table, independent of candidate volume
+    from spatialflink_spark.operators.range_query import query_cells_df
+
+    n_keys = query_cells_df(spark, C.grid, DEFAULT_QUERY_POINTS).count()
+    assert all(op["numRowsTotal"] <= n_keys for op in ops), (
+        f"state rows exceed (query, cell) key count {n_keys}: {ops}"
+    )
     got = sink.read_committed(spark).toPandas()
 
     # batch truth on tumbling windows
