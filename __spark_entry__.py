@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_linestring_join": gate.q_point_linestring_join,
         "interval_linestring_join": gate.q_interval_linestring_join,
         "knn_unbounded": gate.q_knn_unbounded,
+        "knn_unbounded_pruned": gate.q_knn_unbounded_pruned,
     }
 
 
@@ -156,4 +157,6 @@ def oracle_sql() -> dict[str, str]:
         "point_linestring_join": osqla.point_linestring_join(),
         "interval_linestring_join": osqla.interval_linestring_join(),
         "knn_unbounded": osqla.knn_unbounded(),
+        # same golden: the pruned production form must be answer-identical
+        "knn_unbounded_pruned": osqla.knn_unbounded(),
     }

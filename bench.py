@@ -58,9 +58,14 @@ HEADLINE = [
     "interval_interval_join",
     "interval_knn",
     # knn_unbounded is gate-graded but bench-excluded like embedding_dup_pairs:
-    # it is the deliberate NO-PRUNE layer-expansion baseline (all rows are
-    # candidates for every query; ~12s at sf0.1 by design, vs ~1s for the
-    # grid-pruned knn queries that are its production form)
+    # it is the deliberate NO-PRUNE baseline (all rows are candidates for
+    # every query — O(rows x queries) work that only looks cheap at sf0.1
+    # because 180k rows fit one codegen pass). Its production form — the
+    # prefix-count layer probe + verified radius-bounded cut, whose scan
+    # volume is O(candidate cells) — IS benchmarked; at toy scale its 2-3
+    # fixed probe/verify jobs make it SLOWER than the brute scan (~2s vs
+    # ~1s), the crossover favoring pruning as row count grows:
+    "knn_unbounded_pruned",
     "linestring_range",
     "linestring_knn",
     "point_linestring_join",

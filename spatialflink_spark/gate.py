@@ -519,10 +519,19 @@ def q_interval_linestring_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_knn_unbounded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unbounded (layer-expansion) kNN on tumbling windows."""
+    """Unbounded kNN, no-prune baseline (bench-excluded by design)."""
     from spatialflink_spark.operators.knn import knn_unbounded
 
     return knn_unbounded(_seq_t(spark, sf_dir), C.grid, DEFAULT_QUERY_POINTS)
+
+
+def q_knn_unbounded_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbounded kNN, production form: prefix-count layer probe picks the
+    radius, verified distinct-doc expansion, radius-bounded cut — same
+    oracle as knn_unbounded (answer-identical by construction)."""
+    from spatialflink_spark.operators.knn import knn_unbounded_pruned
+
+    return knn_unbounded_pruned(_seq_t(spark, sf_dir), C.grid, DEFAULT_QUERY_POINTS)
 
 
 def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -91,13 +91,10 @@ def knn_windowed_qdf(seq_with_ws: DataFrame, grid: GridConfig, qs) -> DataFrame:
 
 
 def knn_unbounded(seq_with_ws: DataFrame, grid: GridConfig, qs) -> DataFrame:
-    """Unbounded kNN — no radius cut. The reference reaches this via
-    iterative grid-layer expansion (UniformGrid.getNeighboringLayerCells /
-    getAllNeighboringLayers, UniformGrid.java:447-501): grow the cell ring
-    until k neighbors are found. Declaratively the fixpoint of that loop is
-    simply the global per-doc min-distance top-k with NO candidate bound —
-    Catalyst's partial aggregation gives the per-partition pruning the layer
-    loop hand-codes. Output shape matches knn_windowed."""
+    """Unbounded kNN, NO-PRUNE BASELINE — every row is a candidate for every
+    query. The production form is knn_unbounded_pruned below; this one exists
+    as its recall/answer oracle shape and is bench-excluded by design.
+    Output shape matches knn_windowed."""
     from pyspark.sql import functions as F2
 
     spark = seq_with_ws.sparkSession
@@ -120,3 +117,151 @@ def knn_unbounded(seq_with_ws: DataFrame, grid: GridConfig, qs) -> DataFrame:
             F2.col("_m.dist").alias("dist"),
         )
     )
+
+
+def knn_unbounded_pruned(
+    seq_with_ws: DataFrame, grid: GridConfig, qs, max_rounds: int = 8
+) -> DataFrame:
+    """Unbounded kNN, PRODUCTION FORM — the reference's iterative grid-layer
+    expansion (UniformGrid.getNeighboringLayerCells / getAllNeighboringLayers,
+    UniformGrid.java:447-501; driven from PointPointKNNQuery's unbounded
+    path): stop scanning once k neighbors are guaranteed, instead of scanning
+    every row like knn_unbounded.
+
+    Physical strategy (answer-identical to knn_unbounded by construction):
+
+    1. PROBE — build the per-(window, cell) count structure (count + observed
+       n_tok extents; the same candidate structure range_count_prefix builds)
+       and, per (window, query), walk cell layers outward from the query's
+       cell (layer = |cell - q_cell|) until the cumulative row count reaches
+       k. The layer's observed extents give a distance upper bound r0 such
+       that >= k ROWS lie within r0. O(windows x cells) work — no data row
+       is touched by the probe.
+    2. VERIFY + EXPAND — rows >= k does not imply k DISTINCT docs, so count
+       distinct docs within r per (window, query); any group still short
+       doubles its radius (capped at r_all, the bound covering every row in
+       the window) and re-verifies — the literal layer-expansion loop, a few
+       driver-checked rounds at most because r0 is already near-correct.
+    3. CUT — radius-bounded candidates -> per-doc dedup-keep-min -> global
+       rank cut at k (knn_windowed stage 2). Exactness: any doc outside the
+       final radius has dist strictly greater than the k-th candidate doc's
+       min dist, so it cannot displace a result row (nor shift a tie, since
+       ties require equal dist).
+
+    Output shape matches knn_unbounded: ws, q_id, rank, doc_id, seq_no, dist.
+    """
+    from spatialflink_spark.operators.cells import with_cell
+
+    spark = seq_with_ws.sparkSession
+    cl = grid.cell_len
+    s = with_cell(seq_with_ws, grid).select(
+        "ws", "cell", "doc_id", "seq_no", "n_tok"
+    ).persist()
+    try:
+        qdf = spark.createDataFrame(
+            [(q.q_id, q.q_n_tok, q.k, grid.cell_of(q.q_n_tok)) for q in qs],
+            "q_id string, q_n_tok int, k int, qc int",
+        )
+        # -- probe: layer walk over the per-(ws, cell) count structure --
+        pc = s.groupBy("ws", "cell").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("n_tok").alias("mn"),
+            F.max("n_tok").alias("mx"),
+        )
+        j = pc.join(F.broadcast(qdf)).select(
+            "ws", "q_id", "k", "q_n_tok", "n", "cell",
+            F.expr("abs(cell - qc)").alias("layer"),
+            # max dist from q to any OBSERVED row in this (ws, cell) — tight
+            # (no clamped-top-cell caveat) because it uses data extents
+            F.expr("greatest(abs(q_n_tok - mn), abs(q_n_tok - mx))").alias("bound"),
+        )
+        w = (
+            Window.partitionBy("ws", "q_id")
+            .orderBy("layer", "cell")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        probed = j.select(
+            "ws", "q_id", "k", "q_n_tok",
+            F.sum("n").over(w).alias("cum"),
+            F.max("bound").over(w).alias("rb"),
+        )
+        radii = probed.groupBy("ws", "q_id", "k", "q_n_tok").agg(
+            F.min(F.when(F.col("cum") >= F.col("k"), F.col("rb"))).alias("r_sat"),
+            F.max("rb").alias("r_all"),
+        ).select(
+            "ws", "q_id", "k", "q_n_tok", "r_all",
+            F.coalesce("r_sat", "r_all").alias("r"),
+        )  # tiny (one row per window x query); stays lazy — it materializes
+        #    inside the cut pass's broadcast, no standalone probe job
+
+        def per_doc_cut(radii_df: DataFrame) -> DataFrame:
+            # cell-range pruning: redundant with the dist filter at local
+            # scale, but prunes buckets/partitions when the table is
+            # bucketed by cell at cluster scale. The distinct-doc count nd
+            # used for verification is the per-group row count of this very
+            # aggregate — verification costs no extra pass.
+            cand = s.join(F.broadcast(radii_df), "ws").where(
+                F.col("cell").between(
+                    F.expr(f"cast(greatest(floor((q_n_tok - r) / {cl}), 0) as int)"),
+                    F.expr(
+                        f"cast(least(floor((q_n_tok + r) / {cl}), "
+                        f"{grid.num_cells - 1}) as int)"
+                    ),
+                )
+                & (F.expr("abs(n_tok - q_n_tok)") <= F.col("r"))
+            )
+            return (
+                cand.withColumn("dist", F.expr("abs(n_tok - q_n_tok)"))
+                .groupBy("ws", "q_id", "k", "q_n_tok", "r", "r_all", "doc_id")
+                .agg(F.min(F.struct("dist", "seq_no")).alias("_m"))
+                .withColumn(
+                    "nd", F.count(F.lit(1)).over(Window.partitionBy("ws", "q_id"))
+                )
+                .localCheckpoint(eager=False)  # materializes on the count()
+            )
+
+        # a group is DONE when it holds >= k distinct docs OR its radius
+        # already covers every row in the window (then "all docs" IS the
+        # answer, k or not)
+        unsat_cond = (F.col("nd") < F.col("k")) & (F.col("r") < F.col("r_all"))
+        parts: list[DataFrame] = []
+        for _ in range(max_rounds):
+            pd_cut = per_doc_cut(radii)
+            parts.append(pd_cut.where(~unsat_cond))
+            unsat = pd_cut.where(unsat_cond)
+            if unsat.count() == 0:  # one job: checkpoint + convergence check
+                break
+            # layer expansion for the still-short groups only
+            radii = unsat.select(
+                "ws", "q_id", "k", "q_n_tok", "r_all",
+                F.least(
+                    F.greatest(F.col("r") * 2, F.lit(cl)), F.col("r_all")
+                ).alias("r"),
+            ).distinct()
+        else:
+            raise RuntimeError(
+                f"knn_unbounded_pruned: radius expansion did not satisfy k "
+                f"within {max_rounds} rounds"
+            )
+
+        merged = parts[0]
+        for p in parts[1:]:
+            merged = merged.unionByName(p)
+        w_final = Window.partitionBy("ws", "q_id").orderBy(
+            F.col("_m.dist"), F.col("doc_id")
+        )
+        # every part is already materialized (the lazy localCheckpoint was
+        # computed by its round's convergence count), so the final rank cut
+        # reads from the checkpoints — s can be unpersisted without the
+        # returned plan ever touching it again
+        return (
+            merged.withColumn("rank", F.row_number().over(w_final).cast("int"))
+            .where(F.col("rank") <= F.col("k"))
+            .select(
+                "ws", "q_id", "rank", "doc_id",
+                F.col("_m.seq_no").alias("seq_no"),
+                F.col("_m.dist").alias("dist"),
+            )
+        )
+    finally:
+        s.unpersist()

@@ -140,3 +140,25 @@ def test_blocked_dup_pairs_full_recall_on_true_near_dups(spark):
     expected = {(i * 2, i * 2 + 1) for i in range(40)}
     got = {(r.left_vec, r.right_vec) for r in found.itertuples()}
     assert expected <= got, f"missed {sorted(expected - got)[:5]}"
+
+
+def test_knn_unbounded_pruned_expansion_path(spark):
+    """Force the verify+expand round: one hot doc contributes >= k ROWS at
+    distance 0 (so the probe's row-count radius is 0), while the other k-1
+    distinct docs sit far away — the pruned form must detect docs < k and
+    expand its radius until the answer equals the no-prune baseline."""
+    from spatialflink_spark.config import QueryPoint
+    from spatialflink_spark.operators.knn import knn_unbounded, knn_unbounded_pruned
+
+    rows = [(1, s, 48, 0) for s in range(12)]  # hot doc: 12 rows at q exactly
+    rows += [(100 + d, 0, 120, 0) for d in range(9)]  # far docs, one row each
+    seq = spark.createDataFrame(
+        rows, "doc_id bigint, seq_no int, n_tok int, ws bigint"
+    )
+    qs = [QueryPoint("q_exp", 48, 0, 5)]
+    keys = ["ws", "q_id", "rank"]
+    got = knn_unbounded_pruned(seq, C.grid, qs).toPandas().sort_values(keys)
+    exp = knn_unbounded(seq, C.grid, qs).toPandas().sort_values(keys)
+    assert len(got) == len(exp) == 5
+    for c in ["ws", "q_id", "rank", "doc_id", "seq_no", "dist"]:
+        assert (got[c].values == exp[c].values).all(), c
