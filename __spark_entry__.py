@@ -87,6 +87,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_range_count": gate.q_interval_range_count,
         "interval_interval_join": gate.q_interval_interval_join,
         "interval_knn": gate.q_interval_knn,
+        # multi-interval (multi-geometry) type combinations
+        "multiinterval_range": gate.q_multiinterval_range,
+        "multiinterval_join": gate.q_multiinterval_join,
         # linestring (vertex-set polyline) type combinations
         "linestring_range": gate.q_linestring_range,
         "linestring_knn": gate.q_linestring_knn,
@@ -152,6 +155,8 @@ def oracle_sql() -> dict[str, str]:
         "interval_range_count": osqla.interval_range_count(),
         "interval_interval_join": osqla.interval_interval_join(),
         "interval_knn": osqla.interval_knn(),
+        "multiinterval_range": osqla.multiinterval_range(),
+        "multiinterval_join": osqla.multiinterval_join(),
         "linestring_range": osqla.linestring_range(),
         "linestring_knn": osqla.linestring_knn(),
         "point_linestring_join": osqla.point_linestring_join(),

@@ -66,6 +66,8 @@ HEADLINE = [
     # fixed probe/verify jobs make it SLOWER than the brute scan (~2s vs
     # ~1s), the crossover favoring pruning as row count grows:
     "knn_unbounded_pruned",
+    "multiinterval_range",
+    "multiinterval_join",
     "linestring_range",
     "linestring_knn",
     "point_linestring_join",

@@ -493,6 +493,23 @@ def q_interval_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return iv_ops.interval_knn(_seq_t(spark, sf_dir), C.grid, DEFAULT_QUERY_POINTS)
 
 
+# ---- multi-interval (multi-geometry) type combos -----------------------------
+
+from spatialflink_spark.operators import multiintervals as mi_ops  # noqa: E402
+
+
+def q_multiinterval_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-query range over the multi-interval (multi-geometry) stream."""
+    return mi_ops.multiinterval_range(
+        _seq_t(spark, sf_dir), C.grid, DEFAULT_QUERY_POINTS
+    )
+
+
+def q_multiinterval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed point-multiinterval join (Point-MultiPolygon combo)."""
+    return mi_ops.multiinterval_join(_seq_t(spark, sf_dir), C.grid, C.join_radius)
+
+
 # ---- linestring (vertex-set polyline) type combos ---------------------------
 
 from spatialflink_spark.operators import linestrings as ls_ops  # noqa: E402

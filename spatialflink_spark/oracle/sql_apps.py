@@ -551,3 +551,54 @@ SELECT doc_id,
        CAST(length(text) AS INT) AS n_chars
 FROM documents
 """
+
+
+def _mi_duck_dist(tbl: str, p: str) -> str:
+    """DuckDB twin of operators/multiintervals._mi_dist + SPANS_EXPR: the
+    min-over-parts 1-D bbox distance, with the spans generated inline from
+    the same deterministic arithmetic (m = doc_id%3+1 spans at stride 17)."""
+    from spatialflink_spark.operators.multiintervals import SPAN_STRIDE
+
+    return (
+        f"list_min(list_transform(range(0, CAST({tbl}.doc_id % 3 AS INT) + 1), "
+        f"j -> greatest(0, "
+        f"greatest({tbl}.n_tok + {SPAN_STRIDE}*j - ({tbl}.doc_id % 5 + 1), 0) - {p}, "
+        f"{p} - ({tbl}.n_tok + {SPAN_STRIDE}*j + ({tbl}.doc_id % 7 + 2)))))"
+    )
+
+
+def multiinterval_range() -> str:
+    """Multi-geometry range twin (operators/multiintervals
+    .multiinterval_range): all-objects scan, min-over-parts distance."""
+    return f"""{_prologue(tumbling=True)}
+, scored AS (
+  SELECT s.ws, q.q_id, s.doc_id AS mi_id, s.seq_no AS mi_seq,
+         {_mi_duck_dist('s', 'q.q_n_tok')} AS dist, q.radius
+  FROM seq_t s CROSS JOIN {qpoints_values()}
+)
+SELECT ws, q_id, mi_id, mi_seq, dist FROM scored WHERE dist <= radius
+"""
+
+
+def multiinterval_join(radius: int | None = None) -> str:
+    """Point-MultiPolygon join twin: min-over-parts distance, id-skip,
+    latest-per-pair dedup (struct-max field order pair_ts, seq_no, mi_seq)."""
+    radius = C.join_radius if radius is None else radius
+    vd = _mi_duck_dist("i", "p.n_tok")
+    return f"""{_prologue(tumbling=True)}
+, pairs AS (
+  SELECT p.ws, p.doc_id, i.doc_id AS mi_id,
+         p.seq_no, i.seq_no AS mi_seq,
+         {vd} AS dist,
+         greatest(p.ts_s, i.ts_s) AS pair_ts
+  FROM seq_t p JOIN seq_t i
+    ON p.ws = i.ws AND p.doc_id <> i.doc_id AND {vd} <= {radius}
+),
+dedup AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY ws, doc_id, mi_id
+    ORDER BY pair_ts DESC, seq_no DESC, mi_seq DESC, dist DESC) AS rn
+  FROM pairs
+)
+SELECT ws, doc_id, mi_id, dist, pair_ts FROM dedup WHERE rn = 1
+"""
