@@ -97,6 +97,31 @@ HEADLINE = [
 ]
 
 
+# the previous round's benchmarked query list (BENCH_r02.json): totals are
+# only comparable across rounds on the common subset, so bench emits a
+# common_subset_total alongside the full total as queries get added
+PREV_ROUND_QUERIES = [
+    "range_tumbling_count", "range_prefix_counts", "range_rows", "knn_sliding",
+    "join_self_tumbling", "variation_sliding", "variance_sliding",
+    "trajectory_tumbling", "heatmap_sliding", "tstats_running",
+    "tstats_windowed", "events_sessionize", "events_sliding_stats",
+    "range_approx", "trajectory_restricted", "fence_speed_alert",
+    "exclude_cells", "include_cells", "staytime_cells", "staytime_normalized",
+    "checkin_fill", "checkin_occupancy", "tknn_trajectories",
+    "trange_trajectories", "join_two_streams", "variation_salted",
+    "events_json_props", "serde_roundtrip", "csv_ingest",
+    "count_windows_tumbling", "interval_containment_join",
+    "interval_range_count", "interval_interval_join", "interval_knn",
+    "linestring_range", "linestring_knn", "point_linestring_join",
+    "interval_linestring_join", "stream_range_e2e", "stream_knn_e2e",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_components", "simhash",
+    "simhash_dup_pairs", "dedup_ngram_jaccard", "cosine_topk",
+    "cosine_topk_ivf", "cosine_topk_ivf_multiprobe",
+    "embedding_dup_pairs_blocked", "lang_id", "quality_score", "token_counts",
+    "doc_fingerprint", "media_features",
+]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -133,6 +158,7 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    common = [q for q in PREV_ROUND_QUERIES if q in timings]
     out = {
         "metric": "gate_queries_total",
         "value": round(sum(timings.values()), 3),
@@ -141,6 +167,9 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": cpus,
         "runs_per_query": runs,  # value = sum of per-query minimums
+        # apples-to-apples vs the previous round's BENCH json
+        "common_subset_total": round(sum(timings[q] for q in common), 3),
+        "common_subset_n": len(common),
     }
     print(json.dumps(out))
 

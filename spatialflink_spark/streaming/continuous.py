@@ -77,3 +77,35 @@ def continuous_range_alerts(
         ).alias("matched_q_ids"),
     )
     return matched.where(F.expr("size(matched_q_ids) > 0"))
+
+
+def continuous_join_alerts(
+    stream: DataFrame, others: list[tuple[int, int]], radius: int
+) -> DataFrame:
+    """Per-record RT join — the reference's per-element join trigger
+    (tJoin/TJoinQuery.java:215-260: every arriving point immediately joins
+    the other stream's registered objects and emits its pairs). Continuous
+    mode forbids joins, but the small side is exactly the broadcast state
+    the reference keeps per cell — inlined as an ARRAY LITERAL of
+    (o_id, o_n_tok) structs, the whole per-record pipeline is Project/Filter
+    (higher-order filter/transform) and runs under trigger(continuous=...).
+
+    Emits each arriving row the instant it has >= 1 partner within `radius`
+    (id-skip like the self-join), partner ids as an array column."""
+    olits = ", ".join(
+        f"named_struct('o_id', cast({oid} as bigint), 'o_n_tok', {ont})"
+        for oid, ont in others
+    )
+    matched = stream.select(
+        "event_ts",
+        "doc_id",
+        "seq_no",
+        "n_tok",
+        "source",
+        F.expr(
+            f"transform(filter(array({olits}), "
+            f"o -> abs(n_tok - o.o_n_tok) <= {radius} AND o.o_id != doc_id), "
+            "o -> o.o_id)"
+        ).alias("matched_ids"),
+    )
+    return matched.where(F.expr("size(matched_ids) > 0"))

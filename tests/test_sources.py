@@ -122,3 +122,52 @@ def test_json_serialize_roundtrip(spark):
             (list(x) == list(y)) if isinstance(x, (list, tuple)) or hasattr(x, "__len__") and not isinstance(x, str) else x == y
             for x, y in zip(av, bv)
         ), c
+
+
+def test_kafka_parse_chain_matches_sequences_oracle(spark):
+    """Kafka parse-path contract (no broker needed): recorded Kafka-shaped
+    frames (key/value BINARY + topic/partition/offset metadata, exactly the
+    relation format("kafka") produces) pushed through the SAME value-bytes ->
+    cast -> parse_json_lines -> derive_sequences chain that
+    read_kafka_raw_stream wires (sources/streams.py) must reproduce the
+    canonical sequences table bit-for-bit for the same documents."""
+    from pyspark.sql import functions as F
+
+    from spatialflink_spark.sources.sequences import derive_sequences, sequences
+    from tests.conftest import SF_SMALL
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    # record the frames: one Kafka message per doc, value = the JSON the
+    # reference's producer would emit (JSONKeyValueDeserializationSchema)
+    frames = docs.select(
+        F.expr("cast(cast(doc_id as string) as binary)").alias("key"),
+        F.expr(
+            "cast(to_json(named_struct("
+            "'ts_s', cast(1700000000 + doc_id % 1000 as bigint), "
+            "'doc_id', doc_id, 'source', source, 'text', text)) as binary)"
+        ).alias("value"),
+        F.lit("seq-topic").alias("topic"),
+        F.expr("cast(doc_id % 4 as int)").alias("partition"),
+        F.col("doc_id").alias("offset"),
+    )
+    # the exact parse chain of read_kafka_raw_stream, applied in batch
+    from spatialflink_spark.sources.formats import parse_json_lines
+
+    lines = frames.selectExpr("cast(value as string) as value")
+    parsed = parse_json_lines(lines)
+    got = (
+        derive_sequences(parsed)
+        .toPandas()
+        .sort_values(["doc_id", "seq_no"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        sequences(spark, SF_SMALL)
+        .toPandas()
+        .sort_values(["doc_id", "seq_no"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp) > 0
+    for c in ["doc_id", "seq_no", "n_tok", "source", "ts_s"]:
+        assert (got[c].values == exp[c].values).all(), c
+    assert all(list(a) == list(b) for a, b in zip(got["tokens"], exp["tokens"]))
