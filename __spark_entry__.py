@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multi-interval (multi-geometry) type combinations
         "multiinterval_range": gate.q_multiinterval_range,
         "multiinterval_join": gate.q_multiinterval_join,
+        "multiinterval_knn": gate.q_multiinterval_knn,
         # linestring (vertex-set polyline) type combinations
         "linestring_range": gate.q_linestring_range,
         "linestring_knn": gate.q_linestring_knn,
@@ -157,6 +158,7 @@ def oracle_sql() -> dict[str, str]:
         "interval_knn": osqla.interval_knn(),
         "multiinterval_range": osqla.multiinterval_range(),
         "multiinterval_join": osqla.multiinterval_join(),
+        "multiinterval_knn": osqla.multiinterval_knn(),
         "linestring_range": osqla.linestring_range(),
         "linestring_knn": osqla.linestring_knn(),
         "point_linestring_join": osqla.point_linestring_join(),

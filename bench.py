@@ -68,6 +68,7 @@ HEADLINE = [
     "knn_unbounded_pruned",
     "multiinterval_range",
     "multiinterval_join",
+    "multiinterval_knn",
     "linestring_range",
     "linestring_knn",
     "point_linestring_join",

@@ -510,6 +510,11 @@ def q_multiinterval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mi_ops.multiinterval_join(_seq_t(spark, sf_dir), C.grid, C.join_radius)
 
 
+def q_multiinterval_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-MultiPolygon kNN combo over the multi-interval stream."""
+    return mi_ops.multiinterval_knn(_seq_t(spark, sf_dir), C.grid, DEFAULT_QUERY_POINTS)
+
+
 # ---- linestring (vertex-set polyline) type combos ---------------------------
 
 from spatialflink_spark.operators import linestrings as ls_ops  # noqa: E402

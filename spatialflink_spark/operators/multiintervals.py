@@ -144,3 +144,56 @@ def multiinterval_join(seq_ws: DataFrame, grid: GridConfig, radius: int) -> Data
         F.col("_m.dist").alias("dist"),
         F.col("_m.pair_ts").alias("pair_ts"),
     )
+
+
+def multiinterval_knn(seq_ws: DataFrame, grid: GridConfig, qs) -> DataFrame:
+    """Point-query kNN over the MULTI-INTERVAL stream — the Point-
+    MultiPolygon kNN combo (knn/PointPolygonKNNQuery applied per part,
+    min over parts): top-k multi objects per (window, query) by the
+    min-over-parts 1-D bbox distance.
+
+    Same two-stage shape as knn.knn_windowed: radius-bounded candidates via
+    the union-of-parts covered-cell broadcast equi-join (guaranteed-cell
+    bypass sound — a part overlapping a guaranteed cell has a point within
+    the radius), per-cell partial top-k after per-object dedup-keep-min,
+    bounded global merge. Output: ws, q_id, rank, mi_id, mi_seq, dist."""
+    from pyspark.sql.window import Window
+
+    from spatialflink_spark.operators.range_query import query_cells_df
+
+    spark = seq_ws.sparkSession
+    qcells = query_cells_df(spark, grid, qs)
+    rep = mi_stream(seq_ws).withColumn(
+        "cell", F.explode(F.expr(_covered_cells_expr(grid)))
+    )
+    cand = (
+        rep.join(F.broadcast(qcells), "cell")
+        .withColumn("dist", F.expr(_mi_dist("q_n_tok")))
+        .where(F.col("guaranteed") | (F.col("dist") <= F.col("radius")))
+    )
+    cell_mi_min = cand.groupBy("ws", "q_id", "k", "cell", "mi_id").agg(
+        F.min(F.struct("dist", "mi_seq")).alias("_m")
+    )
+    w_cell = Window.partitionBy("ws", "q_id", "cell").orderBy(
+        F.col("_m.dist"), F.col("mi_id")
+    )
+    partial = (
+        cell_mi_min.withColumn("_r", F.row_number().over(w_cell))
+        .where(F.col("_r") <= F.col("k"))
+        .drop("_r")
+    )
+    per_mi = partial.groupBy("ws", "q_id", "k", "mi_id").agg(
+        F.min("_m").alias("_m2")
+    )
+    w_final = Window.partitionBy("ws", "q_id").orderBy(
+        F.col("_m2.dist"), F.col("mi_id")
+    )
+    return (
+        per_mi.withColumn("rank", F.row_number().over(w_final).cast("int"))
+        .where(F.col("rank") <= F.col("k"))
+        .select(
+            "ws", "q_id", "rank", "mi_id",
+            F.col("_m2.mi_seq").alias("mi_seq"),
+            F.col("_m2.dist").alias("dist"),
+        )
+    )

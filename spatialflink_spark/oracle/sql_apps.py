@@ -602,3 +602,29 @@ dedup AS (
 )
 SELECT ws, doc_id, mi_id, dist, pair_ts FROM dedup WHERE rn = 1
 """
+
+
+def multiinterval_knn() -> str:
+    """Point-MultiPolygon kNN twin: min-over-parts distance, per-object
+    dedup-keep-min, rank cut to k."""
+    vd = _mi_duck_dist("s", "q.q_n_tok")
+    return f"""{_prologue(tumbling=True)}
+, cand AS (
+  SELECT s.ws, q.q_id, q.k, s.doc_id AS mi_id, s.seq_no AS mi_seq,
+         {vd} AS dist
+  FROM seq_t s
+  JOIN {qpoints_values()} ON {vd} <= q.radius
+),
+per_mi AS (
+  SELECT ws, q_id, k, mi_id, mi_seq, dist,
+         row_number() OVER (PARTITION BY ws, q_id, mi_id ORDER BY dist, mi_seq) AS rd
+  FROM cand
+),
+ranked AS (
+  SELECT ws, q_id, k, mi_id, mi_seq, dist,
+         row_number() OVER (PARTITION BY ws, q_id ORDER BY dist, mi_id) AS rank
+  FROM per_mi WHERE rd = 1
+)
+SELECT ws, q_id, CAST(rank AS INT) AS rank, mi_id, mi_seq, dist
+FROM ranked WHERE rank <= k
+"""

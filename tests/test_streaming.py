@@ -742,3 +742,61 @@ def test_heatmap_state_plateaus_under_eviction(spark, tmp_path):
     # and eviction actually engaged: the final emission holds fewer docs
     # than the peak plus it saw every batch (one emission per micro-batch)
     assert len(got) >= n_batches - 1
+
+
+def test_stream_knn_resume_from_checkpoint(spark, replay_dir, tmp_path):
+    """Kill the stateful top-k kNN stream after its first commit; resume from
+    the same checkpoint (k-heaps + event-time timeouts live in the state
+    store); final sink must equal batch kNN for closed windows with no
+    duplicate keys across the kill/restart boundary."""
+    import time as _time
+
+    from spatialflink_spark.streaming.pipeline import finalize_knn, stream_knn_topk
+
+    sink = ExactlyOnceSink(str(tmp_path / "out"), key_cols=("ws", "q_id", "rank"))
+    ckpt = str(tmp_path / "ckpt")
+
+    def fb(df, bid):
+        sink.write_batch(finalize_knn(df), bid)
+
+    # phase 1: process at least one micro-batch then stop mid-stream
+    stream = read_sequences_stream(spark, replay_dir, C.allowed_lateness_s)
+    q = (
+        stream_knn_topk(stream, C, DEFAULT_QUERY_POINTS)
+        .writeStream.foreachBatch(fb)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    deadline = _time.time() + 60
+    while _time.time() < deadline and not sink.committed_batches():
+        _time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(30)
+    assert len(sink.committed_batches()) >= 1
+
+    # phase 2: resume from the same checkpoint, drain the rest
+    stream2 = read_sequences_stream(spark, replay_dir, C.allowed_lateness_s)
+    run_available_now(
+        stream_knn_topk(stream2, C, DEFAULT_QUERY_POINTS), fb, ckpt
+    )
+
+    got = sink.read_committed(spark).toPandas()
+    assert not got.duplicated(subset=["ws", "q_id", "rank"]).any()
+
+    from spatialflink_spark.operators.knn import knn_windowed
+    from pyspark.sql import functions as F
+
+    seq_t = sequences(spark, SF_SMALL).withColumn(
+        "ws", F.expr(f"cast(floor(ts_s / {C.tumbling_s}) * {C.tumbling_s} as bigint)")
+    )
+    exp = knn_windowed(seq_t, C.grid, DEFAULT_QUERY_POINTS).toPandas()
+    max_ts = sequences(spark, SF_SMALL).agg({"ts_s": "max"}).collect()[0][0]
+    closed = exp[exp["ws"] + C.tumbling_s <= max_ts - C.allowed_lateness_s]
+    keys = ["ws", "q_id", "rank"]
+    a = got.sort_values(keys).reset_index(drop=True)
+    b = closed.sort_values(keys).reset_index(drop=True)
+    assert len(a) == len(b)
+    for c in ["ws", "q_id", "rank", "doc_id", "seq_no", "dist"]:
+        assert (a[c].values == b[c].values).all(), c
