@@ -800,3 +800,107 @@ def test_stream_knn_resume_from_checkpoint(spark, replay_dir, tmp_path):
     assert len(a) == len(b)
     for c in ["ws", "q_id", "rank", "doc_id", "seq_no", "dist"]:
         assert (a[c].values == b[c].values).all(), c
+
+
+def test_knn_topk_heap_property():
+    """Property test of the k-heap maintenance in make_knn_topk_fn (no Spark
+    needed): for ANY arrival order, duplicate-doc pattern and batch split,
+    the incrementally maintained O(k) state must emit exactly the brute-force
+    per-window top-k docs at their per-doc min (dist, seq_no) — the eviction-
+    safety argument (an evicted doc can only re-enter by beating the current
+    worst) checked mechanically across thousands of random streams."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from spatialflink_spark.streaming.stateful import make_knn_topk_fn
+
+    T = 60
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+            self.wm_ms = 0
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+        def remove(self):
+            self._v = None
+
+        def getCurrentWatermarkMs(self):
+            return self.wm_ms
+
+        def setTimeoutTimestamp(self, ts_ms):
+            assert ts_ms > self.wm_ms  # Spark enforces this
+            self.timeout = ts_ms
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(0, 2),   # window index
+                st.integers(0, 9),   # doc_id
+                st.integers(0, 5),   # seq_no
+                st.integers(0, 20),  # dist
+            ),
+            min_size=1,
+            max_size=60,
+        ),
+        k=st.integers(1, 4),
+        n_chunks=st.integers(1, 4),
+    )
+    def check(rows, k, n_chunks):
+        fn = make_knn_topk_fn(T)
+        state = FakeState()
+        emitted = []
+        step = max(1, -(-len(rows) // n_chunks))
+        for i in range(0, len(rows), step):
+            chunk = rows[i : i + step]
+            pdf = pd.DataFrame(
+                {
+                    "ts_s": [w * T + 5 for w, _, _, _ in chunk],
+                    "doc_id": [d for _, d, _, _ in chunk],
+                    "seq_no": [s for _, _, s, _ in chunk],
+                    "dist": [x for _, _, _, x in chunk],
+                }
+            )
+            emitted.extend(
+                r for out in fn(("q", k, 0), [pdf], state)
+                for r in out.to_dict("records")
+            )
+        state.wm_ms = 10**12  # final watermark: close every window
+        emitted.extend(
+            r for out in fn(("q", k, 0), [], state)
+            for r in out.to_dict("records")
+        )
+        assert not state.exists  # fully flushed
+
+        # brute force: per window, per-doc min (dist, seq), top-k by (dist, doc)
+        from collections import defaultdict
+
+        per_win: dict[int, dict[int, tuple[int, int]]] = defaultdict(dict)
+        for w, d, s, x in rows:
+            ws = w * T
+            cur = per_win[ws].get(d)
+            if cur is None or (x, s) < cur:
+                per_win[ws][d] = (x, s)
+        expect = []
+        for ws, docs in per_win.items():
+            top = sorted(docs.items(), key=lambda it: (it[1][0], it[0]))[:k]
+            for d, (x, s) in top:
+                expect.append(
+                    {"ws": ws, "q_id": "q", "k": k, "cell": 0,
+                     "doc_id": d, "seq_no": s, "dist": x}
+                )
+        key = lambda r: (r["ws"], r["doc_id"])  # noqa: E731
+        assert sorted(emitted, key=key) == sorted(expect, key=key)
+
+    check()
