@@ -111,3 +111,31 @@ def test_spread_parallelizes_single_partition_scan(spark):
     assert s.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
     again = spread(s)
     assert again is s  # no extra shuffle when already spread
+
+
+def test_multiinterval_range_broadcasts_query_cells(spark):
+    """Multi-geometry range: union-of-parts replication joins the tiny
+    (query, cell) table by BROADCAST — the data stream never shuffles for
+    the filter stage."""
+    df = gate.q_multiinterval_range(spark, SF_SMALL)
+    assert plans.has_broadcast_join(df), plans.simple_plan(df)
+
+
+def test_multiinterval_join_stays_equi_join(spark):
+    """Point-MultiPolygon combo: radius-expanded union-of-parts replication
+    must keep the join a (ws, cell) equi-join — no cartesian fallback."""
+    df = gate.q_multiinterval_join(spark, SF_SMALL)
+    s = plans.simple_plan(df)
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+
+
+def test_knn_unbounded_pruned_no_cartesian(spark):
+    """The pruned unbounded kNN's final merge (over the checkpointed
+    radius-bounded cuts) must stay free of cartesian/nested-loop joins; the
+    cut pass itself broadcasts the O(windows x queries) radii table (hinted
+    in knn.knn_unbounded_pruned)."""
+    df = gate.q_knn_unbounded_pruned(spark, SF_SMALL)
+    s = plans.simple_plan(df)
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
