@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": gate.q_dedup_exact,
         "dedup_minhash_lsh": gate.q_dedup_minhash_lsh,
         "dedup_components": gate.q_dedup_components,
+        "dedup_components_star": gate.q_dedup_components_star,
         "simhash": gate.q_simhash,
         "simhash_dup_pairs": gate.q_simhash_dup_pairs,
         "dedup_ngram_jaccard": gate.q_dedup_ngram_jaccard,
@@ -123,6 +124,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": osqld.exact_dedup(),
         "dedup_minhash_lsh": osqld.minhash_lsh_pairs(),
         "dedup_components": osqld.dedup_components(),
+        # same golden: star rounds must be answer-identical to propagation
+        "dedup_components_star": osqld.dedup_components(),
         "simhash": osqld.simhash(),
         "simhash_dup_pairs": osqld.simhash_dup_pairs(),
         "dedup_ngram_jaccard": osqld.ngram_jaccard_pairs(),

@@ -80,6 +80,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_components",
+    "dedup_components_star",
     "simhash",
     "simhash_dup_pairs",
     "dedup_ngram_jaccard",

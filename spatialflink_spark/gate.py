@@ -179,6 +179,14 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-bounded components: alternating large-star/small-star rounds
+    (answer-identical to dedup_components — same golden)."""
+    return dedup_ops.dedup_components_star(
+        dedup_ops.minhash_lsh_pairs(_docs(spark, sf_dir))
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.simhash(_docs(spark, sf_dir))
 

@@ -441,3 +441,108 @@ def ngram_jaccard_pairs(
         )
     )
     return out.where(F.col("jaccard") >= threshold)
+
+
+def dedup_components_star(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
+    """Connected components via alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") — the
+    skew-bounded production form of dedup_components for extreme component
+    shapes: plain min-label propagation shuffles EVERY edge EVERY round and
+    a hot hub's whole adjacency lands on one reducer key; the star
+    operations rewire high-degree nodes toward the component minimum, so
+    per-key work shrinks geometrically and rounds are O(log^2 n) worst case.
+
+    large-star: per node u over its full neighborhood, connect every LARGER
+    neighbor to min(neighborhood ∪ u). small-star: per larger-endpoint u,
+    connect every smaller neighbor (and u) to the minimum. At the fixpoint
+    the edge set is a star forest rooted at each component's minimum — the
+    same (doc_id, component=min reachable doc) output as dedup_components.
+
+    Both phases are one groupBy each (lists bounded by the shrinking degree);
+    the fixpoint test is an (edge-count, xor-ish hash) fingerprint folded
+    into the per-round checkpoint action."""
+    sym = pairs.select(
+        F.col("left_doc").alias("u"), F.col("right_doc").alias("v")
+    ).unionByName(
+        pairs.select(F.col("right_doc").alias("u"), F.col("left_doc").alias("v"))
+    )
+    # canonical undirected edge set as (big, small) pairs, no self loops
+    edges = (
+        sym.where(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("hi"), F.least("u", "v").alias("lo")
+        )
+        .dropDuplicates()
+        .localCheckpoint()
+    )
+
+    def fingerprint(e: DataFrame) -> tuple[int, int]:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("hi", "lo") % 1_000_000_007), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        return int(row["n"]), int(row["h"])
+
+    def large_star(e: DataFrame) -> DataFrame:
+        adj = e.select(F.col("hi").alias("a"), F.col("lo").alias("b")).unionByName(
+            e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+        )
+        grouped = adj.groupBy("a").agg(
+            F.expr("collect_set(b)").alias("_nb"),
+            F.expr("least(min(b), first(a))").alias("_m"),
+        )
+        out = grouped.select(
+            F.explode(F.expr("filter(_nb, x -> x > a)")).alias("v"), F.col("_m")
+        )
+        return (
+            out.where(F.col("v") != F.col("_m"))
+            .select(F.greatest("v", "_m").alias("hi"), F.least("v", "_m").alias("lo"))
+            .dropDuplicates()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # group by the larger endpoint; connect all smaller neighbors and the
+        # node itself to the minimum
+        grouped = e.groupBy("hi").agg(
+            F.expr("collect_set(lo)").alias("_nb"), F.min("lo").alias("_m")
+        )
+        out = grouped.select(
+            F.explode(F.expr("concat(_nb, array(hi))")).alias("v"), F.col("_m")
+        )
+        return (
+            out.where(F.col("v") != F.col("_m"))
+            .select(F.greatest("v", "_m").alias("hi"), F.least("v", "_m").alias("lo"))
+            .dropDuplicates()
+        )
+
+    fp = fingerprint(edges)
+    for _ in range(max_iters):
+        new_edges = small_star(large_star(edges)).localCheckpoint(eager=False)
+        new_fp = fingerprint(new_edges)  # materializes the checkpoint
+        edges = new_edges
+        if new_fp == fp:
+            break
+        fp = new_fp
+    else:
+        raise RuntimeError(
+            f"dedup_components_star: no fixpoint in {max_iters} rounds"
+        )
+    # star forest -> labels: every node's component is its min neighbor (or
+    # itself for roots)
+    nodes = pairs.select(F.col("left_doc").alias("doc_id")).unionByName(
+        pairs.select(F.col("right_doc").alias("doc_id"))
+    ).dropDuplicates()
+    neigh_min = (
+        edges.select(F.col("hi").alias("doc_id"), F.col("lo").alias("_n"))
+        .unionByName(edges.select(F.col("lo").alias("doc_id"), F.col("hi").alias("_n")))
+        .groupBy("doc_id")
+        .agg(F.min("_n").alias("_mn"))
+    )
+    return nodes.join(neigh_min, "doc_id", "left").select(
+        "doc_id",
+        F.least(F.col("doc_id"), F.coalesce("_mn", F.col("doc_id"))).alias(
+            "component"
+        ),
+    )

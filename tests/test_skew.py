@@ -116,3 +116,58 @@ def test_dedup_components_long_chain(spark):
     nodes = {n for p in pairs for n in p}
     expect = {(n, find(n)) for n in nodes}
     assert got == expect
+
+
+def test_components_star_equals_propagation(spark):
+    """Large-star/small-star components == plain min-label propagation ==
+    python union-find, on adversarial shapes: a hot hub (the skew case the
+    star variant exists for), a long chain (worst diameter for propagation),
+    and seeded random graphs."""
+    import random
+
+    from spatialflink_spark.operators.dedup import (
+        dedup_components,
+        dedup_components_star,
+    )
+
+    def union_find(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in parent}
+
+    rng = random.Random(42)
+    cases = {
+        "hub": [(0, i) for i in range(1, 40)],  # star skew: one hot node
+        "chain": [(i, i + 1) for i in range(60)],  # max diameter
+        "rand1": [(rng.randrange(50), rng.randrange(50)) for _ in range(70)],
+        "rand2": [(rng.randrange(80), rng.randrange(80)) for _ in range(50)],
+    }
+    for name, raw in cases.items():
+        edges = [(a, b) for a, b in raw if a != b]
+        pairs = spark.createDataFrame(
+            [(min(a, b), max(a, b)) for a, b in edges],
+            "left_doc bigint, right_doc bigint",
+        ).dropDuplicates()
+        exp = union_find(edges)
+        star = {
+            r.doc_id: r.component
+            for r in dedup_components_star(pairs).collect()
+        }
+        # plain propagation needs O(diameter) rounds (60 for the chain) —
+        # exactly the regime the O(log^2 n)-round star variant exists for
+        prop = {
+            r.doc_id: r.component
+            for r in dedup_components(pairs, max_iters=100).collect()
+        }
+        assert star == exp == prop, name
