@@ -78,3 +78,24 @@ def test_media_features_non_ascii(spark, duck):
     ddf = duck.execute(media_sql().replace("FROM documents", "FROM _nonascii")).fetchdf()
     duck.execute("DROP TABLE _nonascii")
     assert_frames_match(spdf, ddf, "media_features_non_ascii")
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["events_sessionize", "heatmap_sliding", "tstats_windowed", "multiinterval_join"],
+)
+def test_parity_non_utc_session_tz(spark, duck, name):
+    """The driver builds its own session with the HOST default timezone, not
+    our UTC-pinned one. Any epoch<->timestamp conversion routed through the
+    session tz (instead of field arithmetic on TIMESTAMP_NTZ) produces
+    shifted windows there — a class of bug this probe has caught before.
+    Representative timestamp-heavy queries must hold parity under a
+    non-UTC session tz."""
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        spdf = entrymod.queries()[name](spark, SF_SMALL).toPandas()
+        ddf = duck.execute(entrymod.oracle_sql()[name]).fetchdf()
+        assert_frames_match(spdf, ddf, f"{name}@America/New_York")
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
