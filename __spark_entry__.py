@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding_stats": gate.q_events_sliding_stats,
         "serde_roundtrip": gate.q_serde_roundtrip,
         "csv_ingest": gate.q_csv_ingest,
+        "binfmt_ingest": gate.q_binfmt_ingest,
         "count_windows_tumbling": gate.q_count_windows_tumbling,
         # training-data pipeline ops
         "dedup_exact": gate.q_dedup_exact,
@@ -120,6 +121,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sliding_stats": osql.events_sliding_stats(),
         "serde_roundtrip": osql.serde_roundtrip(),
         "csv_ingest": osqla.csv_ingest(),
+        "binfmt_ingest": osql.binfmt_ingest(),
         "count_windows_tumbling": osql.count_windows_tumbling(),
         "dedup_exact": osqld.exact_dedup(),
         "dedup_minhash_lsh": osqld.minhash_lsh_pairs(),

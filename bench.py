@@ -52,6 +52,7 @@ HEADLINE = [
     "events_json_props",
     "serde_roundtrip",
     "csv_ingest",
+    "binfmt_ingest",
     "count_windows_tumbling",
     "interval_containment_join",
     "interval_range_count",

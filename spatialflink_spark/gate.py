@@ -441,6 +441,42 @@ def q_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_binfmt_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grades the binary record input format (ShapeFileInputFormat.java:20-100
+    analog — sources/binfmt.py .tsf shards): the sequence relation serialized
+    to binary shards executor-side, two corrupt files injected (bad magic;
+    structurally valid header truncated inside record 1), parsed back with
+    one task per shard. Oracle computes the same checksums directly from the
+    sequence derivation — a lost/dropped/retyped field, a leaked corrupt
+    record, or a swallowed valid shard all hash-mismatch."""
+    import tempfile
+
+    from spatialflink_spark.sources.binfmt import (
+        FILE_HEADER,
+        MAGIC,
+        VERSION,
+        read_token_shards,
+        write_token_shards,
+    )
+
+    seq = sequences_cached(spark, sf_dir)
+    out_dir = tempfile.mkdtemp(prefix="sfs_binfmt_")
+    write_token_shards(seq, out_dir).collect()  # the manifest action writes
+    with open(f"{out_dir}/part-badmagic.tsf", "wb") as f:
+        f.write(b"JUNK" + bytes(range(64)))
+    with open(f"{out_dir}/part-truncated.tsf", "wb") as f:
+        f.write(FILE_HEADER.pack(MAGIC, VERSION, 3) + b"\x01\x02")
+    back = read_token_shards(spark, out_dir)
+    return back.select(
+        "doc_id",
+        "seq_no",
+        "n_tok",
+        "source",
+        "ts_s",
+        F.expr(T.spark_tok_checksum("tokens")).alias("tok_checksum"),
+    )
+
+
 def q_stream_knn_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second end-to-end Structured Streaming path in the gate: watermarked
     tumbling kNN — per-(window, query, cell) k-bounded candidate heap in the

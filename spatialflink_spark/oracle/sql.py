@@ -301,6 +301,22 @@ FROM sequences
 """
 
 
+def binfmt_ingest() -> str:
+    """Direct checksums of the sequences relation — golden for the BINARY
+    shard round trip (gate.q_binfmt_ingest / sources/binfmt.py): same shape
+    as serde_roundtrip on purpose (both grade lossless ingest), but the
+    engine path under test is the .tsf writer/parser, including its
+    corrupt-file handling (a leaked record from the injected bad shards
+    would surface as extra rows here)."""
+    from spatialflink_spark.functions.tokens import duck_tok_checksum
+
+    return f"""{_prologue()}
+SELECT doc_id, seq_no, n_tok, source, ts_s,
+       {duck_tok_checksum('tokens')} AS tok_checksum
+FROM sequences
+"""
+
+
 def count_windows_tumbling(size: int = 4) -> str:
     """Per-key tumbling COUNT windows — twin of gate.q_count_windows_tumbling
     (countWindow semantics on the deterministic arrival order)."""

@@ -1,0 +1,200 @@
+"""Binary record input format — token shard files (.tsf).
+
+Reference: spatialStreams/ShapeFileInputFormat.java:20-100 — the one
+reference source this engine had previously declared out of scope: a binary
+record format (ESRI .shp: fixed file header, then length-prefixed records)
+read through Flink's FileInputFormat as input SPLITS, records decoded
+sequentially within a split, parallelism across splits.
+
+Token-domain analog — the .tsf shard format:
+
+    file header (16 bytes):  magic "TSF1" | version int32 | record_count int64
+    record (28-byte header + payload):
+        doc_id int64 | seq_no int32 | ts_s int64 | source_len int32 | n_tok int32
+        source utf-8 bytes | tokens int32[n_tok]
+
+All integers little-endian. The structure mirrors .shp exactly: a
+self-describing file header, then self-describing variable-length records.
+
+Execution model, matched to the reference's: one Spark task per shard file
+(`binaryFile` source — a file is the split unit, as in FileInputFormat),
+records decoded sequentially within the shard (ShapeFileInputFormat.
+nextRecord walks its split the same way), parallelism across shards. Decode
+runs in `mapInPandas` over Arrow batches of whole files; token payloads are
+lifted with zero-copy numpy frombuffer views, the per-record walk is the
+inherent sequential scan of any length-prefixed format.
+
+Scale notes (100 TB): shards should be written at 64-256 MB so the
+file-per-task granularity yields healthy task sizes; `binaryFile` holds one
+whole file in memory per task, so the writer's `records_per_shard` cap is
+the memory contract. Writers run executor-side (one shard per input
+partition) against a shared filesystem / object store.
+
+Malformed input contract (graded by gate.q_binfmt_ingest):
+- wrong magic / short header  -> whole file rejected (skip or raise)
+- truncated record tail       -> valid prefix kept, tail dropped
+  (detected by bounds checks + declared record_count mismatch)
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MAGIC = b"TSF1"
+VERSION = 1
+# format STRINGS at module level (struct.Struct objects are not picklable;
+# the mapInPandas closures compile them locally)
+FILE_HEADER_FMT = "<4siq"  # magic, version, record_count
+REC_HEADER_FMT = "<qiqii"  # doc_id, seq_no, ts_s, source_len, n_tok
+FILE_HEADER = struct.Struct(FILE_HEADER_FMT)
+REC_HEADER = struct.Struct(REC_HEADER_FMT)
+
+SHARD_SCHEMA = (
+    "doc_id bigint, seq_no int, tokens array<int>, n_tok int, "
+    "source string, ts_s bigint"
+)
+MANIFEST_SCHEMA = "path string, n_records bigint, n_bytes bigint"
+
+
+def write_token_shards(df: DataFrame, out_dir: str) -> DataFrame:
+    """Serialize a sequence DataFrame to .tsf shards, one shard per input
+    partition, executor-side (the write never funnels through the driver).
+    Returns the lazy shard manifest (path, n_records, n_bytes); collecting it
+    is the action that performs the writes."""
+    from spatialflink_spark.session import ensure_pyfiles
+
+    ensure_pyfiles(df.sparkSession)
+    src = df.select("doc_id", "seq_no", "tokens", "n_tok", "source", "ts_s")
+
+    def _write(batches: Iterator) -> Iterator:
+        import struct as _struct
+
+        import numpy as np
+        import pandas as pd
+        from pyspark import TaskContext
+
+        file_header = _struct.Struct(FILE_HEADER_FMT)
+        rec_header = _struct.Struct(REC_HEADER_FMT)
+        pid = TaskContext.get().partitionId()
+        parts: list[bytes] = []
+        n = 0
+        for pdf in batches:
+            src_b = [s.encode("utf-8") for s in pdf["source"]]
+            tok_b = [
+                np.asarray(t, dtype="<i4").tobytes() for t in pdf["tokens"]
+            ]
+            for i, (d, q, ts) in enumerate(
+                zip(pdf["doc_id"], pdf["seq_no"], pdf["ts_s"])
+            ):
+                parts.append(
+                    rec_header.pack(
+                        int(d), int(q), int(ts), len(src_b[i]), len(tok_b[i]) // 4
+                    )
+                )
+                parts.append(src_b[i])
+                parts.append(tok_b[i])
+            n += len(pdf)
+        if n == 0:
+            return
+        os.makedirs(out_dir, exist_ok=True)
+        path = os.path.join(out_dir, f"part-{pid:05d}.tsf")
+        blob = file_header.pack(MAGIC, VERSION, n) + b"".join(parts)
+        with open(path, "wb") as f:
+            f.write(blob)
+        yield pd.DataFrame(
+            {"path": [path], "n_records": [n], "n_bytes": [len(blob)]}
+        )
+
+    return src.mapInPandas(_write, MANIFEST_SCHEMA)
+
+
+def read_token_shards(
+    spark: SparkSession, path: str, on_error: str = "skip"
+) -> DataFrame:
+    """Parse a directory of .tsf shards back into the canonical sequence
+    schema. One task per shard (binaryFile = file-per-row source; the file is
+    the input split). `on_error`: 'skip' drops structurally invalid files and
+    truncated tails (the reference parsers' drop-malformed behavior,
+    Deserialization.java try/catch-per-record); 'raise' fails fast."""
+    from spatialflink_spark.session import ensure_pyfiles
+
+    ensure_pyfiles(spark)
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.tsf")
+        .load(path)
+        .select("path", "content")
+    )
+
+    def _parse(batches: Iterator) -> Iterator:
+        import struct as _struct
+
+        import numpy as np
+        import pandas as pd
+
+        file_header = _struct.Struct(FILE_HEADER_FMT)
+        rec_header = _struct.Struct(REC_HEADER_FMT)
+
+        for pdf in batches:
+            cols: dict[str, list] = {
+                k: [] for k in ("doc_id", "seq_no", "tokens", "n_tok", "source", "ts_s")
+            }
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                b = bytes(content)
+                if len(b) < file_header.size or b[:4] != MAGIC:
+                    if on_error == "raise":
+                        raise ValueError(f"bad .tsf header: {fpath}")
+                    continue
+                _, version, declared = file_header.unpack_from(b, 0)
+                if version != VERSION:
+                    if on_error == "raise":
+                        raise ValueError(f"unsupported .tsf version {version}: {fpath}")
+                    continue
+                off, end, parsed = file_header.size, len(b), 0
+                while parsed < declared:
+                    if off + rec_header.size > end:
+                        break  # truncated tail
+                    doc_id, seq_no, ts_s, src_len, n_tok = rec_header.unpack_from(
+                        b, off
+                    )
+                    payload_end = off + rec_header.size + src_len + 4 * n_tok
+                    if src_len < 0 or n_tok < 0 or payload_end > end:
+                        break  # truncated / corrupt tail
+                    so = off + rec_header.size
+                    cols["doc_id"].append(doc_id)
+                    cols["seq_no"].append(seq_no)
+                    cols["ts_s"].append(ts_s)
+                    cols["source"].append(b[so : so + src_len].decode("utf-8"))
+                    cols["tokens"].append(
+                        np.frombuffer(
+                            b, dtype="<i4", count=n_tok, offset=so + src_len
+                        ).tolist()  # Arrow's pandas converter rejects ndarray
+                        #             cells for list<int32> columns
+                    )
+                    cols["n_tok"].append(n_tok)
+                    off, parsed = payload_end, parsed + 1
+                if parsed < declared and on_error == "raise":
+                    raise ValueError(
+                        f"truncated .tsf shard {fpath}: "
+                        f"{parsed}/{declared} records recovered"
+                    )
+            if cols["doc_id"]:
+                # skip empty batches: pandas infers float64 for empty
+                # columns and Arrow refuses float64 -> list<int32>
+                yield pd.DataFrame(cols)
+
+    out = files.mapInPandas(_parse, SHARD_SCHEMA)
+    # binaryFile infers nothing further; enforce canonical column order/types
+    return out.select(
+        F.col("doc_id"),
+        F.col("seq_no"),
+        F.col("tokens"),
+        F.col("n_tok"),
+        F.col("source"),
+        F.col("ts_s"),
+    )

@@ -171,3 +171,55 @@ def test_kafka_parse_chain_matches_sequences_oracle(spark):
     for c in ["doc_id", "seq_no", "n_tok", "source", "ts_s"]:
         assert (got[c].values == exp[c].values).all(), c
     assert all(list(a) == list(b) for a, b in zip(got["tokens"], exp["tokens"]))
+
+
+def test_binfmt_roundtrip_and_corruption(spark, tmp_path):
+    """.tsf binary shard format (ShapeFileInputFormat analog): lossless
+    round trip including token arrays; bad-magic files and truncated tails
+    are dropped under on_error='skip' and fail fast under 'raise'."""
+    import pytest
+
+    from spatialflink_spark.sources.binfmt import (
+        FILE_HEADER,
+        MAGIC,
+        VERSION,
+        REC_HEADER,
+        read_token_shards,
+        write_token_shards,
+    )
+
+    d = str(tmp_path / "shards")
+    rows = [
+        (1, 0, [5, 6, 7], 3, "web", 100),
+        (2, 1, [9], 1, "book", 200),
+        (3, 0, [], 0, "x", 300),  # empty token array round-trips
+    ]
+    schema = (
+        "doc_id bigint, seq_no int, tokens array<int>, n_tok int, "
+        "source string, ts_s bigint"
+    )
+    df = spark.createDataFrame(rows, schema)
+    manifest = write_token_shards(df, d).collect()
+    assert sum(m.n_records for m in manifest) == 3
+
+    got = sorted(read_token_shards(spark, d).collect(), key=lambda r: r.doc_id)
+    assert [(r.doc_id, r.seq_no, r.tokens, r.n_tok, r.source, r.ts_s) for r in got] == rows
+
+    # a shard whose first record is valid but whose SECOND is cut mid-payload:
+    # the valid prefix must survive, the tail must drop
+    src = b"ok"
+    toks = (4).to_bytes(4, "little")
+    rec1 = REC_HEADER.pack(7, 0, 400, len(src), 1) + src + toks
+    rec2 = REC_HEADER.pack(8, 0, 500, len(src), 1) + src  # tokens missing
+    trunc = str(tmp_path / "trunc")
+    import os
+
+    os.makedirs(trunc)
+    with open(f"{trunc}/part-a.tsf", "wb") as f:
+        f.write(FILE_HEADER.pack(MAGIC, VERSION, 2) + rec1 + rec2)
+    with open(f"{trunc}/part-b.tsf", "wb") as f:
+        f.write(b"JUNK" + b"\x00" * 32)  # bad magic -> whole file rejected
+    kept = read_token_shards(spark, trunc).collect()
+    assert [(r.doc_id, r.tokens) for r in kept] == [(7, [4])]
+    with pytest.raises(Exception, match="truncated .tsf shard|bad .tsf header"):
+        read_token_shards(spark, trunc, on_error="raise").collect()
