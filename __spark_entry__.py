@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": gate.q_quality_score,
         "token_counts": gate.q_token_counts,
         "doc_fingerprint": gate.q_fingerprint,
+        "pack_sequences": gate.q_pack_sequences,
         "media_features": gate.q_media_features,
         # SNCB-analog app queries
         "range_approx": gate.q_range_approx,
@@ -140,6 +141,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": osqld.quality_score(),
         "token_counts": osqld.token_counts(),
         "doc_fingerprint": osqld.fingerprint(),
+        "pack_sequences": osql.pack_sequences(),
         "media_features": osqld.media_features(),
         "range_approx": osqla.range_approx(),
         "trajectory_restricted": osqla.trajectory_restricted(),

@@ -96,6 +96,7 @@ HEADLINE = [
     "quality_score",
     "token_counts",
     "doc_fingerprint",
+    "pack_sequences",
     "media_features",
 ]
 

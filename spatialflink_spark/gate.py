@@ -477,6 +477,17 @@ def q_binfmt_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/packing.py): concat-and-cut context-window
+    assignment over the curated sequence stream — the standard post-curation
+    pretraining op (no reference analog; part of the training-data operator
+    family). Graded on per-bin stats: window cumsum + groupBy, all codegen.
+    Output: source, bin_id, n_seqs, tok_sum."""
+    from spatialflink_spark.operators.packing import pack_stats
+
+    return pack_stats(sequences_cached(spark, sf_dir))
+
+
 def q_stream_knn_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second end-to-end Structured Streaming path in the gate: watermarked
     tumbling kNN — per-(window, query, cell) k-bounded candidate heap in the

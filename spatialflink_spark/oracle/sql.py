@@ -317,6 +317,24 @@ FROM sequences
 """
 
 
+def pack_sequences(capacity: int = 2048) -> str:
+    """Twin of gate.q_pack_sequences (operators/packing.pack_stats):
+    concat-and-cut context-window packing — per-source running token sum in
+    (ts_s, doc_id, seq_no) order, bin = floor(cum_before / capacity)."""
+    return f"""{_prologue()}
+, c AS (
+  SELECT source, n_tok,
+         coalesce(sum(CAST(n_tok AS BIGINT)) OVER (
+           PARTITION BY source ORDER BY ts_s, doc_id, seq_no
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM sequences
+)
+SELECT source, CAST(floor(cum_before / {capacity}) AS BIGINT) AS bin_id,
+       count(*) AS n_seqs, CAST(sum(n_tok) AS BIGINT) AS tok_sum
+FROM c GROUP BY source, bin_id
+"""
+
+
 def count_windows_tumbling(size: int = 4) -> str:
     """Per-key tumbling COUNT windows — twin of gate.q_count_windows_tumbling
     (countWindow semantics on the deterministic arrival order)."""

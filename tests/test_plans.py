@@ -139,3 +139,15 @@ def test_knn_unbounded_pruned_no_cartesian(spark):
     s = plans.simple_plan(df)
     assert "CartesianProduct" not in s
     assert "BroadcastNestedLoopJoin" not in s
+
+
+def test_pack_sequences_codegen_only(spark):
+    """Sequence packing must stay entirely JVM-side: no Python evals in the
+    plan, bounded shuffles (window partition + final agg on the same
+    `source` key — AQE may reuse the exchange), column pruning keeping the
+    token arrays out of the cumsum (only n_tok + keys flow)."""
+    df = gate.q_pack_sequences(spark, SF_SMALL)
+    s = plans.simple_plan(df)
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+    assert "mapInPandas" not in s.lower()
+    assert plans.exchange_count(df) <= 3, s  # derive spread + window + agg
