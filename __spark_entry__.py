@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_windows_tumbling": gate.q_count_windows_tumbling,
         # training-data pipeline ops
         "dedup_exact": gate.q_dedup_exact,
+        "decontaminate": gate.q_decontaminate,
         "dedup_minhash_lsh": gate.q_dedup_minhash_lsh,
         "dedup_components": gate.q_dedup_components,
         "dedup_components_star": gate.q_dedup_components_star,
@@ -125,6 +126,7 @@ def oracle_sql() -> dict[str, str]:
         "binfmt_ingest": osql.binfmt_ingest(),
         "count_windows_tumbling": osql.count_windows_tumbling(),
         "dedup_exact": osqld.exact_dedup(),
+        "decontaminate": osqld.decontaminate(),
         "dedup_minhash_lsh": osqld.minhash_lsh_pairs(),
         "dedup_components": osqld.dedup_components(),
         # same golden: star rounds must be answer-identical to propagation

@@ -79,6 +79,7 @@ HEADLINE = [
     "stream_knn_e2e",
     # training-data ops
     "dedup_exact",
+    "decontaminate",
     "dedup_minhash_lsh",
     "dedup_components",
     "dedup_components_star",

@@ -163,6 +163,14 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (dedup.decontaminate): training docs
+    sharing >= 3 distinct 3-gram shingles with the deterministic probe
+    slice (doc_id % 13 = 0 standing in for an eval set). Broadcast probe
+    shingle set, one count shuffle. Output: doc_id, n_shared_shingles."""
+    return dedup_ops.decontaminate(_docs(spark, sf_dir))
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.exact_dedup(_docs(spark, sf_dir))
 

@@ -71,6 +71,44 @@ def with_shingle_hashes(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
     )
 
 
+def decontaminate(
+    docs: DataFrame,
+    probe_pred: str = "doc_id % 13 = 0",
+    k: int = SHINGLE_K,
+    min_overlap: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination — flag training documents that share >=
+    `min_overlap` distinct k-gram shingles with an evaluation (probe) set.
+
+    The curation step between dedup and packing in a real pretraining
+    pipeline: any document overlapping the eval benchmarks must be dropped
+    or the eval is contaminated. `probe_pred` selects the benchmark docs
+    (here a deterministic doc_id slice standing in for an external eval
+    set; in production the probe is its own small table).
+
+    Plan shape at 100 TB: the probe's distinct shingle-hash set is
+    benchmark-sized (millions of shingles, not billions) -> BROADCAST to
+    the exploded training side; the only shuffle is the per-doc overlap
+    count. Shingle hashing reuses the portable rolling hash, so the DuckDB
+    twin (oracle/sql_data.decontaminate) agrees bit-for-bit.
+    Output: doc_id, n_shared_shingles (docs at/above the threshold)."""
+    hs = with_shingle_hashes(docs, k)
+    probe = (
+        hs.where(F.expr(probe_pred))
+        .select(F.explode("_hs").alias("h"))
+        .distinct()
+    )
+    train = hs.where(~F.expr(probe_pred)).select(
+        "doc_id", F.explode("_hs").alias("h")
+    )
+    overlaps = (
+        train.join(F.broadcast(probe), "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )
+    return overlaps.where(F.col("n_shared_shingles") >= min_overlap)
+
+
 def exact_dedup(docs: DataFrame) -> DataFrame:
     """Exact dedup on the normalized word sequence: content_hash groups,
     dup_rank (1 = canonical = min doc_id). One shuffle on content_hash."""

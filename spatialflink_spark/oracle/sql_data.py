@@ -50,6 +50,26 @@ FROM documents
 """
 
 
+def decontaminate(min_overlap: int = 3) -> str:
+    """Twin of gate.q_decontaminate (dedup.decontaminate): distinct k-gram
+    shingle-hash overlap between the probe slice and the training docs."""
+    return f"""
+WITH hs AS (
+  SELECT doc_id, list_distinct({_duck_shingle_hashes()}) AS _hs FROM documents
+),
+probe AS (
+  SELECT DISTINCT unnest(_hs) AS h FROM hs WHERE doc_id % 13 = 0
+),
+train AS (
+  SELECT doc_id, unnest(_hs) AS h FROM hs WHERE doc_id % 13 <> 0
+)
+SELECT t.doc_id, count(*) AS n_shared_shingles
+FROM train t JOIN probe p USING (h)
+GROUP BY t.doc_id
+HAVING count(*) >= {min_overlap}
+"""
+
+
 def minhash_lsh_pairs(threshold: float = 0.5) -> str:
     sigs = ", ".join(
         f"list_min(list_transform(_hs, h -> (h * {a} + {b}) % {HASH_MOD}))"

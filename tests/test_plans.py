@@ -151,3 +151,11 @@ def test_pack_sequences_codegen_only(spark):
     assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
     assert "mapInPandas" not in s.lower()
     assert plans.exchange_count(df) <= 3, s  # derive spread + window + agg
+
+
+def test_decontaminate_broadcasts_probe(spark):
+    """Decontamination must broadcast the benchmark shingle set (eval
+    benchmarks are small by definition); the exploded training side never
+    shuffles for the join — only the per-doc overlap count does."""
+    df = gate.q_decontaminate(spark, SF_SMALL)
+    assert plans.has_broadcast_join(df), plans.simple_plan(df)
