@@ -80,6 +80,7 @@ HEADLINE = [
     # training-data ops
     "dedup_exact",
     "decontaminate",
+    "source_mix",
     "dedup_minhash_lsh",
     "dedup_components",
     "dedup_components_star",

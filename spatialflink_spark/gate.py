@@ -171,6 +171,16 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.decontaminate(_docs(spark, sf_dir))
 
 
+def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source mixing (operators/mixing.py): integer basis-point quota rates
+    from target weights + observed token mass, deterministic LCG-hash doc
+    sampling, all in-plan (rate table broadcast, no driver collect).
+    Output: source, rate_bp, n_kept, tok_kept."""
+    from spatialflink_spark.operators.mixing import source_mix_sample
+
+    return source_mix_sample(_docs(spark, sf_dir))
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.exact_dedup(_docs(spark, sf_dir))
 

@@ -50,6 +50,36 @@ FROM documents
 """
 
 
+def source_mix() -> str:
+    """Twin of gate.q_source_mix (operators/mixing.source_mix_sample):
+    integer basis-point quota rates + LCG hash sampling — exact in both
+    dialects (bigint floor division, no floats)."""
+    return f"""
+WITH t AS (
+  SELECT doc_id, source, CAST(len({_W}) AS BIGINT) AS n_w,
+         CAST(substr(source, 4) AS INT) % 5 + 1 AS w
+  FROM documents
+),
+per_src AS (
+  SELECT source, w, sum(n_w) AS src_toks FROM t GROUP BY source, w
+),
+totals AS (
+  SELECT sum(src_toks) AS total_toks, sum(CAST(w AS BIGINT)) AS w_sum FROM per_src
+),
+rates AS (
+  SELECT source,
+         CAST(least(10000, (10000 * per_src.w * total_toks) // (w_sum * src_toks)) AS INT)
+           AS rate_bp
+  FROM per_src CROSS JOIN totals
+)
+SELECT t.source, r.rate_bp, count(*) AS n_kept,
+       CAST(sum(t.n_w) AS BIGINT) AS tok_kept
+FROM t JOIN rates r ON t.source = r.source
+WHERE ((t.doc_id * 1103515245 + 12345) % 2147483648) % 10000 < r.rate_bp
+GROUP BY t.source, r.rate_bp
+"""
+
+
 def decontaminate(min_overlap: int = 3) -> str:
     """Twin of gate.q_decontaminate (dedup.decontaminate): distinct k-gram
     shingle-hash overlap between the probe slice and the training docs."""

@@ -159,3 +159,13 @@ def test_decontaminate_broadcasts_probe(spark):
     shuffles for the join — only the per-doc overlap count does."""
     df = gate.q_decontaminate(spark, SF_SMALL)
     assert plans.has_broadcast_join(df), plans.simple_plan(df)
+
+
+def test_source_mix_broadcasts_rates_no_collect(spark):
+    """The quota-rate table must flow back onto the document stream as an
+    in-plan BROADCAST (no driver collect round trip), and the sampling
+    filter stays in codegen (no Python evals)."""
+    df = gate.q_source_mix(spark, SF_SMALL)
+    s = plans.simple_plan(df)
+    assert plans.has_broadcast_join(df), s
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
