@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": gate.q_dedup_exact,
         "decontaminate": gate.q_decontaminate,
         "source_mix": gate.q_source_mix,
+        "curation_pipeline": gate.q_curation_pipeline,
         "dedup_minhash_lsh": gate.q_dedup_minhash_lsh,
         "dedup_components": gate.q_dedup_components,
         "dedup_components_star": gate.q_dedup_components_star,
@@ -129,6 +130,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": osqld.exact_dedup(),
         "decontaminate": osqld.decontaminate(),
         "source_mix": osqld.source_mix(),
+        "curation_pipeline": osqld.curation_pipeline(),
         "dedup_minhash_lsh": osqld.minhash_lsh_pairs(),
         "dedup_components": osqld.dedup_components(),
         # same golden: star rounds must be answer-identical to propagation

@@ -81,6 +81,7 @@ HEADLINE = [
     "dedup_exact",
     "decontaminate",
     "source_mix",
+    "curation_pipeline",
     "dedup_minhash_lsh",
     "dedup_components",
     "dedup_components_star",

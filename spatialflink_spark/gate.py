@@ -181,6 +181,27 @@ def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_mix_sample(_docs(spark, sf_dir))
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline — the composition the individual gates
+    grade in isolation: exact dedup (keep canonical) -> benchmark
+    decontamination (drop eval docs and >= 3-shingle overlaps) -> source
+    mixing (quota-sample the survivors). Grades that stage OUTPUTS feed
+    stage INPUTS correctly (rates are computed over the post-filter corpus,
+    not the raw one). Output: source, rate_bp, n_kept, tok_kept."""
+    from spatialflink_spark.operators.mixing import source_mix_sample
+
+    d = _docs(spark, sf_dir)
+    canon = (
+        dedup_ops.exact_dedup(d).where("dup_rank = 1").select("doc_id")
+    )
+    surv = d.join(canon, "doc_id")
+    contaminated = dedup_ops.decontaminate(surv).select("doc_id")
+    train = surv.where(~F.expr("doc_id % 13 = 0")).join(
+        contaminated, "doc_id", "left_anti"
+    )
+    return source_mix_sample(train)
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.exact_dedup(_docs(spark, sf_dir))
 

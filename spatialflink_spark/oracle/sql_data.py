@@ -50,6 +50,62 @@ FROM documents
 """
 
 
+def curation_pipeline() -> str:
+    """Twin of gate.q_curation_pipeline: exact dedup -> decontamination ->
+    source mixing, chained CTEs reusing the stage expressions verbatim."""
+    return f"""
+WITH canon AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, row_number() OVER (
+      PARTITION BY md5(array_to_string({_W}, ' ')) ORDER BY doc_id
+    ) AS rnk FROM documents
+  ) WHERE rnk = 1
+),
+surv AS (
+  SELECT d.* FROM documents d JOIN canon USING (doc_id)
+),
+hs AS (
+  SELECT doc_id, list_distinct({_duck_shingle_hashes()}) AS _hs FROM surv
+),
+probe AS (
+  SELECT DISTINCT unnest(_hs) AS h FROM hs WHERE doc_id % 13 = 0
+),
+trainh AS (
+  SELECT doc_id, unnest(_hs) AS h FROM hs WHERE doc_id % 13 <> 0
+),
+conta AS (
+  SELECT t.doc_id FROM trainh t JOIN probe p USING (h)
+  GROUP BY t.doc_id HAVING count(*) >= 3
+),
+train AS (
+  SELECT * FROM surv
+  WHERE doc_id % 13 <> 0 AND doc_id NOT IN (SELECT doc_id FROM conta)
+),
+t AS (
+  SELECT doc_id, source, CAST(len({_W}) AS BIGINT) AS n_w,
+         CAST(substr(source, 4) AS INT) % 5 + 1 AS w
+  FROM train
+),
+per_src AS (
+  SELECT source, w, sum(n_w) AS src_toks FROM t GROUP BY source, w
+),
+totals AS (
+  SELECT sum(src_toks) AS total_toks, sum(CAST(w AS BIGINT)) AS w_sum FROM per_src
+),
+rates AS (
+  SELECT source,
+         CAST(least(10000, (10000 * per_src.w * total_toks) // (w_sum * src_toks)) AS INT)
+           AS rate_bp
+  FROM per_src CROSS JOIN totals
+)
+SELECT t.source, r.rate_bp, count(*) AS n_kept,
+       CAST(sum(t.n_w) AS BIGINT) AS tok_kept
+FROM t JOIN rates r ON t.source = r.source
+WHERE ((t.doc_id * 1103515245 + 12345) % 2147483648) % 10000 < r.rate_bp
+GROUP BY t.source, r.rate_bp
+"""
+
+
 def source_mix() -> str:
     """Twin of gate.q_source_mix (operators/mixing.source_mix_sample):
     integer basis-point quota rates + LCG hash sampling — exact in both
