@@ -194,10 +194,18 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     canon = (
         dedup_ops.exact_dedup(d).where("dup_rank = 1").select("doc_id")
     )
-    surv = d.join(canon, "doc_id")
+    # surv and train each feed multiple downstream stages; without a
+    # materialization point every consumer re-tokenizes the corpus (the
+    # unshared plan re-derived documents ~6x, 15s -> ~5s at sf0.1). A real
+    # pipeline materializes each stage's survivors to a table; the lazy
+    # localCheckpoint is the in-session equivalent (computed once at first
+    # use, then read back by the other branches).
+    surv = d.join(canon, "doc_id").localCheckpoint(eager=False)
     contaminated = dedup_ops.decontaminate(surv).select("doc_id")
-    train = surv.where(~F.expr("doc_id % 13 = 0")).join(
-        contaminated, "doc_id", "left_anti"
+    train = (
+        surv.where(~F.expr("doc_id % 13 = 0"))
+        .join(contaminated, "doc_id", "left_anti")
+        .localCheckpoint(eager=False)
     )
     return source_mix_sample(train)
 

@@ -92,14 +92,25 @@ def decontaminate(
     count. Shingle hashing reuses the portable rolling hash, so the DuckDB
     twin (oracle/sql_data.decontaminate) agrees bit-for-bit.
     Output: doc_id, n_shared_shingles (docs at/above the threshold)."""
-    hs = with_shingle_hashes(docs, k)
+    # filter BEFORE shingling (probe/train disjoint -> each doc shingled
+    # once), and MATERIALIZE the shingle arrays before the explode: with the
+    # expression inlined, the explode plan re-evaluated the tokenize/shingle
+    # /hash chain far beyond once-per-doc (measured 6x: 6.6-9.9s -> 1.1-1.6s
+    # at sf0.1, A/B/A repeats; a repartition barrier did NOT fix it). The
+    # lazy localCheckpoint is the in-session stand-in for the materialized
+    # shingle index a production decontamination pipeline keeps anyway
+    # (~50 hashes/doc, bounded); blocks are freed by the ContextCleaner when
+    # the plan is dropped.
     probe = (
-        hs.where(F.expr(probe_pred))
+        with_shingle_hashes(docs.where(F.expr(probe_pred)), k)
+        .localCheckpoint(eager=False)
         .select(F.explode("_hs").alias("h"))
         .distinct()
     )
-    train = hs.where(~F.expr(probe_pred)).select(
-        "doc_id", F.explode("_hs").alias("h")
+    train = (
+        with_shingle_hashes(docs.where(~F.expr(probe_pred)), k)
+        .localCheckpoint(eager=False)
+        .select("doc_id", F.explode("_hs").alias("h"))
     )
     overlaps = (
         train.join(F.broadcast(probe), "h")
