@@ -169,3 +169,29 @@ def test_source_mix_broadcasts_rates_no_collect(spark):
     s = plans.simple_plan(df)
     assert plans.has_broadcast_join(df), s
     assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+
+
+def test_pack_bins_bucket_shard_equivalence(spark):
+    """pack_bins(bucket_s=...) — the 10^12-row shard knob — must (a) equal
+    the global packing when all rows fall in one time bucket, and (b) reset
+    bin numbering per bucket when they don't (bins are per-shard)."""
+    from spatialflink_spark.operators.packing import pack_bins
+
+    rows = [(i, 0, 100, "s", 10 + i) for i in range(8)]  # all within 60s
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, seq_no int, n_tok int, source string, ts_s bigint"
+    )
+    glob = {(r.doc_id, r.bin_id, r.bin_offset)
+            for r in pack_bins(df, capacity=250).collect()}
+    one_bucket = {(r.doc_id, r.bin_id, r.bin_offset)
+                  for r in pack_bins(df, capacity=250, bucket_s=3600).collect()}
+    assert glob == one_bucket
+    # two buckets: each restarts at bin 0 offset 0
+    sharded = pack_bins(df, capacity=250, bucket_s=14).collect()
+    by_bucket = {}
+    for r in sharded:
+        by_bucket.setdefault(r.bucket, []).append(r)
+    assert len(by_bucket) == 2
+    for rs in by_bucket.values():
+        first = min(rs, key=lambda r: r.doc_id)
+        assert (first.bin_id, first.bin_offset) == (0, 0)
