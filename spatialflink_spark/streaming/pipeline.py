@@ -243,3 +243,51 @@ def finalize_knn(batch_df: DataFrame) -> DataFrame:
             F.col("_m.dist").alias("dist"),
         )
     )
+
+
+# ---- streaming decontamination ---------------------------------------------
+
+def token_shingle_expr(k: int = 3) -> str:
+    """array<bigint> of distinct token k-gram rolling hashes over `tokens` —
+    the token-domain twin of the word-shingle hash (dedup.py uses word
+    shingles on raw text; a sequence stream carries tokens, so the n-grams
+    are taken over token ids). CASE-guarded: Spark 4 ANSI throws on
+    out-of-bounds array indexing."""
+    from spatialflink_spark.config import HASH_MOD
+
+    body = " + ".join(f"tokens[i + {j}] * {131 ** (k - 1 - j)}" for j in range(k))
+    return (
+        f"CASE WHEN size(tokens) >= {k} THEN "
+        f"array_distinct(transform(sequence(0, size(tokens) - {k}), "
+        f"i -> ({body}) % {HASH_MOD})) "
+        "ELSE array() END"
+    )
+
+
+def stream_decontaminate(
+    stream: DataFrame, probe: DataFrame, min_overlap: int = 3, k: int = 3
+) -> DataFrame:
+    """Streaming decontamination — drop sequences sharing >= `min_overlap`
+    token k-grams with a STATIC eval-benchmark probe (the streaming face of
+    dedup.decontaminate; the batch op guards a stored corpus, this guards
+    the live ingest).
+
+    `probe` is a batch DataFrame with one bigint column `h` (the benchmark's
+    shingle-hash set). It is aggregated to a single sorted array and
+    broadcast-cross-joined onto the stream, so the check is a STATELESS
+    per-row `array_intersect` — append mode, no watermark requirement, a
+    projection/filter shape that can run under continuous processing like
+    the range alerts. Eval benchmarks are small by definition, so the
+    broadcast array is bounded. Output: the surviving rows plus
+    n_shared_shingles (always < min_overlap)."""
+    probe_arr = probe.agg(
+        F.expr("array_sort(collect_set(h))").alias("_probe")
+    )
+    shingled = stream.withColumn("_sh", F.expr(token_shingle_expr(k)))
+    flagged = shingled.crossJoin(F.broadcast(probe_arr)).withColumn(
+        "n_shared_shingles",
+        F.expr("size(array_intersect(_sh, _probe))").cast("int"),
+    )
+    return flagged.where(F.col("n_shared_shingles") < min_overlap).drop(
+        "_sh", "_probe"
+    )

@@ -904,3 +904,47 @@ def test_knn_topk_heap_property():
         assert sorted(emitted, key=key) == sorted(expect, key=key)
 
     check()
+
+
+def test_stream_decontaminate_matches_batch(spark, replay_dir, tmp_path):
+    """Streaming decontamination == the same stateless filter run in batch:
+    identical surviving (doc_id, seq_no) set and identical overlap counts,
+    with the probe derived from the doc_id % 13 eval slice."""
+    import pyspark.sql.functions as F
+
+    from spatialflink_spark.streaming.pipeline import (
+        stream_decontaminate,
+        token_shingle_expr,
+    )
+
+    seq = sequences(spark, SF_SMALL)
+    probe = (
+        seq.where("doc_id % 13 = 0")
+        .select(F.explode(F.expr(token_shingle_expr())).alias("h"))
+        .distinct()
+    )
+    stream = read_sequences_stream(spark, replay_dir, C.allowed_lateness_s)
+    res = stream_decontaminate(
+        stream.where("doc_id % 13 <> 0"), probe
+    ).select("doc_id", "seq_no", "n_shared_shingles")
+    q = (
+        res.writeStream.format("memory")
+        .queryName("decon_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from decon_stream").toPandas()
+
+    batch = (
+        stream_decontaminate(seq.where("doc_id % 13 <> 0"), probe)
+        .select("doc_id", "seq_no", "n_shared_shingles")
+        .toPandas()
+    )
+    key = lambda df: sorted(map(tuple, df.values))
+    assert key(got) == key(batch)
+    assert len(got) > 0
+    # and something was actually dropped (the filter is not a pass-through)
+    assert len(got) < seq.where("doc_id % 13 <> 0").count()
