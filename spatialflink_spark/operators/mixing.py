@@ -10,10 +10,13 @@ sampling hash is a portable LCG on doc_id, so the DuckDB twin
 (oracle/sql_data.source_mix) agrees bit-for-bit — no float drift, no RNG.
 
     w_s       = target weight of source s        (here: N % 5 + 1 derived
-                deterministically from the source name, standing in for a
-                config table of mixture weights)
-    rate_bp_s = min(10000, (10000 * w_s * total_toks) div (W * toks_s))
-    keep doc  <=> ((doc_id * 1103515245 + 12345) mod 2^31) mod 10000 < rate_bp_s
+                deterministically from the source name via try_cast with
+                default 1, standing in for a config table of mixture
+                weights)
+    rate_bp_s = min(10000, (10000 * w_s * total_toks) div (W * toks_s)),
+                or 10000 when toks_s = 0 (zero mass costs no quota)
+    keep doc  <=> (((doc_id mod 2^31) * 1103515245 + 12345) mod 2^31)
+                  mod 10000 < rate_bp_s
 
 Plan shape at 100 TB: one agg for per-source token mass (tiny result), the
 rate table stays in-plan and BROADCASTS back onto the doc stream (no
@@ -38,11 +41,23 @@ def source_mix_sample(docs: DataFrame) -> DataFrame:
     source, rate_bp, n_kept, tok_kept."""
     from spatialflink_spark.session import spread
 
-    t = spread(docs).select(
-        "doc_id",
-        "source",
-        F.expr(f"size({T.spark_words('text')})").alias("n_w"),
-        F.expr("cast(substr(source, 4) as int) % 5 + 1").alias("w"),
+    # t feeds BOTH the rate computation and the sampling filter; without a
+    # materialization point the word-split scan runs twice (the same
+    # branch-reuse recomputation decontaminate materializes away). Only 4
+    # small columns are stored.
+    t = (
+        spread(docs)
+        .select(
+            "doc_id",
+            "source",
+            F.expr(f"size({T.spark_words('text')})").alias("n_w"),
+            # try_cast + default weight 1: source names outside 'src<digits>'
+            # must not kill the job under Spark 4 ANSI (CLAUDE.md rule)
+            F.expr(
+                "coalesce(try_cast(substr(source, 4) as int) % 5 + 1, 1)"
+            ).alias("w"),
+        )
+        .localCheckpoint(eager=False)
     )
     per_src = t.groupBy("source", "w").agg(
         F.sum(F.col("n_w").cast("bigint")).alias("src_toks")
@@ -54,12 +69,19 @@ def source_mix_sample(docs: DataFrame) -> DataFrame:
     )
     rates = per_src.crossJoin(F.broadcast(totals)).select(
         "source",
+        # src_toks = 0 (a source with no tokenizable words) keeps everything:
+        # zero mass costs no quota, and ANSI would otherwise DIVIDE_BY_ZERO
         F.expr(
-            f"cast(least({BP}, ({BP} * w * total_toks) div (w_sum * src_toks)) as int)"
+            f"cast(case when src_toks = 0 then {BP} else "
+            f"least({BP}, ({BP} * w * total_toks) div (w_sum * src_toks)) "
+            "end as int)"
         ).alias("rate_bp"),
     )
     kept = t.join(F.broadcast(rates), "source").where(
-        F.expr(f"((doc_id * {LCG_A} + {LCG_C}) % 2147483648) % {BP}")
+        # doc_id folded mod 2^31 BEFORE the multiply: bigint doc_ids beyond
+        # ~8.36e9 would overflow doc_id * LCG_A under ANSI at the claimed
+        # 10^12-row envelope; identical results for doc_id < 2^31
+        F.expr(f"(((doc_id % 2147483648) * {LCG_A} + {LCG_C}) % 2147483648) % {BP}")
         < F.col("rate_bp")
     )
     return kept.groupBy("source", "rate_bp").agg(

@@ -50,9 +50,60 @@ FROM documents
 """
 
 
+def _decon_ctes(src_rel: str) -> str:
+    """Decontamination CTE block over `src_rel` (shared by decontaminate()
+    and curation_pipeline() so the logic exists once): hs/probe/trainh/conta,
+    where conta holds the contaminated training doc_ids."""
+    return f"""hs AS (
+  SELECT doc_id, list_distinct({_duck_shingle_hashes()}) AS _hs FROM {src_rel}
+),
+probe AS (
+  SELECT DISTINCT unnest(_hs) AS h FROM hs WHERE doc_id % 13 = 0
+),
+trainh AS (
+  SELECT doc_id, unnest(_hs) AS h FROM hs WHERE doc_id % 13 <> 0
+),
+conta AS (
+  SELECT t.doc_id FROM trainh t JOIN probe p USING (h)
+  GROUP BY t.doc_id HAVING count(*) >= 3
+)"""
+
+
+def _mix_sql(src_rel: str) -> str:
+    """Quota-mixing CTEs + final SELECT over `src_rel` (shared by
+    source_mix() and curation_pipeline()). Mirrors operators/mixing.py
+    exactly: try_cast weight with default 1, src_toks = 0 keeps everything,
+    doc_id folded mod 2^31 before the LCG multiply."""
+    return f"""t AS (
+  SELECT doc_id, source, CAST(len({_W}) AS BIGINT) AS n_w,
+         coalesce(TRY_CAST(substr(source, 4) AS INT) % 5 + 1, 1) AS w
+  FROM {src_rel}
+),
+per_src AS (
+  SELECT source, w, sum(n_w) AS src_toks FROM t GROUP BY source, w
+),
+totals AS (
+  SELECT sum(src_toks) AS total_toks, sum(CAST(w AS BIGINT)) AS w_sum FROM per_src
+),
+rates AS (
+  SELECT source,
+         CAST(CASE WHEN src_toks = 0 THEN 10000 ELSE
+           least(10000, (10000 * per_src.w * total_toks) // (w_sum * src_toks))
+         END AS INT) AS rate_bp
+  FROM per_src CROSS JOIN totals
+)
+SELECT t.source, r.rate_bp, count(*) AS n_kept,
+       CAST(sum(t.n_w) AS BIGINT) AS tok_kept
+FROM t JOIN rates r ON t.source = r.source
+WHERE (((t.doc_id % 2147483648) * 1103515245 + 12345) % 2147483648) % 10000
+      < r.rate_bp
+GROUP BY t.source, r.rate_bp"""
+
+
 def curation_pipeline() -> str:
     """Twin of gate.q_curation_pipeline: exact dedup -> decontamination ->
-    source mixing, chained CTEs reusing the stage expressions verbatim."""
+    source mixing, composed from the SAME snippet helpers the standalone
+    oracles use (_decon_ctes, _mix_sql) so the stage logic exists once."""
     return f"""
 WITH canon AS (
   SELECT doc_id FROM (
@@ -64,45 +115,12 @@ WITH canon AS (
 surv AS (
   SELECT d.* FROM documents d JOIN canon USING (doc_id)
 ),
-hs AS (
-  SELECT doc_id, list_distinct({_duck_shingle_hashes()}) AS _hs FROM surv
-),
-probe AS (
-  SELECT DISTINCT unnest(_hs) AS h FROM hs WHERE doc_id % 13 = 0
-),
-trainh AS (
-  SELECT doc_id, unnest(_hs) AS h FROM hs WHERE doc_id % 13 <> 0
-),
-conta AS (
-  SELECT t.doc_id FROM trainh t JOIN probe p USING (h)
-  GROUP BY t.doc_id HAVING count(*) >= 3
-),
+{_decon_ctes('surv')},
 train AS (
   SELECT * FROM surv
   WHERE doc_id % 13 <> 0 AND doc_id NOT IN (SELECT doc_id FROM conta)
 ),
-t AS (
-  SELECT doc_id, source, CAST(len({_W}) AS BIGINT) AS n_w,
-         CAST(substr(source, 4) AS INT) % 5 + 1 AS w
-  FROM train
-),
-per_src AS (
-  SELECT source, w, sum(n_w) AS src_toks FROM t GROUP BY source, w
-),
-totals AS (
-  SELECT sum(src_toks) AS total_toks, sum(CAST(w AS BIGINT)) AS w_sum FROM per_src
-),
-rates AS (
-  SELECT source,
-         CAST(least(10000, (10000 * per_src.w * total_toks) // (w_sum * src_toks)) AS INT)
-           AS rate_bp
-  FROM per_src CROSS JOIN totals
-)
-SELECT t.source, r.rate_bp, count(*) AS n_kept,
-       CAST(sum(t.n_w) AS BIGINT) AS tok_kept
-FROM t JOIN rates r ON t.source = r.source
-WHERE ((t.doc_id * 1103515245 + 12345) % 2147483648) % 10000 < r.rate_bp
-GROUP BY t.source, r.rate_bp
+{_mix_sql('train')}
 """
 
 
@@ -111,28 +129,7 @@ def source_mix() -> str:
     integer basis-point quota rates + LCG hash sampling — exact in both
     dialects (bigint floor division, no floats)."""
     return f"""
-WITH t AS (
-  SELECT doc_id, source, CAST(len({_W}) AS BIGINT) AS n_w,
-         CAST(substr(source, 4) AS INT) % 5 + 1 AS w
-  FROM documents
-),
-per_src AS (
-  SELECT source, w, sum(n_w) AS src_toks FROM t GROUP BY source, w
-),
-totals AS (
-  SELECT sum(src_toks) AS total_toks, sum(CAST(w AS BIGINT)) AS w_sum FROM per_src
-),
-rates AS (
-  SELECT source,
-         CAST(least(10000, (10000 * per_src.w * total_toks) // (w_sum * src_toks)) AS INT)
-           AS rate_bp
-  FROM per_src CROSS JOIN totals
-)
-SELECT t.source, r.rate_bp, count(*) AS n_kept,
-       CAST(sum(t.n_w) AS BIGINT) AS tok_kept
-FROM t JOIN rates r ON t.source = r.source
-WHERE ((t.doc_id * 1103515245 + 12345) % 2147483648) % 10000 < r.rate_bp
-GROUP BY t.source, r.rate_bp
+WITH {_mix_sql('documents')}
 """
 
 
@@ -140,20 +137,13 @@ def decontaminate(min_overlap: int = 3) -> str:
     """Twin of gate.q_decontaminate (dedup.decontaminate): distinct k-gram
     shingle-hash overlap between the probe slice and the training docs."""
     return f"""
-WITH hs AS (
-  SELECT doc_id, list_distinct({_duck_shingle_hashes()}) AS _hs FROM documents
-),
-probe AS (
-  SELECT DISTINCT unnest(_hs) AS h FROM hs WHERE doc_id % 13 = 0
-),
-train AS (
-  SELECT doc_id, unnest(_hs) AS h FROM hs WHERE doc_id % 13 <> 0
-)
+WITH {_decon_ctes('documents')}
 SELECT t.doc_id, count(*) AS n_shared_shingles
-FROM train t JOIN probe p USING (h)
+FROM trainh t JOIN probe p USING (h)
 GROUP BY t.doc_id
 HAVING count(*) >= {min_overlap}
 """
+
 
 
 def minhash_lsh_pairs(threshold: float = 0.5) -> str:

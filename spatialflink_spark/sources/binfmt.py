@@ -166,10 +166,17 @@ def read_token_shards(
                     if src_len < 0 or n_tok < 0 or payload_end > end:
                         break  # truncated / corrupt tail
                     so = off + rec_header.size
+                    try:
+                        source = b[so : so + src_len].decode("utf-8")
+                    except UnicodeDecodeError:
+                        # bounds-clean but bit-corrupted payload: same
+                        # treatment as a corrupt tail (drop the rest of the
+                        # file; the declared-count check below reports it)
+                        break
                     cols["doc_id"].append(doc_id)
                     cols["seq_no"].append(seq_no)
                     cols["ts_s"].append(ts_s)
-                    cols["source"].append(b[so : so + src_len].decode("utf-8"))
+                    cols["source"].append(source)
                     cols["tokens"].append(
                         np.frombuffer(
                             b, dtype="<i4", count=n_tok, offset=so + src_len

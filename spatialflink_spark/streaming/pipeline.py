@@ -255,7 +255,12 @@ def token_shingle_expr(k: int = 3) -> str:
     out-of-bounds array indexing."""
     from spatialflink_spark.config import HASH_MOD
 
-    body = " + ".join(f"tokens[i + {j}] * {131 ** (k - 1 - j)}" for j in range(k))
+    # cast each token to bigint BEFORE multiplying: 131^(k-1) coefficients
+    # overflow int32 for k >= 4 (and k = 3 only squeaks under 2^31), which
+    # throws under Spark 4 ANSI
+    body = " + ".join(
+        f"cast(tokens[i + {j}] as bigint) * {131 ** (k - 1 - j)}" for j in range(k)
+    )
     return (
         f"CASE WHEN size(tokens) >= {k} THEN "
         f"array_distinct(transform(sequence(0, size(tokens) - {k}), "
@@ -275,10 +280,12 @@ def stream_decontaminate(
     `probe` is a batch DataFrame with one bigint column `h` (the benchmark's
     shingle-hash set). It is aggregated to a single sorted array and
     broadcast-cross-joined onto the stream, so the check is a STATELESS
-    per-row `array_intersect` — append mode, no watermark requirement, a
-    projection/filter shape that can run under continuous processing like
-    the range alerts. Eval benchmarks are small by definition, so the
-    broadcast array is bounded. Output: the surviving rows plus
+    per-row `array_intersect` — append mode, no watermark requirement.
+    (Micro-batch only as written: continuous processing rejects join
+    operators, even stream-static broadcasts. For a continuous variant,
+    inline the probe array as a literal the way streaming/continuous.py
+    inlines its cell table.) Eval benchmarks are small by definition, so
+    the broadcast array is bounded. Output: the surviving rows plus
     n_shared_shingles (always < min_overlap)."""
     probe_arr = probe.agg(
         F.expr("array_sort(collect_set(h))").alias("_probe")

@@ -219,6 +219,11 @@ def test_binfmt_roundtrip_and_corruption(spark, tmp_path):
         f.write(FILE_HEADER.pack(MAGIC, VERSION, 2) + rec1 + rec2)
     with open(f"{trunc}/part-b.tsf", "wb") as f:
         f.write(b"JUNK" + b"\x00" * 32)  # bad magic -> whole file rejected
+    # bounds-clean record whose source bytes are invalid UTF-8: dropped like
+    # a corrupt tail, must not throw under on_error='skip'
+    bad_src = REC_HEADER.pack(9, 0, 600, 2, 1) + b"\xff\xfe" + toks
+    with open(f"{trunc}/part-c.tsf", "wb") as f:
+        f.write(FILE_HEADER.pack(MAGIC, VERSION, 1) + bad_src)
     kept = read_token_shards(spark, trunc).collect()
     assert [(r.doc_id, r.tokens) for r in kept] == [(7, [4])]
     with pytest.raises(Exception, match="truncated .tsf shard|bad .tsf header"):
