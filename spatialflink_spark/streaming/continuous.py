@@ -109,3 +109,41 @@ def continuous_join_alerts(
         ).alias("matched_ids"),
     )
     return matched.where(F.expr("size(matched_ids) > 0"))
+
+
+def with_synthetic_tokens(stream: DataFrame, max_tok: int = 24) -> DataFrame:
+    """Deterministic `tokens array<int>` derived from (doc_id, n_tok) with
+    PROJECTION-ONLY expressions (`sequence` the expression, not the Generate
+    operator) — continuous-mode-safe stand-in for a token-carrying stream."""
+    return stream.withColumn(
+        "tokens",
+        F.expr(
+            f"transform(sequence(1, least(n_tok, {max_tok})), "
+            f"i -> cast((doc_id * 31 + i * 7) % {VOCAB_SIZE} as int))"
+        ),
+    )
+
+
+def continuous_contamination_alerts(
+    stream: DataFrame, probe_hashes: Iterable[int], min_overlap: int = 3
+) -> DataFrame:
+    """Per-record contamination alert — the continuous-mode face of
+    stream_decontaminate: the eval benchmark's token k-gram hash set is
+    inlined as an ARRAY LITERAL (continuous mode rejects joins, even
+    stream-static broadcasts — same trick as continuous_range_alerts'
+    query table), and each arriving row is flagged the instant its shingle
+    overlap reaches `min_overlap`. Project/Filter only (transform /
+    array_distinct / array_intersect are projections) — runs under
+    trigger(continuous=...). Emits the CONTAMINATED rows (the thing to act
+    on); production caveat: a literal is fine for eval-benchmark-sized
+    probes, a huge probe belongs in the micro-batch broadcast path."""
+    from spatialflink_spark.streaming.pipeline import token_shingle_expr
+
+    plits = ", ".join(f"cast({int(h)} as bigint)" for h in sorted(set(probe_hashes)))
+    flagged = stream.withColumn(
+        "_sh", F.expr(token_shingle_expr())
+    ).withColumn(
+        "n_shared_shingles",
+        F.expr(f"cast(size(array_intersect(_sh, array({plits}))) as int)"),
+    )
+    return flagged.where(F.col("n_shared_shingles") >= min_overlap).drop("_sh")

@@ -948,3 +948,64 @@ def test_stream_decontaminate_matches_batch(spark, replay_dir, tmp_path):
     assert len(got) > 0
     # and something was actually dropped (the filter is not a pass-through)
     assert len(got) < seq.where("doc_id % 13 <> 0").count()
+
+
+def test_continuous_mode_contamination_alerts(spark, tmp_path):
+    """Per-record contamination alert under TRUE continuous processing: the
+    probe shingle set inlined as a literal, rows flow without micro-batches,
+    and every emitted row's overlap count equals the batch-recomputed value
+    for its deterministic tokens."""
+    import time as _time
+
+    from spatialflink_spark.config import HASH_MOD, VOCAB_SIZE
+    from spatialflink_spark.streaming.continuous import (
+        continuous_contamination_alerts,
+        synthetic_rate_sequences,
+        with_synthetic_tokens,
+    )
+
+    def toks(doc_id, n_tok, max_tok=24):
+        return [(doc_id * 31 + i * 7) % VOCAB_SIZE for i in range(1, min(n_tok, max_tok) + 1)]
+
+    def shingles(ts):
+        if len(ts) < 3:
+            return set()
+        return {(ts[i] * 131 * 131 + ts[i + 1] * 131 + ts[i + 2]) % HASH_MOD
+                for i in range(len(ts) - 2)}
+
+    # probe = the shingles of every doc_id % 13 == 0 stream row's tokens
+    # (n_tok is deterministic in doc_id, so the probe is computable ahead)
+    vocab = 127
+    probe = set()
+    for d in range(0, 2000, 13):
+        probe |= shingles(toks(d, 1 + (d * 37) % vocab))
+    stream = with_synthetic_tokens(
+        synthetic_rate_sequences(spark, rows_per_second=400, num_partitions=2)
+    ).where("doc_id % 13 <> 0")
+    res = continuous_contamination_alerts(stream, probe, min_overlap=1)
+    q = (
+        res.writeStream.format("memory")
+        .queryName("cont_contam")
+        .trigger(continuous="1 second")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = _time.time() + 40
+        got = None
+        while _time.time() < deadline:
+            _time.sleep(3)
+            got = spark.sql("select * from cont_contam").toPandas()
+            if len(got) >= 20:
+                break
+        assert got is not None and len(got) >= 20, "no continuous flow"
+    finally:
+        import threading
+
+        t = threading.Thread(target=q.stop)
+        t.daemon = True
+        t.start()
+        t.join(30)
+    for _, r in got.head(200).iterrows():
+        expect = len(shingles(toks(int(r.doc_id), int(r.n_tok))) & probe)
+        assert expect == r.n_shared_shingles and expect >= 1
