@@ -399,7 +399,12 @@ def ngram_jaccard_pairs(
     sharing nothing but hot shingles are missed (which at any sane cap means
     jaccard << threshold anyway). Same role as the reference's grid-cell
     candidate pruning + exact distance check (UniformGrid.java:368-395)."""
-    hs = with_shingle_hashes(docs).persist()  # feeds the index + verification
+    # feeds the index AND the verification joins in the RETURNED plan, so an
+    # explicit unpersist has nowhere to go (the sibling ops' pattern) — the
+    # lazy localCheckpoint materializes once and its blocks are freed by the
+    # ContextCleaner when the caller drops the plan, instead of persist()
+    # leaking a cached table into the session forever
+    hs = with_shingle_hashes(docs).localCheckpoint(eager=False)
     ex = hs.select("doc_id", F.explode("_hs").alias("g"))
     # inverted index as groupBy-and-emit, not a self-join: collect each
     # shingle's (distinct) posting list in ONE shuffle on g, drop hot

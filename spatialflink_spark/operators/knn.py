@@ -202,7 +202,16 @@ def knn_unbounded_pruned(
             # aggregate — verification costs no extra pass.
             cand = s.join(F.broadcast(radii_df), "ws").where(
                 F.col("cell").between(
-                    F.expr(f"cast(greatest(floor((q_n_tok - r) / {cl}), 0) as int)"),
+                    # clamp the LOWER bound to the top cell too: a query
+                    # above the grid top (q_n_tok - r past the domain) must
+                    # still scan cell num_cells-1, where out-of-domain rows
+                    # are absorbed by cell_of's clamp — otherwise the range
+                    # is empty and the (ws, q_id) group silently vanishes
+                    # instead of matching the knn_unbounded golden
+                    F.expr(
+                        f"cast(least(greatest(floor((q_n_tok - r) / {cl}), 0), "
+                        f"{grid.num_cells - 1}) as int)"
+                    ),
                     F.expr(
                         f"cast(least(floor((q_n_tok + r) / {cl}), "
                         f"{grid.num_cells - 1}) as int)"

@@ -96,6 +96,14 @@ def continuous_join_alerts(
         f"named_struct('o_id', cast({oid} as bigint), 'o_n_tok', {ont})"
         for oid, ont in others
     )
+    # empty partner list: array() is element-type NULL, so o.o_n_tok fails
+    # analysis — inline a TYPED empty array and emit the (empty) alert
+    # stream instead of a confusing AnalysisException
+    arr = (
+        f"array({olits})"
+        if others
+        else "cast(array() as array<struct<o_id: bigint, o_n_tok: int>>)"
+    )
     matched = stream.select(
         "event_ts",
         "doc_id",
@@ -103,7 +111,7 @@ def continuous_join_alerts(
         "n_tok",
         "source",
         F.expr(
-            f"transform(filter(array({olits}), "
+            f"transform(filter({arr}, "
             f"o -> abs(n_tok - o.o_n_tok) <= {radius} AND o.o_id != doc_id), "
             "o -> o.o_id)"
         ).alias("matched_ids"),

@@ -162,3 +162,22 @@ def test_knn_unbounded_pruned_expansion_path(spark):
     assert len(got) == len(exp) == 5
     for c in ["ws", "q_id", "rank", "doc_id", "seq_no", "dist"]:
         assert (got[c].values == exp[c].values).all(), c
+
+
+def test_knn_unbounded_pruned_query_above_grid_top(spark):
+    """A query point past the grid's domain top (rows clamped into the top
+    cell) must still match the no-prune oracle — the cut's LOWER cell bound
+    clamps to num_cells-1 like cell_of does, else the (ws, q_id) group
+    silently vanishes (review-caught bug)."""
+    from spatialflink_spark.config import GridConfig, QueryPoint
+    from spatialflink_spark.operators.knn import knn_unbounded, knn_unbounded_pruned
+
+    grid = GridConfig(cell_len=8, num_cells=16)  # domain top 128
+    rows = [(i, 0, 190 + i, "s", 100 + i, 0) for i in range(21)]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, seq_no int, n_tok int, source string, ts_s bigint, ws bigint"
+    )
+    qs = [QueryPoint(q_id="q_top", q_n_tok=200, radius=0, k=3)]
+    a = sorted(map(tuple, knn_unbounded(df, grid, qs).collect()))
+    b = sorted(map(tuple, knn_unbounded_pruned(df, grid, qs).collect()))
+    assert a == b and len(a) == 3
