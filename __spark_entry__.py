@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exactly-once sink) inside the gate
         "stream_range_e2e": gate.q_stream_range_e2e,
         "stream_knn_e2e": gate.q_stream_knn_e2e,
+        "stream_decon_e2e": gate.q_stream_decon_e2e,
         # interval (polygon-analog) type combinations
         "interval_containment_join": gate.q_interval_containment_join,
         "interval_range_count": gate.q_interval_range_count,
@@ -165,6 +166,7 @@ def oracle_sql() -> dict[str, str]:
         "events_json_props": osqla.events_json_props(),
         "stream_range_e2e": osqla.stream_range_e2e(),
         "stream_knn_e2e": osqla.stream_knn_e2e(),
+        "stream_decon_e2e": osqla.stream_decon_e2e(),
         "interval_containment_join": osqla.interval_containment_join(),
         "interval_range_count": osqla.interval_range_count(),
         "interval_interval_join": osqla.interval_interval_join(),

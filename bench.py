@@ -77,6 +77,7 @@ HEADLINE = [
     # end-to-end Structured Streaming path (stage->watermark->sink)
     "stream_range_e2e",
     "stream_knn_e2e",
+    "stream_decon_e2e",
     # training-data ops
     "dedup_exact",
     "decontaminate",

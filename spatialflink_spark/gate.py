@@ -398,6 +398,64 @@ def q_stream_range_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.read_committed(spark)
 
 
+def q_stream_decon_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third end-to-end Structured Streaming path in the gate — the
+    CURATION ingest: staged replay -> watermark -> streaming decontamination
+    (static broadcast probe, stateless per-row filter) -> tumbling
+    per-source survivor counts -> exactly-once sink. Oracle = the same
+    filter + counts in batch over watermark-closed windows.
+    Output: ws, source, n_kept, tok_kept."""
+    import tempfile
+
+    from spatialflink_spark.sources.streams import (
+        read_sequences_stream,
+        stage_replay_files_cached,
+    )
+    from spatialflink_spark.streaming.pipeline import (
+        run_available_now,
+        stream_decontaminate,
+        token_shingle_expr,
+    )
+    from spatialflink_spark.streaming.sink import ExactlyOnceSink
+
+    root = tempfile.mkdtemp(prefix="sfs_gate_decon_")
+    replay = stage_replay_files_cached(spark, sf_dir, n_batches=2)
+    probe = (
+        sequences_cached(spark, sf_dir)
+        .where("doc_id % 13 = 0")
+        .select(F.explode(F.expr(token_shingle_expr())).alias("h"))
+        .distinct()
+    )
+    sink = ExactlyOnceSink(f"{root}/out", key_cols=("ws", "source"))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        stream = read_sequences_stream(spark, replay, C.allowed_lateness_s).where(
+            "doc_id % 13 <> 0"
+        )
+        surv = stream_decontaminate(stream, probe)
+        res = (
+            surv.groupBy(
+                F.window("event_ts", f"{C.tumbling_s} seconds").alias("win"),
+                "source",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_kept"),
+                F.sum(F.col("n_tok").cast("bigint")).alias("tok_kept"),
+            )
+            .select(
+                F.expr("cast(unix_timestamp(win.start) as bigint)").alias("ws"),
+                "source",
+                "n_kept",
+                "tok_kept",
+            )
+        )
+        run_available_now(res, sink.foreach_batch(), f"{root}/ckpt")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return sink.read_committed(spark)
+
+
 def q_count_windows_tumbling(spark: SparkSession, sf_dir: str, size: int = 4) -> DataFrame:
     """TAggregate WB COUNT semantics, batch-graded (countWindow(size),
     TAggregateQuery.java:381-494 / PointTAggregateQuery.java:83-89): per-key

@@ -371,6 +371,41 @@ GROUP BY ws, q.q_id
 """
 
 
+def stream_decon_e2e() -> str:
+    """Batch twin of the streaming-curation gate path (q_stream_decon_e2e):
+    token 3-gram shingle overlap vs the doc_id % 13 probe slice (the DuckDB
+    twin of streaming/pipeline.token_shingle_expr — same 131-power rolling
+    hash in BIGINT), survivors (< 3 shared shingles) counted per
+    (watermark-closed tumbling window, source)."""
+    from spatialflink_spark.config import DEFAULT_CONFIG as C, HASH_MOD
+    from spatialflink_spark.oracle.sql import _prologue
+
+    tg = (
+        "CASE WHEN len(tokens) >= 3 THEN "
+        "list_distinct(list_transform(range(1, len(tokens) - 1), "
+        f"i -> (CAST(tokens[i] AS BIGINT) * 17161 + tokens[i+1] * 131 "
+        f"+ tokens[i+2]) % {HASH_MOD})) "
+        "ELSE CAST([] AS BIGINT[]) END"
+    )
+    return f"""{_prologue(tumbling=True)}
+, wm AS (SELECT max(ts_s) - {C.allowed_lateness_s} AS w FROM sequences),
+probe AS (
+  SELECT list(DISTINCT h) AS arr FROM (
+    SELECT unnest({tg}) AS h FROM sequences WHERE doc_id % 13 = 0
+  )
+),
+flag AS (
+  SELECT s.ws, s.source, s.n_tok,
+         len(list_intersect({tg}, p.arr)) AS n_shared
+  FROM seq_t s CROSS JOIN probe p WHERE s.doc_id % 13 <> 0
+)
+SELECT ws, source, count(*) AS n_kept, CAST(sum(n_tok) AS BIGINT) AS tok_kept
+FROM flag
+WHERE n_shared < 3 AND ws + {C.tumbling_s} <= (SELECT w FROM wm)
+GROUP BY ws, source
+"""
+
+
 def stream_knn_e2e() -> str:
     """Batch tumbling kNN restricted to watermark-closed windows — golden for
     the streaming collect + batch-merge kNN path (same closure rule as
