@@ -420,18 +420,33 @@ def q_stream_decon_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     root = tempfile.mkdtemp(prefix="sfs_gate_decon_")
     replay = stage_replay_files_cached(spark, sf_dir, n_batches=2)
+    # materialize the shingle arrays before the explode (the CLAUDE.md
+    # explode-amplification trap), and EAGERLY materialize the tiny distinct
+    # probe: a lazy static side of a stream-static join is re-derived every
+    # micro-batch, re-paying the whole derivation (measured 21s -> ~4s at
+    # sf0.1 for this gate query)
     probe = (
         sequences_cached(spark, sf_dir)
         .where("doc_id % 13 = 0")
-        .select(F.explode(F.expr(token_shingle_expr())).alias("h"))
+        .select(F.expr(token_shingle_expr()).alias("_sh"))
+        .localCheckpoint(eager=False)
+        .select(F.explode("_sh").alias("h"))
         .distinct()
+        .localCheckpoint()
     )
     sink = ExactlyOnceSink(f"{root}/out", key_cols=("ws", "source"))
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        stream = read_sequences_stream(spark, replay, C.allowed_lateness_s).where(
-            "doc_id % 13 <> 0"
+        # streaming edition of the single-partition trap: each replay slice
+        # is one file, so every micro-batch is ONE task and the per-row
+        # probe-set intersect runs serially (measured 18s -> 2.7s at sf0.1
+        # with the shuffle). The repartition count is independent of the
+        # state-store partition count set below.
+        stream = (
+            read_sequences_stream(spark, replay, C.allowed_lateness_s)
+            .where("doc_id % 13 <> 0")
+            .repartition(spark.sparkContext.defaultParallelism)
         )
         surv = stream_decontaminate(stream, probe)
         res = (
