@@ -67,13 +67,23 @@ def source_mix_sample(docs: DataFrame) -> DataFrame:
         # NB: not "W" — Spark resolves case-insensitively, colliding with "w"
         F.sum(F.col("w").cast("bigint")).alias("w_sum"),
     )
+    # overflow headroom for the 10^12-row envelope: 10000 * w * total_toks
+    # exceeds bigint past ~1.8e14 tokens. Token masses are expressed in a
+    # deterministic coarser unit once totals get large (unit chosen so the
+    # numerator fits with 100x slack); exact at any realistic test scale
+    # (unit = 1), bounded <0.1% rate error at exatoken scale — identical
+    # arithmetic in the DuckDB twin.
+    unit = (
+        f"cast(greatest(1, total_toks div {2**43}) as bigint)"
+    )
     rates = per_src.crossJoin(F.broadcast(totals)).select(
         "source",
         # src_toks = 0 (a source with no tokenizable words) keeps everything:
         # zero mass costs no quota, and ANSI would otherwise DIVIDE_BY_ZERO
         F.expr(
-            f"cast(case when src_toks = 0 then {BP} else "
-            f"least({BP}, ({BP} * w * total_toks) div (w_sum * src_toks)) "
+            f"cast(case when src_toks div {unit} = 0 then {BP} else "
+            f"least({BP}, ({BP} * w * (total_toks div {unit})) "
+            f"div (w_sum * (src_toks div {unit}))) "
             "end as int)"
         ).alias("rate_bp"),
     )

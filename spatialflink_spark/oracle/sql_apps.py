@@ -388,7 +388,13 @@ def stream_decon_e2e() -> str:
         "ELSE CAST([] AS BIGINT[]) END"
     )
     return f"""{_prologue(tumbling=True)}
-, wm AS (SELECT max(ts_s) - {C.allowed_lateness_s} AS w FROM sequences),
+, wm AS (
+  -- the engine filters probe docs BEFORE the watermark node (Spark pushes
+  -- the filter below EventTimeWatermark), so the stream's watermark tracks
+  -- only non-probe rows — the oracle must use the same max
+  SELECT max(ts_s) - {C.allowed_lateness_s} AS w
+  FROM sequences WHERE doc_id % 13 <> 0
+),
 probe AS (
   SELECT list(DISTINCT h) AS arr FROM (
     SELECT unnest({tg}) AS h FROM sequences WHERE doc_id % 13 = 0

@@ -50,10 +50,11 @@ FROM documents
 """
 
 
-def _decon_ctes(src_rel: str) -> str:
+def _decon_ctes(src_rel: str, min_overlap: int = 3) -> str:
     """Decontamination CTE block over `src_rel` (shared by decontaminate()
-    and curation_pipeline() so the logic exists once): hs/probe/trainh/conta,
-    where conta holds the contaminated training doc_ids."""
+    and curation_pipeline() so the logic — threshold included — exists
+    once): hs/probe/trainh/conta, where conta holds each contaminated
+    training doc with its overlap count."""
     return f"""hs AS (
   SELECT doc_id, list_distinct({_duck_shingle_hashes()}) AS _hs FROM {src_rel}
 ),
@@ -64,8 +65,9 @@ trainh AS (
   SELECT doc_id, unnest(_hs) AS h FROM hs WHERE doc_id % 13 <> 0
 ),
 conta AS (
-  SELECT t.doc_id FROM trainh t JOIN probe p USING (h)
-  GROUP BY t.doc_id HAVING count(*) >= 3
+  SELECT t.doc_id, count(*) AS n_shared_shingles
+  FROM trainh t JOIN probe p USING (h)
+  GROUP BY t.doc_id HAVING count(*) >= {min_overlap}
 )"""
 
 
@@ -86,11 +88,18 @@ totals AS (
   SELECT sum(src_toks) AS total_toks, sum(CAST(w AS BIGINT)) AS w_sum FROM per_src
 ),
 rates AS (
+  -- unit scaling mirrors operators/mixing.py: numerator overflow headroom
+  -- past ~1.8e14 tokens, exact (unit = 1) at any test scale
   SELECT source,
-         CAST(CASE WHEN src_toks = 0 THEN 10000 ELSE
-           least(10000, (10000 * per_src.w * total_toks) // (w_sum * src_toks))
+         CAST(CASE WHEN src_toks // u = 0 THEN 10000 ELSE
+           least(10000, (10000 * per_src.w * (total_toks // u))
+                        // (w_sum * (src_toks // u)))
          END AS INT) AS rate_bp
-  FROM per_src CROSS JOIN totals
+  FROM per_src CROSS JOIN (
+    SELECT total_toks, w_sum,
+           CAST(greatest(1, total_toks // {2**43}) AS BIGINT) AS u
+    FROM totals
+  ) totals
 )
 SELECT t.source, r.rate_bp, count(*) AS n_kept,
        CAST(sum(t.n_w) AS BIGINT) AS tok_kept
@@ -135,13 +144,12 @@ WITH {_mix_sql('documents')}
 
 def decontaminate(min_overlap: int = 3) -> str:
     """Twin of gate.q_decontaminate (dedup.decontaminate): distinct k-gram
-    shingle-hash overlap between the probe slice and the training docs."""
+    shingle-hash overlap between the probe slice and the training docs —
+    the conta CTE IS the answer (single source of truth with
+    curation_pipeline)."""
     return f"""
-WITH {_decon_ctes('documents')}
-SELECT t.doc_id, count(*) AS n_shared_shingles
-FROM trainh t JOIN probe p USING (h)
-GROUP BY t.doc_id
-HAVING count(*) >= {min_overlap}
+WITH {_decon_ctes('documents', min_overlap)}
+SELECT doc_id, n_shared_shingles FROM conta
 """
 
 
