@@ -29,7 +29,34 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS: the driver's correctness snapshot grades the FIRST 50
+    # entries only. Entries that have never (or least recently) been
+    # driver-graded go first; rotate each round until every entry has a
+    # driver-green row (VERDICT r3 Next-round #1).
     return {
+        # -- never driver-graded before r4 (judge-verified only in r3) --
+        "interval_interval_join": gate.q_interval_interval_join,
+        "interval_knn": gate.q_interval_knn,
+        "multiinterval_range": gate.q_multiinterval_range,
+        "multiinterval_join": gate.q_multiinterval_join,
+        "multiinterval_knn": gate.q_multiinterval_knn,
+        "linestring_range": gate.q_linestring_range,
+        "linestring_knn": gate.q_linestring_knn,
+        "point_linestring_join": gate.q_point_linestring_join,
+        "interval_linestring_join": gate.q_interval_linestring_join,
+        "knn_unbounded_pruned": gate.q_knn_unbounded_pruned,
+        "stream_decon_e2e": gate.q_stream_decon_e2e,
+        # -- new in round 4 --
+        # (inserted here as they land so they get driver rows immediately)
+        # -- driver-graded in r02 only; code unchanged but re-grade --
+        "variation_salted": gate.q_variation_salted,
+        "events_json_props": gate.q_events_json_props,
+        "stream_range_e2e": gate.q_stream_range_e2e,
+        "stream_knn_e2e": gate.q_stream_knn_e2e,
+        "interval_range_count": gate.q_interval_range_count,
+        "interval_containment_join": gate.q_interval_containment_join,
+        "knn_unbounded": gate.q_knn_unbounded,
+        # -- stable core (all driver-green in r03; tail past 50 rotates) --
         "range_tumbling_count": gate.q_range_tumbling_count,
         "range_prefix_counts": gate.q_range_prefix_counts,
         "range_rows": gate.q_range_rows,
@@ -82,29 +109,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tknn_trajectories": gate.q_tknn_trajectories,
         "trange_trajectories": gate.q_trange_trajectories,
         "join_two_streams": gate.q_join_two_streams,
-        "variation_salted": gate.q_variation_salted,
-        "events_json_props": gate.q_events_json_props,
-        # end-to-end Structured Streaming path (watermark, availableNow,
-        # exactly-once sink) inside the gate
-        "stream_range_e2e": gate.q_stream_range_e2e,
-        "stream_knn_e2e": gate.q_stream_knn_e2e,
-        "stream_decon_e2e": gate.q_stream_decon_e2e,
-        # interval (polygon-analog) type combinations
-        "interval_containment_join": gate.q_interval_containment_join,
-        "interval_range_count": gate.q_interval_range_count,
-        "interval_interval_join": gate.q_interval_interval_join,
-        "interval_knn": gate.q_interval_knn,
-        # multi-interval (multi-geometry) type combinations
-        "multiinterval_range": gate.q_multiinterval_range,
-        "multiinterval_join": gate.q_multiinterval_join,
-        "multiinterval_knn": gate.q_multiinterval_knn,
-        # linestring (vertex-set polyline) type combinations
-        "linestring_range": gate.q_linestring_range,
-        "linestring_knn": gate.q_linestring_knn,
-        "point_linestring_join": gate.q_point_linestring_join,
-        "interval_linestring_join": gate.q_interval_linestring_join,
-        "knn_unbounded": gate.q_knn_unbounded,
-        "knn_unbounded_pruned": gate.q_knn_unbounded_pruned,
     }
 
 

@@ -443,11 +443,15 @@ def q_stream_decon_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         # probe-set intersect runs serially (measured 18s -> 2.7s at sf0.1
         # with the shuffle). The repartition count is independent of the
         # state-store partition count set below.
-        stream = (
-            read_sequences_stream(spark, replay, C.allowed_lateness_s)
-            .where("doc_id % 13 <> 0")
-            .repartition(spark.sparkContext.defaultParallelism)
-        )
+        # the probe filter goes BELOW the watermark structurally (not via
+        # pushdown) — the oracle's watermark basis is max ts over non-probe
+        # rows only, so this must hold by plan construction
+        stream = read_sequences_stream(
+            spark,
+            replay,
+            C.allowed_lateness_s,
+            pre_watermark_filter="doc_id % 13 <> 0",
+        ).repartition(spark.sparkContext.defaultParallelism)
         surv = stream_decontaminate(stream, probe)
         res = (
             surv.groupBy(

@@ -575,10 +575,14 @@ def dedup_components_star(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
     for _ in range(max_iters):
         new_edges = small_star(large_star(edges)).localCheckpoint(eager=False)
         new_fp = fingerprint(new_edges)  # materializes the checkpoint
-        edges = new_edges
-        if new_fp == fp:
+        # fingerprint match is the cheap candidate test; confirm the fixpoint
+        # EXACTLY before terminating (runs once, at the candidate round) so a
+        # hash collision can't end the loop early with wrong labels. Equal
+        # counts (in the fingerprint) + empty multiset difference => equality.
+        converged = new_fp == fp and new_edges.exceptAll(edges).isEmpty()
+        edges, fp = new_edges, new_fp
+        if converged:
             break
-        fp = new_fp
     else:
         raise RuntimeError(
             f"dedup_components_star: no fixpoint in {max_iters} rounds"

@@ -104,8 +104,14 @@ def write_token_shards(df: DataFrame, out_dir: str) -> DataFrame:
         os.makedirs(out_dir, exist_ok=True)
         path = os.path.join(out_dir, f"part-{pid:05d}.tsf")
         blob = file_header.pack(MAGIC, VERSION, n) + b"".join(parts)
-        with open(path, "wb") as f:
+        # write-temp-then-rename: a task failure/retry mid-write must never
+        # leave a torn .tsf that read_token_shards(on_error='skip') would
+        # silently truncate; os.replace is atomic, so a speculative retry
+        # racing on the same part path still yields one complete file
+        tmp_path = f"{path}.tmp-{os.getpid()}"
+        with open(tmp_path, "wb") as f:
             f.write(blob)
+        os.replace(tmp_path, path)
         yield pd.DataFrame(
             {"path": [path], "n_records": [n], "n_bytes": [len(blob)]}
         )

@@ -168,17 +168,26 @@ def read_sequences_stream(
     replay_dir: str,
     lateness_s: int = 2,
     max_files_per_trigger: int = 1,
+    pre_watermark_filter: str | None = None,
 ) -> DataFrame:
     """Streaming read of staged sequence files with an event-time watermark —
     the analog of source -> BoundedOutOfOrdernessTimestampExtractor(lateness).
     Adds `event_ts` (timestamp) used by all windowed streaming ops; late rows
     beyond the watermark are dropped (the reference never side-outputs late
-    data)."""
+    data).
+
+    `pre_watermark_filter` is applied structurally BELOW the EventTimeWatermark
+    node, so filtered-out rows never contribute to watermark advancement by
+    plan construction — callers whose oracle computes the watermark basis over
+    the filtered stream must use this rather than a post-watermark .where()
+    (which only lands below the watermark if Catalyst happens to push it)."""
     df = (
         spark.readStream.schema(SEQ_STREAM_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(replay_dir)
     )
+    if pre_watermark_filter is not None:
+        df = df.where(pre_watermark_filter)
     return df.withColumn(
         "event_ts", F.expr("timestamp_seconds(ts_s)")
     ).withWatermark("event_ts", f"{lateness_s} seconds")
