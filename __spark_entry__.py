@@ -48,6 +48,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_decon_e2e": gate.q_stream_decon_e2e,
         # -- new in round 4 --
         # (inserted here as they land so they get driver rows immediately)
+        "cosine_topk_batch": gate.q_cosine_topk_batch,
+        "cosine_topk_batch_ann": gate.q_cosine_topk_batch_ann,
         # -- driver-graded in r02 only; code unchanged but re-grade --
         "variation_salted": gate.q_variation_salted,
         "events_json_props": gate.q_events_json_props,
@@ -145,6 +147,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": osqld.ngram_jaccard_pairs(),
         "cosine_topk": osqld.cosine_topk(),
         "cosine_topk_ivf": osqld.cosine_topk_ivf(),
+        "cosine_topk_batch": osqld.cosine_topk_batch(),
+        "cosine_topk_batch_ann": osqld.cosine_topk_batch_ann(),
         "embedding_dup_pairs": osqld.embedding_dup_pairs(),
         "embedding_dup_pairs_blocked": osqld.embedding_dup_pairs_blocked(),
         "cosine_topk_ivf_multiprobe": osqld.cosine_topk_ivf_multiprobe(),

@@ -92,6 +92,9 @@ HEADLINE = [
     "cosine_topk",
     "cosine_topk_ivf",
     "cosine_topk_ivf_multiprobe",
+    # query-TABLE batch top-k (round 4): exact two-stage + multi-probe ANN
+    "cosine_topk_batch",
+    "cosine_topk_batch_ann",
     # embedding_dup_pairs is gate-graded (exact all-pairs oracle at sf0.01)
     # but excluded here: at sf0.1 it is a deliberate O(n^2) exact baseline
     # (2M pairs, ~28s). Its production form IS benchmarked:
@@ -105,9 +108,9 @@ HEADLINE = [
 ]
 
 
-# the previous round's benchmarked query list (BENCH_r02.json): totals are
-# only comparable across rounds on the common subset, so bench emits a
-# common_subset_total alongside the full total as queries get added
+# the previous round's benchmarked query list (BENCH_r03.json, 66 queries):
+# totals are only comparable across rounds on the common subset, so bench
+# emits a common_subset_total alongside the full total as queries get added
 PREV_ROUND_QUERIES = [
     "range_tumbling_count", "range_prefix_counts", "range_rows", "knn_sliding",
     "join_self_tumbling", "variation_sliding", "variance_sliding",
@@ -117,16 +120,19 @@ PREV_ROUND_QUERIES = [
     "exclude_cells", "include_cells", "staytime_cells", "staytime_normalized",
     "checkin_fill", "checkin_occupancy", "tknn_trajectories",
     "trange_trajectories", "join_two_streams", "variation_salted",
-    "events_json_props", "serde_roundtrip", "csv_ingest",
+    "events_json_props", "serde_roundtrip", "csv_ingest", "binfmt_ingest",
     "count_windows_tumbling", "interval_containment_join",
     "interval_range_count", "interval_interval_join", "interval_knn",
-    "linestring_range", "linestring_knn", "point_linestring_join",
-    "interval_linestring_join", "stream_range_e2e", "stream_knn_e2e",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_components", "simhash",
+    "knn_unbounded_pruned", "multiinterval_range", "multiinterval_join",
+    "multiinterval_knn", "linestring_range", "linestring_knn",
+    "point_linestring_join", "interval_linestring_join", "stream_range_e2e",
+    "stream_knn_e2e", "stream_decon_e2e", "dedup_exact", "decontaminate",
+    "source_mix", "curation_pipeline", "dedup_minhash_lsh",
+    "dedup_components", "dedup_components_star", "simhash",
     "simhash_dup_pairs", "dedup_ngram_jaccard", "cosine_topk",
     "cosine_topk_ivf", "cosine_topk_ivf_multiprobe",
     "embedding_dup_pairs_blocked", "lang_id", "quality_score", "token_counts",
-    "doc_fingerprint", "media_features",
+    "doc_fingerprint", "pack_sequences", "media_features",
 ]
 
 

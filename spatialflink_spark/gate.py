@@ -255,6 +255,22 @@ def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.cosine_topk_ivf(_emb(spark, sf_dir))
 
 
+def q_cosine_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-TABLE exact batch top-k (similarity.cosine_topk_batch): top-k
+    per query over a query set — the reference's multi-query kNN semantics
+    (KNNQuery.java:49 takes a query set) on embeddings. Two-stage per-(query,
+    sign-bucket) cut, graded against a DIRECT per-query rank oracle.
+    Output: q_id, rank, vec_id, label, cos_sim."""
+    return sim_ops.cosine_topk_batch(_emb(spark, sf_dir))
+
+
+def q_cosine_topk_batch_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe sign-LSH batch ANN (similarity.cosine_topk_batch_ann):
+    bucket equi-join of query table x corpus, same two-stage cut; recall
+    measured vs the exact batch op in tests."""
+    return sim_ops.cosine_topk_batch_ann(_emb(spark, sf_dir))
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.lang_id(_docs(spark, sf_dir))
 

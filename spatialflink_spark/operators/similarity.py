@@ -54,6 +54,28 @@ def _with_query(emb: DataFrame) -> DataFrame:
     return spread(emb.where(F.col("vec_id") != QUERY_VEC_ID)).crossJoin(F.broadcast(q))
 
 
+def _topk_ranked(scored: DataFrame, k: int) -> DataFrame:
+    """Bounded top-k of a scored relation: (rank, vec_id, label, cos_sim).
+
+    orderBy().limit(k) compiles to TakeOrderedAndProject — a per-partition
+    size-k heap cut merged on the driver — so no task ever sorts more than
+    its own partition and the merge sees <= partitions * k rows. The rank
+    window that follows runs over <= k rows (single task, bounded by k —
+    fine at any scale). This replaces the round-3 un-partitioned
+    row_number() window, which sorted EVERY scored row in one task — the
+    same windowAll anti-pattern the grid kNN avoids (knn.py:9-16)."""
+    top = scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(k)
+    return (
+        top.withColumn(
+            "rank",
+            F.expr(
+                "row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC)"
+            ).cast("int"),
+        )
+        .select("rank", "vec_id", "label", "cos_sim")
+    )
+
+
 def cosine_topk(emb: DataFrame, k: int = DEFAULT_K) -> DataFrame:
     """Exact top-k by (cosine desc, vec_id asc) vs the query vector."""
     scored = _with_query(emb).select(
@@ -61,16 +83,7 @@ def cosine_topk(emb: DataFrame, k: int = DEFAULT_K) -> DataFrame:
         "label",
         F.expr(_cos_expr("embedding", "q_emb")).alias("cos_sim"),
     )
-    return (
-        scored.withColumn(
-            "rank",
-            F.expr(
-                "row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC)"
-            ).cast("int"),
-        )
-        .where(F.col("rank") <= k)
-        .select("rank", "vec_id", "label", "cos_sim")
-    )
+    return _topk_ranked(scored, k)
 
 
 def bucket_expr(col: str, bits: int = SIGN_BITS) -> Column:
@@ -99,16 +112,7 @@ def cosine_topk_ivf(emb: DataFrame, k: int = DEFAULT_K, bits: int = SIGN_BITS) -
             F.expr(_cos_expr("embedding", "q_emb")).alias("cos_sim"),
         )
     )
-    return (
-        cand.withColumn(
-            "rank",
-            F.expr(
-                "row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC)"
-            ).cast("int"),
-        )
-        .where(F.col("rank") <= k)
-        .select("rank", "vec_id", "label", "cos_sim")
-    )
+    return _topk_ranked(cand, k)
 
 
 DUP_COS_THRESHOLD = 0.4
@@ -262,13 +266,133 @@ def cosine_topk_ivf_multiprobe(
             F.expr(_cos_expr("embedding", "q_emb")).alias("cos_sim"),
         )
     )
-    return (
-        cand.withColumn(
-            "rank",
-            F.expr(
-                "row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC)"
-            ).cast("int"),
-        )
-        .where(F.col("rank") <= k)
-        .select("rank", "vec_id", "label", "cos_sim")
+    return _topk_ranked(cand, k)
+
+
+# ---------------------------------------------------------------------------
+# Query-TABLE batch top-k — the op an LLM retrieval/dedup pipeline actually
+# runs: top-k per query over a query SET, mirroring the reference's kNN which
+# takes a query set (knn/KNNQuery.java:49; the grid engine's own
+# query_cells_df, range_query.py:32), applied to embeddings.
+# ---------------------------------------------------------------------------
+
+QUERY_MOD = 41  # deterministic query table: every 41st vec_id
+
+
+def query_table(emb: DataFrame, query_mod: int = QUERY_MOD) -> DataFrame:
+    """Deterministic query set drawn from the embeddings table: (q_id, q_emb).
+    Small by construction (1/query_mod of the corpus) — broadcast side."""
+    return emb.where(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
+
+
+def _batch_topk_two_stage(scored: DataFrame, k: int) -> DataFrame:
+    """Per-query two-stage top-k over (q_id, vec_id, label, bucket, cos_sim).
+
+    Stage 1 cuts to the k best per (q_id, bucket) — the map-side combine:
+    each window task sorts only one bucket's candidates for one query, never
+    a whole query's candidate set. Stage 2 ranks the <= buckets * k
+    survivors per query. Answer-identical to a direct per-query rank: a row
+    in the global top-k has < k rows beating it overall (by the total order
+    (cos_sim desc, vec_id asc)), hence < k in its own bucket, so it survives
+    the stage-1 cut — same argument as the grid kNN's per-cell cut
+    (knn.py:50-69), without the dedup step because each (q_id, vec_id) pair
+    occurs exactly once."""
+    from pyspark.sql.window import Window
+
+    w1 = Window.partitionBy("q_id", "bucket").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    partial = (
+        scored.withColumn("_r", F.row_number().over(w1))
+        .where(F.col("_r") <= k)
+        .drop("_r", "bucket")
+    )
+    w2 = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w2).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("q_id", "rank", "vec_id", "label", "cos_sim")
+    )
+
+
+def cosine_topk_batch(
+    emb: DataFrame,
+    k: int = DEFAULT_K,
+    bits: int = SIGN_BITS,
+    query_mod: int = QUERY_MOD,
+) -> DataFrame:
+    """EXACT top-k per query over the query table — every corpus vector is a
+    candidate for every query (self-matches excluded); the sign bucket is
+    used only as the stage-1 cut key, so the result is exact while no task
+    ever holds more than one (query, bucket) candidate slice. The brute-force
+    truth the ANN variant below is recall-measured against, and itself
+    scale-safe. Output: q_id, rank, vec_id, label, cos_sim."""
+    from spatialflink_spark.session import spread
+
+    q = query_table(emb, query_mod)
+    corpus = spread(emb).select(
+        "vec_id", "label", "embedding", bucket_expr("embedding", bits).alias("bucket")
+    )
+    scored = corpus.join(
+        F.broadcast(q), F.col("vec_id") != F.col("q_id")
+    ).select(
+        "q_id",
+        "vec_id",
+        "label",
+        "bucket",
+        F.expr(_cos_expr("embedding", "q_emb")).alias("cos_sim"),
+    )
+    return _batch_topk_two_stage(scored, k)
+
+
+# batch-ANN probe config: 4 sign bits, Hamming radius 1 -> 5/16 of the
+# bucket space probed per query
+BATCH_ANN_BITS = 4
+BATCH_ANN_HAMMING = 1
+
+
+def cosine_topk_batch_ann(
+    emb: DataFrame,
+    k: int = DEFAULT_K,
+    bits: int = BATCH_ANN_BITS,
+    hamming: int = BATCH_ANN_HAMMING,
+    query_mod: int = QUERY_MOD,
+) -> DataFrame:
+    """ANN form of cosine_topk_batch: each query probes only its own sign
+    bucket plus buckets within `hamming` bit flips (multi-probe sign-LSH,
+    same mask scheme as embedding_dup_pairs_blocked) — candidate generation
+    is a pure equi-join on bucket id, touching sum(C(bits,i), i<=hamming) /
+    2^bits of the corpus per query. Probe buckets are distinct, so each
+    (query, candidate) joins exactly once; the same two-stage cut then ranks.
+    Recall < 1 by design; measured against cosine_topk_batch in tests.
+    Output: q_id, rank, vec_id, label, cos_sim."""
+    from spatialflink_spark.session import spread
+
+    corpus = spread(emb).select(
+        "vec_id", "label", "embedding", bucket_expr("embedding", bits).alias("bucket")
+    )
+    masks = _hamming_masks(bits, hamming)
+    q = query_table(emb, query_mod).select(
+        "q_id",
+        "q_emb",
+        bucket_expr("q_emb", bits).alias("_qb"),
+    )
+    probes = ", ".join(f"_qb ^ {m}" for m in masks)
+    qp = q.select(
+        "q_id", "q_emb", F.explode(F.expr(f"array({probes})")).alias("probe")
+    )
+    scored = corpus.join(
+        F.broadcast(qp),
+        (F.col("bucket") == F.col("probe")) & (F.col("vec_id") != F.col("q_id")),
+    ).select(
+        "q_id",
+        "vec_id",
+        "label",
+        "bucket",
+        F.expr(_cos_expr("embedding", "q_emb")).alias("cos_sim"),
+    )
+    return _batch_topk_two_stage(scored, k)

@@ -473,3 +473,73 @@ ranked AS (
 )
 SELECT rank, vec_id, label, cos_sim FROM ranked WHERE rank <= {k}
 """
+
+
+def cosine_topk_batch(k: int = DEFAULT_K, query_mod: int | None = None) -> str:
+    """Oracle for the EXACT batch op as a DIRECT per-query rank — no
+    two-stage cut. Matching the engine's two-stage plan against this direct
+    form IS the proof that the stage-1 per-(query, bucket) cut drops no
+    top-k row."""
+    from spatialflink_spark.operators.similarity import QUERY_MOD
+
+    query_mod = QUERY_MOD if query_mod is None else query_mod
+    return f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+  WHERE vec_id % {query_mod} = 0
+),
+scored AS (
+  SELECT q.q_id, e.vec_id, e.label, {_duck_cos('e.embedding', 'q.q_emb')} AS cos_sim
+  FROM embeddings e JOIN q ON e.vec_id <> q.q_id
+),
+ranked AS (
+  SELECT q_id, vec_id, label, cos_sim,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT q_id, rank, vec_id, label, cos_sim FROM ranked WHERE rank <= {k}
+"""
+
+
+def cosine_topk_batch_ann(
+    k: int = DEFAULT_K,
+    bits: int | None = None,
+    hamming: int | None = None,
+    query_mod: int | None = None,
+) -> str:
+    """Oracle for the multi-probe batch ANN: replicates the deterministic
+    probe-bucket candidate semantics, then ranks directly per query."""
+    from spatialflink_spark.operators.similarity import (
+        BATCH_ANN_BITS,
+        BATCH_ANN_HAMMING,
+        QUERY_MOD,
+        _hamming_masks,
+    )
+
+    bits = BATCH_ANN_BITS if bits is None else bits
+    hamming = BATCH_ANN_HAMMING if hamming is None else hamming
+    query_mod = QUERY_MOD if query_mod is None else query_mod
+    bucket = " + ".join(
+        f"(CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(bits)
+    )
+    masks = ", ".join(str(m) for m in _hamming_masks(bits, hamming))
+    return f"""
+WITH b AS (SELECT vec_id, label, embedding, CAST({bucket} AS INT) AS bucket FROM embeddings),
+qp AS (
+  SELECT vec_id AS q_id, embedding AS q_emb,
+         CAST(xor(bucket, m.mask) AS INT) AS probe
+  FROM b CROSS JOIN (SELECT unnest([{masks}]) AS mask) m
+  WHERE vec_id % {query_mod} = 0
+),
+scored AS (
+  SELECT qp.q_id, e.vec_id, e.label, {_duck_cos('e.embedding', 'qp.q_emb')} AS cos_sim
+  FROM b e JOIN qp ON e.bucket = qp.probe AND e.vec_id <> qp.q_id
+),
+ranked AS (
+  SELECT q_id, vec_id, label, cos_sim,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT q_id, rank, vec_id, label, cos_sim FROM ranked WHERE rank <= {k}
+"""

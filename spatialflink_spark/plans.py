@@ -65,3 +65,16 @@ def exchange_count(df: DataFrame) -> int:
 
 def codegen_stage_count(df: DataFrame) -> int:
     return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", simple_plan(df))))
+
+
+def window_specs(df: DataFrame) -> list[str]:
+    """The windowspecdefinition(...) argument list of every Window node —
+    lets tests assert that no window runs un-partitioned over a large
+    relation (the single-task global-sort anti-pattern)."""
+    return re.findall(r"windowspecdefinition\(([^)]*)\)", simple_plan(df))
+
+
+def has_bounded_topk(df: DataFrame) -> bool:
+    """True when the plan cuts top-k via TakeOrderedAndProject (per-partition
+    heap + driver merge of k-row results) rather than a global sort."""
+    return "TakeOrderedAndProject" in simple_plan(df)

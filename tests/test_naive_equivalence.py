@@ -181,3 +181,34 @@ def test_knn_unbounded_pruned_query_above_grid_top(spark):
     a = sorted(map(tuple, knn_unbounded(df, grid, qs).collect()))
     b = sorted(map(tuple, knn_unbounded_pruned(df, grid, qs).collect()))
     assert a == b and len(a) == 3
+
+
+def test_batch_ann_full_probe_equals_exact(spark):
+    """With 1 sign bit and Hamming radius 1 every bucket is probed, so the
+    ANN batch op must equal the exact batch op EXACTLY (ranks included) —
+    proves the probe/join/cut machinery itself loses nothing."""
+    from spatialflink_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    exact = {
+        (r.q_id, r.rank, r.vec_id) for r in sim.cosine_topk_batch(emb).collect()
+    }
+    full = {
+        (r.q_id, r.rank, r.vec_id)
+        for r in sim.cosine_topk_batch_ann(emb, bits=1, hamming=1).collect()
+    }
+    assert exact == full
+    assert len(exact) > 0
+
+
+def test_batch_ann_recall_on_fixture(spark):
+    """Default probe config (4 bits, Hamming 1 -> 5/16 of buckets) on the
+    RANDOM fixture, where sign bits carry little signal — the adversarial
+    floor for sign-LSH (real near-neighbor sets agree on almost all sign
+    bits). Measured ~0.57 here; assert a margin below so noise can't flake."""
+    from spatialflink_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    exact = {(r.q_id, r.vec_id) for r in sim.cosine_topk_batch(emb).collect()}
+    ann = {(r.q_id, r.vec_id) for r in sim.cosine_topk_batch_ann(emb).collect()}
+    assert len(exact & ann) / len(exact) >= 0.45
