@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (inserted here as they land so they get driver rows immediately)
         "cosine_topk_batch": gate.q_cosine_topk_batch,
         "cosine_topk_batch_ann": gate.q_cosine_topk_batch_ann,
+        "pack_bins_emit": gate.q_pack_bins_emit,
         # -- driver-graded in r02 only; code unchanged but re-grade --
         "variation_salted": gate.q_variation_salted,
         "events_json_props": gate.q_events_json_props,
@@ -157,6 +158,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": osqld.token_counts(),
         "doc_fingerprint": osqld.fingerprint(),
         "pack_sequences": osql.pack_sequences(),
+        "pack_bins_emit": osql.pack_bins_emit(),
         "media_features": osqld.media_features(),
         "range_approx": osqla.range_approx(),
         "trajectory_restricted": osqla.trajectory_restricted(),

@@ -104,6 +104,7 @@ HEADLINE = [
     "token_counts",
     "doc_fingerprint",
     "pack_sequences",
+    "pack_bins_emit",
     "media_features",
 ]
 

@@ -628,6 +628,16 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_stats(sequences_cached(spark, sf_dir))
 
 
+def q_pack_bins_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed-bin EMISSION (operators/packing.pack_emit): the packed corpus
+    itself, not stats about the assignment — per-bin token payloads graded
+    via position-weighted checksums, boundary-straddling splits included.
+    Output: source, bin_id, n_parts, n_tok_bin, tok_checksum."""
+    from spatialflink_spark.operators.packing import pack_emit
+
+    return pack_emit(sequences_cached(spark, sf_dir))
+
+
 def q_stream_knn_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second end-to-end Structured Streaming path in the gate: watermarked
     tumbling kNN — per-(window, query, cell) k-bounded candidate heap in the

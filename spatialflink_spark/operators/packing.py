@@ -80,3 +80,78 @@ def pack_stats(
         F.count(F.lit(1)).alias("n_seqs"),
         F.sum(F.col("n_tok").cast("bigint")).alias("tok_sum"),
     )
+
+
+def pack_emit(seq: DataFrame, capacity: int = DEFAULT_CAPACITY) -> DataFrame:
+    """Emit the PACKED BINS themselves — the production output of packing
+    (pack_stats only grades stats about the assignment): each context bin's
+    token payload, including the boundary-straddling splits of sequences
+    that cross a bin edge.
+
+    A sequence starting at offset o in bin b with n tokens contributes a
+    slice to every bin it overlaps: for span j, bin b+j receives its tokens
+    [max(0, j*cap - o), min(n, (j+1)*cap - o)) placed at in-bin position
+    o + st - j*cap (= o for j=0, else 0). Bins are graded on a
+    position-weighted checksum instead of the raw 2048-token arrays:
+    chk += (pos_in_bin + i + 1) * (token + 1), summed over every token of
+    every contributing slice — order-independent across slices (each token
+    has a unique in-bin position) so it aggregates with a plain sum, yet
+    sensitive to any misplacement or misordering.
+
+    All codegen: the span explode fans out over a tiny int range (almost
+    always length 1), slices/checksums are array expressions, then one
+    groupBy. `seq` should be the persisted sequences table — exploding over
+    a lazily-derived tokens column would re-run the derivation per output
+    row (the CLAUDE.md generate-amplification trap).
+
+    Output: source, bin_id, n_parts, n_tok_bin, tok_checksum.
+    """
+    cap = capacity
+    w = (
+        Window.partitionBy("source")
+        .orderBy("ts_s", "doc_id", "seq_no")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum(F.col("n_tok").cast("bigint")).over(w), F.lit(0))
+    placed = seq.select(
+        "source", "doc_id", "seq_no", "n_tok", "tokens", cum.alias("_cb")
+    ).where(F.col("n_tok") > 0).select(
+        "source",
+        "tokens",
+        "n_tok",
+        F.expr(f"cast(floor(_cb / {cap}) as bigint)").alias("_b0"),
+        F.expr(f"cast(_cb % {cap} as int)").alias("_o"),
+    )
+    spans = placed.select(
+        "source",
+        "tokens",
+        "n_tok",
+        "_b0",
+        "_o",
+        F.explode(
+            F.expr(f"sequence(0, cast(floor((_o + n_tok - 1) / {cap}) as int))")
+        ).alias("_j"),
+    )
+    sliced = spans.select(
+        "source",
+        (F.col("_b0") + F.col("_j")).alias("bin_id"),
+        F.expr(f"greatest(0, _j * {cap} - _o)").alias("_st"),
+        F.expr(f"least(n_tok, (_j + 1) * {cap} - _o) - greatest(0, _j * {cap} - _o)").alias("_ln"),
+        F.expr(f"_o + greatest(0, _j * {cap} - _o) - _j * {cap}").alias("_pos0"),
+        "tokens",
+    )
+    part = sliced.select(
+        "source",
+        "bin_id",
+        "_ln",
+        F.expr(
+            "aggregate(transform(slice(tokens, _st + 1, _ln), "
+            "(t, i) -> (cast(_pos0 as bigint) + i + 1) * (cast(t as bigint) + 1)), "
+            "cast(0 as bigint), (s, v) -> s + v)"
+        ).alias("_chk"),
+    )
+    return part.groupBy("source", "bin_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_parts"),
+        F.sum(F.col("_ln").cast("bigint")).alias("n_tok_bin"),
+        F.sum("_chk").alias("tok_checksum"),
+    )

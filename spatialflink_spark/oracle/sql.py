@@ -335,6 +335,51 @@ FROM c GROUP BY source, bin_id
 """
 
 
+def pack_bins_emit(capacity: int = 2048) -> str:
+    """Twin of gate.q_pack_bins_emit (operators/packing.pack_emit): the
+    packed bins themselves — per-bin position-weighted token checksum over
+    every contributing slice, boundary straddles included."""
+    cap = capacity
+    return f"""{_prologue()}
+, placed AS (
+  SELECT source, tokens, n_tok,
+         CAST(floor(cum_before / {cap}) AS BIGINT) AS b0,
+         CAST(cum_before % {cap} AS INT) AS o
+  FROM (
+    SELECT source, tokens, n_tok,
+           coalesce(sum(CAST(n_tok AS BIGINT)) OVER (
+             PARTITION BY source ORDER BY ts_s, doc_id, seq_no
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+    FROM sequences
+  ) WHERE n_tok > 0
+),
+spans AS (
+  SELECT source, tokens, n_tok, b0, o,
+         unnest(range(0, CAST(floor((o + n_tok - 1) / {cap}) AS INT) + 1)) AS j
+  FROM placed
+),
+sliced AS (
+  SELECT source, b0 + j AS bin_id,
+         greatest(0, j * {cap} - o) AS st,
+         least(n_tok, (j + 1) * {cap} - o) - greatest(0, j * {cap} - o) AS ln,
+         o + greatest(0, j * {cap} - o) - j * {cap} AS pos0,
+         tokens
+  FROM spans
+),
+part AS (
+  SELECT source, bin_id, ln,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(range(1, ln + 1),
+             i -> (CAST(pos0 AS BIGINT) + i) * (CAST(tokens[CAST(st + i AS INT)] AS BIGINT) + 1))),
+           (s, v) -> s + v) AS chk
+  FROM sliced
+)
+SELECT source, CAST(bin_id AS BIGINT) AS bin_id, CAST(count(*) AS INT) AS n_parts,
+       CAST(sum(ln) AS BIGINT) AS n_tok_bin, CAST(sum(chk) AS BIGINT) AS tok_checksum
+FROM part GROUP BY source, bin_id
+"""
+
+
 def count_windows_tumbling(size: int = 4) -> str:
     """Per-key tumbling COUNT windows — twin of gate.q_count_windows_tumbling
     (countWindow semantics on the deterministic arrival order)."""

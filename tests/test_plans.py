@@ -224,3 +224,36 @@ def test_batch_topk_windows_partitioned(spark):
         specs = plans.window_specs(op(emb))
         assert specs, "expected Window nodes in the batch top-k plan"
         assert all("q_id" in s for s in specs), specs
+
+
+def test_pack_emit_straddle_hand_computed(spark):
+    """pack_emit against a hand-computed straddling case: capacity 10,
+    one source, sequences of 4, 9, and 3 tokens -> seq1 straddles the
+    bin-0/bin-1 edge (6 tokens at positions 4..9 of bin 0, 3 tokens at
+    positions 0..2 of bin 1); seq2 lands at offset 3 of bin 1."""
+    from spatialflink_spark.operators.packing import pack_emit
+
+    rows = [
+        ("a", 1, 0, list(range(10, 14)), 4, 100),
+        ("a", 2, 0, list(range(20, 29)), 9, 200),
+        ("a", 3, 0, list(range(30, 33)), 3, 300),
+    ]
+    seq = spark.createDataFrame(
+        rows, "source string, doc_id bigint, seq_no int, tokens array<int>, n_tok int, ts_s bigint"
+    )
+    got = {
+        (r.source, r.bin_id): (r.n_parts, r.n_tok_bin, r.tok_checksum)
+        for r in pack_emit(seq, capacity=10).collect()
+    }
+
+    def chk(parts):
+        # parts: list of (pos0, tokens)
+        return sum(
+            (p0 + i + 1) * (t + 1) for p0, toks in parts for i, t in enumerate(toks)
+        )
+
+    # bin 0: seq1 fully (pos 0..3), seq2's first 6 tokens (pos 4..9)
+    assert got[("a", 0)] == (2, 10, chk([(0, list(range(10, 14))), (4, list(range(20, 26)))]))
+    # bin 1: seq2's last 3 tokens (pos 0..2), seq3 fully (pos 3..5)
+    assert got[("a", 1)] == (2, 6, chk([(0, list(range(26, 29))), (3, list(range(30, 33)))]))
+    assert set(got) == {("a", 0), ("a", 1)}
