@@ -51,6 +51,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_batch": gate.q_cosine_topk_batch,
         "cosine_topk_batch_ann": gate.q_cosine_topk_batch_ann,
         "pack_bins_emit": gate.q_pack_bins_emit,
+        "geomcollection_range": gate.q_geomcollection_range,
+        "geomcollection_join": gate.q_geomcollection_join,
         # -- driver-graded in r02 only; code unchanged but re-grade --
         "variation_salted": gate.q_variation_salted,
         "events_json_props": gate.q_events_json_props,
@@ -181,6 +183,8 @@ def oracle_sql() -> dict[str, str]:
         "interval_range_count": osqla.interval_range_count(),
         "interval_interval_join": osqla.interval_interval_join(),
         "interval_knn": osqla.interval_knn(),
+        "geomcollection_range": osqla.geomcollection_range(),
+        "geomcollection_join": osqla.geomcollection_join(),
         "multiinterval_range": osqla.multiinterval_range(),
         "multiinterval_join": osqla.multiinterval_join(),
         "multiinterval_knn": osqla.multiinterval_knn(),

@@ -70,6 +70,8 @@ HEADLINE = [
     "multiinterval_range",
     "multiinterval_join",
     "multiinterval_knn",
+    "geomcollection_range",
+    "geomcollection_join",
     "linestring_range",
     "linestring_knn",
     "point_linestring_join",

@@ -715,6 +715,25 @@ def q_multiinterval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mi_ops.multiinterval_join(_seq_t(spark, sf_dir), C.grid, C.join_radius)
 
 
+# ---- geometry collection (heterogeneous mixed-type parts) --------------------
+
+from spatialflink_spark.operators import geomcollection as gc_ops  # noqa: E402
+
+
+def q_geomcollection_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-query range over the mixed-part collection stream
+    (GeometryCollection analog, Deserialization.java:1208-1241): distance =
+    min over point/interval/linestring part distances."""
+    return gc_ops.geomcollection_range(
+        _seq_t(spark, sf_dir), C.grid, DEFAULT_QUERY_POINTS
+    )
+
+
+def q_geomcollection_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed point-collection join over mixed-type parts."""
+    return gc_ops.geomcollection_join(_seq_t(spark, sf_dir), C.grid, C.join_radius)
+
+
 def q_multiinterval_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-MultiPolygon kNN combo over the multi-interval stream."""
     return mi_ops.multiinterval_knn(_seq_t(spark, sf_dir), C.grid, DEFAULT_QUERY_POINTS)

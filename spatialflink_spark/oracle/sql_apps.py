@@ -669,3 +669,61 @@ ranked AS (
 SELECT ws, q_id, CAST(rank AS INT) AS rank, mi_id, mi_seq, dist
 FROM ranked WHERE rank <= k
 """
+
+
+def _gc_duck_dist(tbl: str, p: str) -> str:
+    """DuckDB twin of operators/geomcollection._gc_dist + GC_PARTS_EXPR: the
+    min over MIXED typed parts (point / interval / linestring), parts
+    generated inline from the same deterministic arithmetic (stride 23;
+    interval part iff doc_id % 2 = 0, linestring part iff doc_id % 3 = 0).
+    The point part is the least()'s neutral fallback for absent parts."""
+    from spatialflink_spark.operators.geomcollection import GC_STRIDE
+
+    pt = f"abs({tbl}.n_tok - {p})"
+    iv = (
+        f"greatest(0, "
+        f"greatest({tbl}.n_tok + {GC_STRIDE} - ({tbl}.doc_id % 5 + 1), 0) - {p}, "
+        f"{p} - ({tbl}.n_tok + {GC_STRIDE} + ({tbl}.doc_id % 7 + 2)))"
+    )
+    ls = f"list_min(list_transform({tbl}.tokens, t -> abs(t - {p})))"
+    return (
+        f"least({pt}, CASE WHEN {tbl}.doc_id % 2 = 0 THEN {iv} ELSE {pt} END, "
+        f"CASE WHEN {tbl}.doc_id % 3 = 0 THEN {ls} ELSE {pt} END)"
+    )
+
+
+def geomcollection_range() -> str:
+    """Mixed-part collection range twin (operators/geomcollection
+    .geomcollection_range): all-objects scan, min-over-typed-parts dist."""
+    return f"""{_prologue(tumbling=True)}
+, scored AS (
+  SELECT s.ws, q.q_id, s.doc_id AS gc_id, s.seq_no AS gc_seq,
+         {_gc_duck_dist('s', 'q.q_n_tok')} AS dist, q.radius
+  FROM seq_t s CROSS JOIN {qpoints_values()}
+)
+SELECT ws, q_id, gc_id, gc_seq, dist FROM scored WHERE dist <= radius
+"""
+
+
+def geomcollection_join(radius: int | None = None) -> str:
+    """Point-collection join twin: min-over-typed-parts distance, id-skip,
+    latest-per-pair dedup (struct-max field order pair_ts, seq_no, gc_seq)."""
+    radius = C.join_radius if radius is None else radius
+    vd = _gc_duck_dist("g", "p.n_tok")
+    return f"""{_prologue(tumbling=True)}
+, pairs AS (
+  SELECT p.ws, p.doc_id, g.doc_id AS gc_id,
+         p.seq_no, g.seq_no AS gc_seq,
+         {vd} AS dist,
+         greatest(p.ts_s, g.ts_s) AS pair_ts
+  FROM seq_t p JOIN seq_t g
+    ON p.ws = g.ws AND p.doc_id <> g.doc_id AND {vd} <= {radius}
+),
+dedup AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY ws, doc_id, gc_id
+    ORDER BY pair_ts DESC, seq_no DESC, gc_seq DESC, dist DESC) AS rn
+  FROM pairs
+)
+SELECT ws, doc_id, gc_id, dist, pair_ts FROM dedup WHERE rn = 1
+"""

@@ -257,3 +257,19 @@ def test_pack_emit_straddle_hand_computed(spark):
     # bin 1: seq2's last 3 tokens (pos 0..2), seq3 fully (pos 3..5)
     assert got[("a", 1)] == (2, 6, chk([(0, list(range(26, 29))), (3, list(range(30, 33)))]))
     assert set(got) == {("a", 0), ("a", 1)}
+
+
+def test_geomcollection_range_broadcasts_query_cells(spark):
+    """Mixed-part collection range: union-of-typed-parts cell replication
+    joins the tiny query-cell table by BROADCAST."""
+    df = gate.q_geomcollection_range(spark, SF_SMALL)
+    assert plans.has_broadcast_join(df), plans.simple_plan(df)
+
+
+def test_geomcollection_join_stays_equi_join(spark):
+    """Point-collection combo: radius-expanded mixed-part replication must
+    keep the join a (ws, cell) equi-join — no cartesian fallback."""
+    df = gate.q_geomcollection_join(spark, SF_SMALL)
+    s = plans.simple_plan(df)
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
