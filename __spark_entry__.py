@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_bins_emit": gate.q_pack_bins_emit,
         "geomcollection_range": gate.q_geomcollection_range,
         "geomcollection_join": gate.q_geomcollection_join,
+        "stream_mix_e2e": gate.q_stream_mix_e2e,
         # -- driver-graded in r02 only; code unchanged but re-grade --
         "variation_salted": gate.q_variation_salted,
         "events_json_props": gate.q_events_json_props,
@@ -179,6 +180,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_range_e2e": osqla.stream_range_e2e(),
         "stream_knn_e2e": osqla.stream_knn_e2e(),
         "stream_decon_e2e": osqla.stream_decon_e2e(),
+        "stream_mix_e2e": osqla.stream_mix_e2e(),
         "interval_containment_join": osqla.interval_containment_join(),
         "interval_range_count": osqla.interval_range_count(),
         "interval_interval_join": osqla.interval_interval_join(),

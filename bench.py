@@ -80,6 +80,7 @@ HEADLINE = [
     "stream_range_e2e",
     "stream_knn_e2e",
     "stream_decon_e2e",
+    "stream_mix_e2e",
     # training-data ops
     "dedup_exact",
     "decontaminate",

@@ -491,6 +491,64 @@ def q_stream_decon_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.read_committed(spark)
 
 
+def q_stream_mix_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fourth end-to-end Structured Streaming path — streaming SOURCE MIXING,
+    completing the streaming curation family (dedup, decon, mix): staged
+    replay -> watermark -> quota-rate broadcast + LCG keep-filter
+    (stateless) -> tumbling per-(source, rate) survivor counts ->
+    exactly-once sink. Rates come from a static snapshot of the same table
+    (mixing.mix_rates_snapshot). Oracle = identical integer arithmetic in
+    batch over watermark-closed windows.
+    Output: ws, source, rate_bp, n_kept, tok_kept."""
+    import tempfile
+
+    from spatialflink_spark.operators.mixing import mix_rates_snapshot
+    from spatialflink_spark.sources.streams import (
+        read_sequences_stream,
+        stage_replay_files_cached,
+    )
+    from spatialflink_spark.streaming.pipeline import (
+        run_available_now,
+        stream_source_mix,
+    )
+    from spatialflink_spark.streaming.sink import ExactlyOnceSink
+
+    root = tempfile.mkdtemp(prefix="sfs_gate_mix_")
+    replay = stage_replay_files_cached(spark, sf_dir, n_batches=2)
+    # eager checkpoint: a lazy static side of a stream-static join re-derives
+    # the whole snapshot aggregation every micro-batch (same trap as the
+    # decon probe above); the rate table is one row per source
+    rates = mix_rates_snapshot(sequences_cached(spark, sf_dir)).localCheckpoint()
+    sink = ExactlyOnceSink(f"{root}/out", key_cols=("ws", "source"))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        stream = read_sequences_stream(spark, replay, C.allowed_lateness_s)
+        surv = stream_source_mix(stream, rates)
+        res = (
+            surv.groupBy(
+                F.window("event_ts", f"{C.tumbling_s} seconds").alias("win"),
+                "source",
+                "rate_bp",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_kept"),
+                F.sum(F.col("n_tok").cast("bigint")).alias("tok_kept"),
+            )
+            .select(
+                F.expr("cast(unix_timestamp(win.start) as bigint)").alias("ws"),
+                "source",
+                "rate_bp",
+                "n_kept",
+                "tok_kept",
+            )
+        )
+        run_available_now(res, sink.foreach_batch(), f"{root}/ckpt")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return sink.read_committed(spark)
+
+
 def q_count_windows_tumbling(spark: SparkSession, sf_dir: str, size: int = 4) -> DataFrame:
     """TAggregate WB COUNT semantics, batch-graded (countWindow(size),
     TAggregateQuery.java:381-494 / PointTAggregateQuery.java:83-89): per-key

@@ -35,30 +35,21 @@ LCG_A = 1103515245
 LCG_C = 12345
 BP = 10000
 
+# try_cast + default weight 1: source names outside 'src<digits>' must not
+# kill the job under Spark 4 ANSI (CLAUDE.md rule)
+WEIGHT_EXPR = "coalesce(try_cast(substr(source, 4) as int) % 5 + 1, 1)"
 
-def source_mix_sample(docs: DataFrame) -> DataFrame:
-    """Per-source kept-document stats after quota sampling. Output:
-    source, rate_bp, n_kept, tok_kept."""
-    from spatialflink_spark.session import spread
+# doc_id folded mod 2^31 BEFORE the multiply: bigint doc_ids beyond ~8.36e9
+# would overflow doc_id * LCG_A under ANSI at the claimed 10^12-row envelope;
+# identical results for doc_id < 2^31
+LCG_KEEP_EXPR = (
+    f"(((doc_id % 2147483648) * {LCG_A} + {LCG_C}) % 2147483648) % {BP}"
+)
 
-    # t feeds BOTH the rate computation and the sampling filter; without a
-    # materialization point the word-split scan runs twice (the same
-    # branch-reuse recomputation decontaminate materializes away). Only 4
-    # small columns are stored.
-    t = (
-        spread(docs)
-        .select(
-            "doc_id",
-            "source",
-            F.expr(f"size({T.spark_words('text')})").alias("n_w"),
-            # try_cast + default weight 1: source names outside 'src<digits>'
-            # must not kill the job under Spark 4 ANSI (CLAUDE.md rule)
-            F.expr(
-                "coalesce(try_cast(substr(source, 4) as int) % 5 + 1, 1)"
-            ).alias("w"),
-        )
-        .localCheckpoint(eager=False)
-    )
+
+def quota_rates(t: DataFrame) -> DataFrame:
+    """(source, rate_bp) from a per-row mass table t(source, n_w, w) —
+    the shared rate kernel of the batch and streaming mixing faces."""
     per_src = t.groupBy("source", "w").agg(
         F.sum(F.col("n_w").cast("bigint")).alias("src_toks")
     )
@@ -76,7 +67,7 @@ def source_mix_sample(docs: DataFrame) -> DataFrame:
     unit = (
         f"cast(greatest(1, total_toks div {2**43}) as bigint)"
     )
-    rates = per_src.crossJoin(F.broadcast(totals)).select(
+    return per_src.crossJoin(F.broadcast(totals)).select(
         "source",
         # src_toks = 0 (a source with no tokenizable words) keeps everything:
         # zero mass costs no quota, and ANSI would otherwise DIVIDE_BY_ZERO
@@ -87,12 +78,44 @@ def source_mix_sample(docs: DataFrame) -> DataFrame:
             "end as int)"
         ).alias("rate_bp"),
     )
+
+
+def mix_rates_snapshot(seq_snapshot: DataFrame) -> DataFrame:
+    """(source, rate_bp) for the STREAMING mixing face: quota rates computed
+    over a static (or periodically refreshed) snapshot of the sequence
+    stream, token mass = n_tok. The caller materializes the tiny result
+    (localCheckpoint) before broadcasting it onto the live stream — a lazy
+    static side of a stream-static join re-derives per micro-batch."""
+    t = seq_snapshot.select(
+        "source",
+        F.col("n_tok").alias("n_w"),
+        F.expr(WEIGHT_EXPR).alias("w"),
+    )
+    return quota_rates(t)
+
+
+def source_mix_sample(docs: DataFrame) -> DataFrame:
+    """Per-source kept-document stats after quota sampling. Output:
+    source, rate_bp, n_kept, tok_kept."""
+    from spatialflink_spark.session import spread
+
+    # t feeds BOTH the rate computation and the sampling filter; without a
+    # materialization point the word-split scan runs twice (the same
+    # branch-reuse recomputation decontaminate materializes away). Only 4
+    # small columns are stored.
+    t = (
+        spread(docs)
+        .select(
+            "doc_id",
+            "source",
+            F.expr(f"size({T.spark_words('text')})").alias("n_w"),
+            F.expr(WEIGHT_EXPR).alias("w"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    rates = quota_rates(t)
     kept = t.join(F.broadcast(rates), "source").where(
-        # doc_id folded mod 2^31 BEFORE the multiply: bigint doc_ids beyond
-        # ~8.36e9 would overflow doc_id * LCG_A under ANSI at the claimed
-        # 10^12-row envelope; identical results for doc_id < 2^31
-        F.expr(f"(((doc_id % 2147483648) * {LCG_A} + {LCG_C}) % 2147483648) % {BP}")
-        < F.col("rate_bp")
+        F.expr(LCG_KEEP_EXPR) < F.col("rate_bp")
     )
     return kept.groupBy("source", "rate_bp").agg(
         F.count(F.lit(1)).alias("n_kept"),

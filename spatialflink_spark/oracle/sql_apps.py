@@ -727,3 +727,47 @@ dedup AS (
 )
 SELECT ws, doc_id, gc_id, dist, pair_ts FROM dedup WHERE rn = 1
 """
+
+
+def stream_mix_e2e() -> str:
+    """Batch twin of the streaming source-mixing gate path (q_stream_mix_e2e):
+    the same integer basis-point quota rates (token mass = n_tok over the
+    full static snapshot) + LCG keep-filter, survivors counted per
+    (watermark-closed tumbling window, source, rate)."""
+    from spatialflink_spark.config import DEFAULT_CONFIG as C
+    from spatialflink_spark.operators.mixing import BP, LCG_A, LCG_C
+    from spatialflink_spark.oracle.sql import _prologue
+
+    return f"""{_prologue(tumbling=True)}
+, wm AS (SELECT max(ts_s) - {C.allowed_lateness_s} AS wlim FROM sequences),
+mt AS (
+  SELECT source, CAST(n_tok AS BIGINT) AS n_w,
+         coalesce(TRY_CAST(substr(source, 4) AS INT) % 5 + 1, 1) AS wt
+  FROM sequences
+),
+per_src AS (
+  SELECT source, wt, sum(n_w) AS src_toks FROM mt GROUP BY source, wt
+),
+totals AS (
+  SELECT sum(src_toks) AS total_toks, sum(CAST(wt AS BIGINT)) AS w_sum FROM per_src
+),
+rates AS (
+  SELECT source,
+         CAST(CASE WHEN src_toks // u = 0 THEN {BP} ELSE
+           least({BP}, ({BP} * per_src.wt * (total_toks // u))
+                        // (w_sum * (src_toks // u)))
+         END AS INT) AS rate_bp
+  FROM per_src CROSS JOIN (
+    SELECT total_toks, w_sum,
+           CAST(greatest(1, total_toks // {2**43}) AS BIGINT) AS u
+    FROM totals
+  ) totals
+)
+SELECT s.ws, s.source, r.rate_bp, count(*) AS n_kept,
+       CAST(sum(s.n_tok) AS BIGINT) AS tok_kept
+FROM seq_t s JOIN rates r ON s.source = r.source
+WHERE (((s.doc_id % 2147483648) * {LCG_A} + {LCG_C}) % 2147483648) % {BP}
+      < r.rate_bp
+  AND s.ws + {C.tumbling_s} <= (SELECT wlim FROM wm)
+GROUP BY s.ws, s.source, r.rate_bp
+"""

@@ -298,3 +298,27 @@ def stream_decontaminate(
     return flagged.where(F.col("n_shared_shingles") < min_overlap).drop(
         "_sh", "_probe"
     )
+
+
+# ---- streaming source mixing -------------------------------------------------
+
+def stream_source_mix(stream: DataFrame, rates: DataFrame) -> DataFrame:
+    """Streaming source mixing — the streaming face of
+    mixing.source_mix_sample, completing the streaming curation path
+    (dedup -> decontaminate -> mix): quota rates computed on a STATIC (or
+    periodically refreshed) snapshot (mixing.mix_rates_snapshot), broadcast
+    onto the live stream, deterministic LCG keep-filter per row.
+
+    STATELESS — no watermark requirement, append mode; the same per-row
+    shape as stream_decontaminate, so a continuous-mode variant only needs
+    the rate table inlined as a literal (streaming/continuous.py pattern;
+    micro-batch here because continuous processing rejects join operators,
+    even stream-static broadcasts). `rates` (source, rate_bp) is tiny by
+    construction (one row per source) — the caller should materialize it
+    eagerly (localCheckpoint) so a lazy static side isn't re-derived every
+    micro-batch. Output: the surviving rows plus rate_bp."""
+    from spatialflink_spark.operators.mixing import LCG_KEEP_EXPR
+
+    return stream.join(F.broadcast(rates), "source").where(
+        F.expr(LCG_KEEP_EXPR) < F.col("rate_bp")
+    )

@@ -1009,3 +1009,37 @@ def test_continuous_mode_contamination_alerts(spark, tmp_path):
     for _, r in got.head(200).iterrows():
         expect = len(shingles(toks(int(r.doc_id), int(r.n_tok))) & probe)
         assert expect == r.n_shared_shingles and expect >= 1
+
+
+def test_stream_source_mix_matches_batch(spark, replay_dir, tmp_path):
+    """Streaming source mixing == the same stateless rate-filter run in
+    batch: identical surviving (doc_id, seq_no, rate_bp) set, with rates
+    from the static snapshot (mix_rates_snapshot) on both sides."""
+    from spatialflink_spark.operators.mixing import mix_rates_snapshot
+    from spatialflink_spark.streaming.pipeline import stream_source_mix
+
+    seq = sequences(spark, SF_SMALL)
+    rates = mix_rates_snapshot(seq).localCheckpoint()
+    stream = read_sequences_stream(spark, replay_dir, C.allowed_lateness_s)
+    res = stream_source_mix(stream, rates).select("doc_id", "seq_no", "rate_bp")
+    q = (
+        res.writeStream.format("memory")
+        .queryName("mix_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from mix_stream").toPandas()
+
+    batch = (
+        stream_source_mix(seq, rates)
+        .select("doc_id", "seq_no", "rate_bp")
+        .toPandas()
+    )
+    key = lambda df: sorted(map(tuple, df.values))
+    assert key(got) == key(batch)
+    assert len(got) > 0
+    # the quota filter genuinely drops rows (rates below 10000 exist)
+    assert len(got) < seq.count()
