@@ -42,6 +42,8 @@ TSTATS_OUT = (
 
 
 def _tstats_fn(key, pdf_iter, state: GroupState):
+    import numpy as np
+
     (doc_id,) = key
     if state.exists:
         last_ts, last_nt, cum_len, cum_dt, n_seen, n_acc = state.get
@@ -49,15 +51,24 @@ def _tstats_fn(key, pdf_iter, state: GroupState):
         last_ts, last_nt, cum_len, cum_dt, n_seen, n_acc = -1, 0, 0, 0, 0, 0
     for pdf in pdf_iter:
         pdf = pdf.sort_values(["seq_no"])  # arrival order within the batch
-        for ts, nt in zip(pdf["ts_s"].to_numpy(), pdf["n_tok"].to_numpy()):
-            n_seen += 1
-            if ts <= last_ts:  # out-of-order drop guard (TStatsQuery.java:118)
-                continue
-            if n_acc > 0:
-                cum_len += abs(int(nt) - last_nt)
-                cum_dt += int(ts) - last_ts
-            n_acc += 1
-            last_ts, last_nt = int(ts), int(nt)
+        ts = pdf["ts_s"].to_numpy(dtype="int64")
+        nt = pdf["n_tok"].to_numpy(dtype="int64")
+        n_seen += len(ts)
+        # out-of-order drop guard (TStatsQuery.java:118), vectorized: a row
+        # is accepted iff its ts strictly exceeds the running max of all
+        # PRIOR rows (rejected rows never raise the max, so cummax over all
+        # rows equals cummax over accepted ones — the greedy chain)
+        prev_max = np.maximum.accumulate(np.concatenate(([last_ts], ts)))[:-1]
+        keep = ts > prev_max
+        kts, knt = ts[keep], nt[keep]
+        if len(kts):
+            if n_acc > 0:  # seed the diff chain with the carried last point
+                kts = np.concatenate(([last_ts], kts))
+                knt = np.concatenate(([last_nt], knt))
+            cum_len += int(np.abs(np.diff(knt)).sum())
+            cum_dt += int(np.diff(kts).sum())
+            n_acc += int(keep.sum())
+            last_ts, last_nt = int(kts[-1]), int(knt[-1])
     state.update((last_ts, last_nt, cum_len, cum_dt, n_seen, n_acc))
     rate = int(1000 * cum_len / cum_dt) if cum_dt > 0 else 0
     yield pd.DataFrame(
