@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_bins_emit": gate.q_pack_bins_emit,
         "geomcollection_range": gate.q_geomcollection_range,
         "geomcollection_join": gate.q_geomcollection_join,
+        "geomcollection_knn": gate.q_geomcollection_knn,
         "stream_mix_e2e": gate.q_stream_mix_e2e,
         # -- driver-graded in r02 only; code unchanged but re-grade --
         "variation_salted": gate.q_variation_salted,
@@ -187,6 +188,7 @@ def oracle_sql() -> dict[str, str]:
         "interval_knn": osqla.interval_knn(),
         "geomcollection_range": osqla.geomcollection_range(),
         "geomcollection_join": osqla.geomcollection_join(),
+        "geomcollection_knn": osqla.geomcollection_knn(),
         "multiinterval_range": osqla.multiinterval_range(),
         "multiinterval_join": osqla.multiinterval_join(),
         "multiinterval_knn": osqla.multiinterval_knn(),

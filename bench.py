@@ -72,6 +72,7 @@ HEADLINE = [
     "multiinterval_knn",
     "geomcollection_range",
     "geomcollection_join",
+    "geomcollection_knn",
     "linestring_range",
     "linestring_knn",
     "point_linestring_join",

@@ -1,0 +1,125 @@
+"""sf1 spot check — 10x scale evidence for the most expensive gate queries.
+
+The driver ships fixtures up to sf0.1; a plan that's fine at 180k rows can
+hide quadratic candidate growth (exactly the failure mode bench.py:61-69
+predicts for the no-prune kNN baseline). This script deterministically
+amplifies the sf0.1 fixture 10x and times the heavyweight queries at both
+scales, so BENCH.md can carry a measured "sf1 spot check" row.
+
+Amplification (DuckDB, deterministic, no RNG):
+- documents: 10 copies, doc_id += k*100000; for copy k > 0 every word gets a
+  per-copy prefix, so texts across copies share NO shingles — the near-dup
+  structure per copy is identical to sf0.1 and dedup outputs scale ~10x
+  linearly (without the prefix, 10 verbatim copies would create 45 true
+  duplicate pairs per doc and the experiment would measure the data change,
+  not the plan's scaling).
+- embeddings: 10 copies, vec_id += k*100000, embedding rotated by k
+  positions (norms preserved, no duplicate vectors). NOTE the batch-ANN
+  query TABLE also grows 10x (vec_id % 41), so cosine_topk_batch work grows
+  ~100x by construction (|Q| x n) — reported separately, not a plan defect.
+
+Usage: python bench/sf1_spot.py [out_dir]   (default /tmp/sfs_sf1)
+Prints one timing table; each query best-of-2 like bench.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+SRC = "/root/testdata/sf0.1"
+COPIES = 10
+OFF = 100_000
+
+# the most expensive r3/r4 gate queries + the new round-4 ops
+QUERIES = [
+    "stream_decon_e2e",
+    "stream_knn_e2e",
+    "stream_mix_e2e",
+    "dedup_components_star",
+    "dedup_components",
+    "dedup_ngram_jaccard",
+    "knn_unbounded_pruned",
+    "range_prefix_counts",
+    "simhash_dup_pairs",
+    "cosine_topk_batch",
+    "cosine_topk_batch_ann",
+    "pack_bins_emit",
+    "geomcollection_join",
+]
+
+
+def amplify(out_dir: str) -> None:
+    import duckdb
+
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"""
+COPY (
+  SELECT d.doc_id + k.k * {OFF} AS doc_id,
+         CASE WHEN k.k = 0 THEN d.text
+              ELSE regexp_replace(d.text, '([A-Za-z0-9]+)', 'q' || k.k || '\\1', 'g')
+         END AS text,
+         d.lang, d.source, d.n_chars
+  FROM read_parquet('{SRC}/documents.parquet') d
+  CROSS JOIN (SELECT unnest(range(0, {COPIES})) AS k) k
+) TO '{out_dir}/documents.parquet' (FORMAT parquet)
+""")
+    con.execute(f"""
+COPY (
+  SELECT e.vec_id + k.k * {OFF} AS vec_id,
+         CASE WHEN k.k = 0 THEN e.embedding
+              ELSE e.embedding[CAST(k.k AS INT) + 1:] || e.embedding[:CAST(k.k AS INT)]
+         END AS embedding,
+         e.label
+  FROM read_parquet('{SRC}/embeddings.parquet') e
+  CROSS JOIN (SELECT unnest(range(0, {COPIES})) AS k) k
+) TO '{out_dir}/embeddings.parquet' (FORMAT parquet)
+""")
+    # events are not used by any query in the spot list; copy verbatim so
+    # the directory is a complete sf-dir for the gate helpers
+    con.execute(
+        f"COPY (SELECT * FROM read_parquet('{SRC}/events.parquet')) "
+        f"TO '{out_dir}/events.parquet' (FORMAT parquet)"
+    )
+
+
+def main() -> None:
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfs_sf1"
+    if not os.path.exists(f"{out_dir}/documents.parquet"):
+        amplify(out_dir)
+    from spatialflink_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("sfs-sf1-spot", cores=cpus, shuffle_partitions=max(cpus, 32))
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+    qs["range_tumbling_count"](spark, out_dir).count()  # warm-up
+
+    rows = {}
+    for name in QUERIES:
+        times = {}
+        for sf_name, sf_dir in (("sf0.1", SRC), ("sf1", out_dir)):
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                wall = time.time() - t0
+                best = wall if best is None else min(best, wall)
+                spark.catalog.clearCache()
+            times[sf_name] = round(best, 2)
+        times["ratio"] = round(times["sf1"] / max(times["sf0.1"], 1e-9), 1)
+        rows[name] = times
+        print(name, times, flush=True)
+    print(json.dumps({"sf1_spot": rows}))
+
+
+if __name__ == "__main__":
+    main()

@@ -792,6 +792,13 @@ def q_geomcollection_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gc_ops.geomcollection_join(_seq_t(spark, sf_dir), C.grid, C.join_radius)
 
 
+def q_geomcollection_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-collection kNN over mixed-type parts (two-stage top-k)."""
+    return gc_ops.geomcollection_knn(
+        _seq_t(spark, sf_dir), C.grid, DEFAULT_QUERY_POINTS
+    )
+
+
 def q_multiinterval_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-MultiPolygon kNN combo over the multi-interval stream."""
     return mi_ops.multiinterval_knn(_seq_t(spark, sf_dir), C.grid, DEFAULT_QUERY_POINTS)

@@ -127,6 +127,57 @@ def geomcollection_range(
     )
 
 
+def geomcollection_knn(
+    seq_ws: DataFrame, grid: GridConfig, qs: Iterable[QueryPoint]
+) -> DataFrame:
+    """Point-query kNN over the collection stream — completes the mixed-part
+    combo row (range / join / kNN): same two-stage radius-bounded plan as
+    the other geometry kNNs — covered-cell broadcast candidates, exact
+    mixed-type distance, per-cell partial top-k after per-object
+    dedup-keep-min, bounded global merge (knn.py:35 shape).
+    Output: ws, q_id, rank, gc_id, gc_seq, dist."""
+    from pyspark.sql.window import Window
+
+    from spatialflink_spark.operators.range_query import query_cells_df
+
+    spark = seq_ws.sparkSession
+    qcells = query_cells_df(spark, grid, qs)
+    rep = gc_stream(seq_ws).withColumn(
+        "cell", F.explode(F.expr(_covered_cells_expr(grid)))
+    )
+    cand = (
+        rep.join(F.broadcast(qcells), "cell")
+        .withColumn("dist", F.expr(_gc_dist("q_n_tok")))
+        .where(F.col("dist") <= F.col("radius"))
+    )
+    per_obj = cand.groupBy("ws", "q_id", "k", "cell", "gc_id").agg(
+        F.min(F.struct("dist", "gc_seq")).alias("_m")
+    )
+    w_cell = Window.partitionBy("ws", "q_id", "cell").orderBy(
+        F.col("_m.dist"), F.col("gc_id")
+    )
+    partial = (
+        per_obj.withColumn("_r", F.row_number().over(w_cell))
+        .where(F.col("_r") <= F.col("k"))
+        .drop("_r")
+    )
+    per_gc = partial.groupBy("ws", "q_id", "k", "gc_id").agg(
+        F.min("_m").alias("_m2")
+    )
+    w_final = Window.partitionBy("ws", "q_id").orderBy(
+        F.col("_m2.dist"), F.col("gc_id")
+    )
+    return (
+        per_gc.withColumn("rank", F.row_number().over(w_final).cast("int"))
+        .where(F.col("rank") <= F.col("k"))
+        .select(
+            "ws", "q_id", "rank", "gc_id",
+            F.col("_m2.gc_seq").alias("gc_seq"),
+            F.col("_m2.dist").alias("dist"),
+        )
+    )
+
+
 def geomcollection_join(
     seq_ws: DataFrame, grid: GridConfig, radius: int
 ) -> DataFrame:

@@ -771,3 +771,29 @@ WHERE (((s.doc_id % 2147483648) * {LCG_A} + {LCG_C}) % 2147483648) % {BP}
   AND s.ws + {C.tumbling_s} <= (SELECT wlim FROM wm)
 GROUP BY s.ws, s.source, r.rate_bp
 """
+
+
+def geomcollection_knn() -> str:
+    """Point-collection kNN twin: min-over-typed-parts distance, per-object
+    dedup-keep-min, rank cut to k (same shape as multiinterval_knn)."""
+    vd = _gc_duck_dist("s", "q.q_n_tok")
+    return f"""{_prologue(tumbling=True)}
+, cand AS (
+  SELECT s.ws, q.q_id, q.k, s.doc_id AS gc_id, s.seq_no AS gc_seq,
+         {vd} AS dist
+  FROM seq_t s
+  JOIN {qpoints_values()} ON {vd} <= q.radius
+),
+per_gc AS (
+  SELECT ws, q_id, k, gc_id, gc_seq, dist,
+         row_number() OVER (PARTITION BY ws, q_id, gc_id ORDER BY dist, gc_seq) AS rd
+  FROM cand
+),
+ranked AS (
+  SELECT ws, q_id, k, gc_id, gc_seq, dist,
+         row_number() OVER (PARTITION BY ws, q_id ORDER BY dist, gc_id) AS rank
+  FROM per_gc WHERE rd = 1
+)
+SELECT ws, q_id, CAST(rank AS INT) AS rank, gc_id, gc_seq, dist
+FROM ranked WHERE rank <= k
+"""

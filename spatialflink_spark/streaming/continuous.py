@@ -155,3 +155,27 @@ def continuous_contamination_alerts(
         F.expr(f"cast(size(array_intersect(_sh, array({plits}))) as int)"),
     )
     return flagged.where(F.col("n_shared_shingles") >= min_overlap).drop("_sh")
+
+
+def continuous_mix_filter(
+    stream: DataFrame, rates: Iterable[tuple[str, int]]
+) -> DataFrame:
+    """Per-record source mixing — the continuous-mode face of
+    stream_source_mix: the quota-rate table (one basis-point rate per
+    source, from mixing.mix_rates_snapshot on a static/periodic snapshot)
+    is inlined as a MAP LITERAL, and each arriving row passes the instant
+    its deterministic LCG draw lands under its source's rate. Project/Filter
+    only (map lookup + integer arithmetic are projections) — runs under
+    trigger(continuous=...). A source missing from the snapshot keeps
+    everything (rate 10000), matching the batch op's zero-mass rule: unseen
+    mass costs no quota. Rate tables are one row per source — literal-sized
+    by construction."""
+    from spatialflink_spark.operators.mixing import BP, LCG_KEEP_EXPR
+
+    pairs = ", ".join(f"'{s}', {int(bp)}" for s, bp in rates)
+    mexpr = f"map({pairs})" if pairs else "cast(map() as map<string, int>)"
+    enriched = stream.withColumn(
+        "rate_bp",
+        F.expr(f"coalesce(try_element_at({mexpr}, source), {BP})"),
+    )
+    return enriched.where(F.expr(LCG_KEEP_EXPR) < F.col("rate_bp"))

@@ -269,6 +269,9 @@ def token_shingle_expr(k: int = 3) -> str:
     )
 
 
+PROBE_BUCKETS = 1024
+
+
 def stream_decontaminate(
     stream: DataFrame, probe: DataFrame, min_overlap: int = 3, k: int = 3
 ) -> DataFrame:
@@ -278,25 +281,52 @@ def stream_decontaminate(
     the live ingest).
 
     `probe` is a batch DataFrame with one bigint column `h` (the benchmark's
-    shingle-hash set). It is aggregated to a single sorted array and
-    broadcast-cross-joined onto the stream, so the check is a STATELESS
-    per-row `array_intersect` — append mode, no watermark requirement.
-    (Micro-batch only as written: continuous processing rejects join
-    operators, even stream-static broadcasts. For a continuous variant,
-    inline the probe array as a literal the way streaming/continuous.py
-    inlines its cell table.) Eval benchmarks are small by definition, so
-    the broadcast array is bounded. Output: the surviving rows plus
+    shingle-hash set). It is aggregated to a BUCKETED array-of-arrays
+    (bucket = h mod PROBE_BUCKETS, each bucket sorted) and broadcast-cross-
+    joined onto the stream; the per-row check indexes the outer array in
+    O(1) and scans only one bucket per row shingle, so per-row cost is
+    O(|row shingles| x |probe| / PROBE_BUCKETS) — NOT O(|probe|), which the
+    round-4 10x spot check caught as an 18x super-linear wall when the flat
+    array_intersect paid the whole probe per row (bench/sf1_spot.py). The
+    whole check stays a STATELESS projection — append mode, no watermark
+    requirement. (Micro-batch only as written: continuous processing
+    rejects join operators, even stream-static broadcasts. For a continuous
+    variant, inline the probe as a literal the way streaming/continuous.py
+    does — small probes only.) Output: the surviving rows plus
     n_shared_shingles (always < min_overlap)."""
-    probe_arr = probe.agg(
-        F.expr("array_sort(collect_set(h))").alias("_probe")
+    nb = PROBE_BUCKETS
+    spark = probe.sparkSession
+    by_bucket = probe.groupBy(
+        F.expr(f"cast(pmod(h, {nb}) as int)").alias("_b")
+    ).agg(F.expr("array_sort(collect_set(h))").alias("_arr"))
+    # densify to one row per bucket id (empty array for absent buckets),
+    # then pack into ONE outer array ordered by bucket id — order fixed by
+    # sorting the (bucket, arr) structs, not by collect order. All on the
+    # tiny batch probe side.
+    dense = (
+        spark.range(nb)
+        .select(F.col("id").cast("int").alias("_b"))
+        .join(by_bucket, "_b", "left")
+        .select(
+            "_b",
+            F.expr("coalesce(_arr, cast(array() as array<bigint>))").alias("_arr"),
+        )
+    )
+    probe_buckets = dense.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(_b, _arr))), s -> s._arr)"
+        ).alias("_buckets")
     )
     shingled = stream.withColumn("_sh", F.expr(token_shingle_expr(k)))
-    flagged = shingled.crossJoin(F.broadcast(probe_arr)).withColumn(
+    flagged = shingled.crossJoin(F.broadcast(probe_buckets)).withColumn(
         "n_shared_shingles",
-        F.expr("size(array_intersect(_sh, _probe))").cast("int"),
+        F.expr(
+            f"size(filter(_sh, h -> array_contains("
+            f"element_at(_buckets, cast(pmod(h, {nb}) + 1 as int)), h)))"
+        ).cast("int"),
     )
     return flagged.where(F.col("n_shared_shingles") < min_overlap).drop(
-        "_sh", "_probe"
+        "_sh", "_buckets"
     )
 
 

@@ -1043,3 +1043,54 @@ def test_stream_source_mix_matches_batch(spark, replay_dir, tmp_path):
     assert len(got) > 0
     # the quota filter genuinely drops rows (rates below 10000 exist)
     assert len(got) < seq.count()
+
+
+def test_continuous_mode_mix_filter(spark, tmp_path):
+    """Per-record source mixing under TRUE continuous processing: rate table
+    inlined as a map literal, rows flow without micro-batches, every emitted
+    row's LCG draw is under its source's rate, a zero-rate source never
+    emits, and a source absent from the table defaults to keep-all."""
+    import time as _time
+
+    from spatialflink_spark.operators.mixing import BP, LCG_A, LCG_C
+    from spatialflink_spark.streaming.continuous import (
+        continuous_mix_filter,
+        synthetic_rate_sequences,
+    )
+
+    rates = [("src_0", 2500), ("src_1", 7500), ("src_2", 0)]  # src_3 absent
+    stream = synthetic_rate_sequences(spark, rows_per_second=400, num_partitions=2)
+    res = continuous_mix_filter(stream, rates)
+    q = (
+        res.writeStream.format("memory")
+        .queryName("cont_mix")
+        .trigger(continuous="1 second")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = _time.time() + 40
+        got = None
+        while _time.time() < deadline:
+            _time.sleep(3)
+            got = spark.sql("select * from cont_mix").toPandas()
+            if len(got) >= 50 and got["source"].nunique() >= 3:
+                break
+        assert got is not None and len(got) >= 50, "no continuous flow"
+    finally:
+        import threading
+
+        t = threading.Thread(target=q.stop)
+        t.daemon = True
+        t.start()
+        t.join(30)
+
+    def lcg(doc_id):
+        return (((doc_id % 2**31) * LCG_A + LCG_C) % 2**31) % BP
+
+    table = dict(rates)
+    assert not (got["source"] == "src_2").any()  # zero rate drops all
+    assert (got["source"] == "src_3").any()  # absent source keeps flowing
+    for _, r in got.head(500).iterrows():
+        rate = table.get(r.source, BP)
+        assert r.rate_bp == rate and lcg(int(r.doc_id)) < rate
