@@ -99,6 +99,8 @@ HEADLINE = [
     # query-TABLE batch top-k (round 4): exact two-stage + multi-probe ANN
     "cosine_topk_batch",
     "cosine_topk_batch_ann",
+    # learned-centroid IVF (round 4): quantized-integer Lloyd iterations
+    "cosine_topk_ivf_kmeans",
     # embedding_dup_pairs is gate-graded (exact all-pairs oracle at sf0.01)
     # but excluded here: at sf0.1 it is a deliberate O(n^2) exact baseline
     # (2M pairs, ~28s). Its production form IS benchmarked:

@@ -255,6 +255,14 @@ def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.cosine_topk_ivf(_emb(spark, sf_dir))
 
 
+def q_cosine_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-centroid IVF ANN (similarity.cosine_topk_ivf_kmeans):
+    deterministic quantized-integer Lloyd iterations build the inverted
+    file; the query probes its n_probe nearest centroids; exact cosine
+    re-rank within probed clusters. Oracle unrolls the same iterations."""
+    return sim_ops.cosine_topk_ivf_kmeans(_emb(spark, sf_dir))
+
+
 def q_cosine_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Query-TABLE exact batch top-k (similarity.cosine_topk_batch): top-k
     per query over a query set — the reference's multi-query kNN semantics

