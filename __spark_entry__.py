@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_batch": gate.q_cosine_topk_batch,
         "cosine_topk_batch_ann": gate.q_cosine_topk_batch_ann,
         "cosine_topk_ivf_kmeans": gate.q_cosine_topk_ivf_kmeans,
+        "cosine_topk_batch_kmeans": gate.q_cosine_topk_batch_kmeans,
         "pack_bins_emit": gate.q_pack_bins_emit,
         "geomcollection_range": gate.q_geomcollection_range,
         "geomcollection_join": gate.q_geomcollection_join,
@@ -156,6 +157,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk_batch": osqld.cosine_topk_batch(),
         "cosine_topk_batch_ann": osqld.cosine_topk_batch_ann(),
         "cosine_topk_ivf_kmeans": osqld.cosine_topk_ivf_kmeans(),
+        "cosine_topk_batch_kmeans": osqld.cosine_topk_batch_kmeans(),
         "embedding_dup_pairs": osqld.embedding_dup_pairs(),
         "embedding_dup_pairs_blocked": osqld.embedding_dup_pairs_blocked(),
         "cosine_topk_ivf_multiprobe": osqld.cosine_topk_ivf_multiprobe(),

@@ -101,6 +101,7 @@ HEADLINE = [
     "cosine_topk_batch_ann",
     # learned-centroid IVF (round 4): quantized-integer Lloyd iterations
     "cosine_topk_ivf_kmeans",
+    "cosine_topk_batch_kmeans",
     # embedding_dup_pairs is gate-graded (exact all-pairs oracle at sf0.01)
     # but excluded here: at sf0.1 it is a deliberate O(n^2) exact baseline
     # (2M pairs, ~28s). Its production form IS benchmarked:

@@ -279,6 +279,13 @@ def q_cosine_topk_batch_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.cosine_topk_batch_ann(_emb(spark, sf_dir))
 
 
+def q_cosine_topk_batch_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch retrieval over the learned k-means IVF
+    (similarity.cosine_topk_batch_kmeans): per-query nearest-centroid
+    probing + centroid equi-join + two-stage per-query cut."""
+    return sim_ops.cosine_topk_batch_kmeans(_emb(spark, sf_dir))
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.lang_id(_docs(spark, sf_dir))
 

@@ -411,6 +411,67 @@ def cosine_topk_ivf_kmeans(
     return _topk_ranked(cand, k)
 
 
+def cosine_topk_batch_kmeans(
+    emb: DataFrame,
+    k: int = DEFAULT_K,
+    n_centroids: int = KM_CENTROIDS,
+    iters: int = KM_ITERS,
+    n_probe: int = KM_PROBE,
+    query_mod: int | None = None,
+) -> DataFrame:
+    """Batch retrieval over the learned IVF — the production retrieval op:
+    every query in the query TABLE probes its n_probe nearest k-means
+    centroids, candidates are the corpus vectors assigned to those clusters
+    (a pure equi-join on centroid id), exact cosine re-rank per query via
+    the two-stage cut (stage-1 key = cluster id). Composes the round-4
+    batch machinery with the learned inverted file.
+    Output: q_id, rank, vec_id, label, cos_sim."""
+    qm = QUERY_MOD if query_mod is None else query_mod
+    cent = kmeans_centroids(emb, n_centroids, iters).localCheckpoint(eager=False)
+    base = emb.select(
+        "vec_id", "label", "embedding", F.expr(_km_quant("embedding")).alias("qv")
+    )
+    assigned = (
+        base.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "label",
+            "embedding",
+            F.struct(F.expr(_KM_DIST).alias("d"), F.col("cid")).alias("_dc"),
+        )
+        .groupBy("vec_id", "label", "embedding")
+        .agg(F.min("_dc").alias("_m"))
+        .select("vec_id", "label", "embedding", F.col("_m.cid").alias("bucket"))
+    )
+    qset = base.where(F.col("vec_id") % qm == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        "qv",
+    )
+    from pyspark.sql.window import Window
+
+    w_q = Window.partitionBy("q_id").orderBy(F.col("d").asc(), F.col("cid").asc())
+    qprobe = (
+        qset.crossJoin(F.broadcast(cent))
+        .select("q_id", "q_emb", "cid", F.expr(_KM_DIST).alias("d"))
+        .withColumn("_r", F.row_number().over(w_q))
+        .where(F.col("_r") <= n_probe)
+        .select("q_id", "q_emb", F.col("cid").alias("bucket"))
+    )
+    scored = assigned.join(
+        F.broadcast(qprobe),
+        (assigned["bucket"] == qprobe["bucket"])
+        & (assigned["vec_id"] != qprobe["q_id"]),
+    ).select(
+        "q_id",
+        "vec_id",
+        "label",
+        assigned["bucket"].alias("bucket"),
+        F.expr(_cos_expr("embedding", "q_emb")).alias("cos_sim"),
+    )
+    return _batch_topk_two_stage(scored, k)
+
+
 # ---------------------------------------------------------------------------
 # Query-TABLE batch top-k — the op an LLM retrieval/dedup pipeline actually
 # runs: top-k per query over a query SET, mirroring the reference's kNN which

@@ -545,35 +545,21 @@ SELECT q_id, rank, vec_id, label, cos_sim FROM ranked WHERE rank <= {k}
 """
 
 
-def cosine_topk_ivf_kmeans(
-    k: int = DEFAULT_K,
-    n_centroids: int | None = None,
-    iters: int | None = None,
-    n_probe: int | None = None,
-) -> str:
-    """Twin of similarity.cosine_topk_ivf_kmeans: the same quantized-integer
-    Lloyd iterations unrolled as CTEs (integer sums are associative, so the
-    two dialects' aggregation orders cannot diverge), then probe + exact
-    cosine re-rank."""
-    from spatialflink_spark.operators.similarity import (
-        KM_CENTROIDS,
-        KM_ITERS,
-        KM_PROBE,
-        KM_QSCALE,
-        QUERY_VEC_ID,
+def _km_duck_dist(qv: str, cq: str) -> str:
+    """Squared-L2 between two quantized (bigint) vectors."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range(1, len({qv}) + 1), "
+        f"i -> ({qv}[i] - {cq}[i]) * ({qv}[i] - {cq}[i]))), (s, x) -> s + x)"
     )
 
-    n_centroids = KM_CENTROIDS if n_centroids is None else n_centroids
-    iters = KM_ITERS if iters is None else iters
-    n_probe = KM_PROBE if n_probe is None else n_probe
 
-    def dist(qv: str, cq: str) -> str:
-        return (
-            f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
-            f"list_transform(range(1, len({qv}) + 1), "
-            f"i -> ({qv}[i] - {cq}[i]) * ({qv}[i] - {cq}[i]))), (s, x) -> s + x)"
-        )
+def _kmeans_ctes(n_centroids: int, iters: int) -> tuple[list[str], str]:
+    """Shared Lloyd-iteration CTE chain (q0, c0, a_i/u_i/c_i ... assigned)
+    used by both k-means oracle twins; returns (ctes, final_centroid_cte)."""
+    from spatialflink_spark.operators.similarity import KM_QSCALE
 
+    dist = _km_duck_dist
     ctes = [
         f"""q0 AS (
   SELECT vec_id, label, embedding,
@@ -612,6 +598,31 @@ def cosine_topk_ivf_kmeans(
     FROM q0 v CROSS JOIN {final} c
   ) WHERE rn = 1
 )""")
+    return ctes, final
+
+
+def cosine_topk_ivf_kmeans(
+    k: int = DEFAULT_K,
+    n_centroids: int | None = None,
+    iters: int | None = None,
+    n_probe: int | None = None,
+) -> str:
+    """Twin of similarity.cosine_topk_ivf_kmeans: the same quantized-integer
+    Lloyd iterations unrolled as CTEs (integer sums are associative, so the
+    two dialects' aggregation orders cannot diverge), then probe + exact
+    cosine re-rank."""
+    from spatialflink_spark.operators.similarity import (
+        KM_CENTROIDS,
+        KM_ITERS,
+        KM_PROBE,
+        QUERY_VEC_ID,
+    )
+
+    n_centroids = KM_CENTROIDS if n_centroids is None else n_centroids
+    iters = KM_ITERS if iters is None else iters
+    n_probe = KM_PROBE if n_probe is None else n_probe
+    ctes, final = _kmeans_ctes(n_centroids, iters)
+    dist = _km_duck_dist
     ctes.append(f"""probed AS (
   SELECT cid, q_emb FROM (
     SELECT c.cid, v.embedding AS q_emb,
@@ -632,4 +643,52 @@ ranked AS (
   FROM scored
 )
 SELECT rank, vec_id, label, cos_sim FROM ranked WHERE rank <= {k}
+"""
+
+
+def cosine_topk_batch_kmeans(
+    k: int = DEFAULT_K,
+    n_centroids: int | None = None,
+    iters: int | None = None,
+    n_probe: int | None = None,
+    query_mod: int | None = None,
+) -> str:
+    """Twin of similarity.cosine_topk_batch_kmeans: batch retrieval over the
+    learned IVF — per-query n_probe nearest centroids, candidates by
+    centroid equi-join, direct per-query rank (the direct form the engine's
+    two-stage cut must equal)."""
+    from spatialflink_spark.operators.similarity import (
+        KM_CENTROIDS,
+        KM_ITERS,
+        KM_PROBE,
+        QUERY_MOD,
+    )
+
+    n_centroids = KM_CENTROIDS if n_centroids is None else n_centroids
+    iters = KM_ITERS if iters is None else iters
+    n_probe = KM_PROBE if n_probe is None else n_probe
+    query_mod = QUERY_MOD if query_mod is None else query_mod
+    ctes, final = _kmeans_ctes(n_centroids, iters)
+    dist = _km_duck_dist
+    ctes.append(f"""qprobe AS (
+  SELECT q_id, q_emb, cid FROM (
+    SELECT v.vec_id AS q_id, v.embedding AS q_emb, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {dist('v.qv', 'c.cq')}, c.cid) AS rn
+    FROM q0 v CROSS JOIN {final} c WHERE v.vec_id % {query_mod} = 0
+  ) WHERE rn <= {n_probe}
+)""")
+    ctes.append(f"""scored AS (
+  SELECT p.q_id, a.vec_id, a.label, {_duck_cos('a.embedding', 'p.q_emb')} AS cos_sim
+  FROM assigned a JOIN qprobe p ON a.cid = p.cid AND a.vec_id <> p.q_id
+)""")
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body},
+ranked AS (
+  SELECT q_id, vec_id, label, cos_sim,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT q_id, rank, vec_id, label, cos_sim FROM ranked WHERE rank <= {k}
 """

@@ -242,3 +242,21 @@ def test_kmeans_ivf_recall_beats_probe_fraction(spark):
     exact = {r.vec_id for r in sim.cosine_topk(emb).collect()}
     km = {r.vec_id for r in sim.cosine_topk_ivf_kmeans(emb).collect()}
     assert len(exact & km) / len(exact) >= 0.6
+
+
+def test_kmeans_batch_full_probe_equals_exact_batch(spark):
+    """Full-probe batch k-means retrieval must equal the exact batch op for
+    every query (ranks included)."""
+    from spatialflink_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    exact = {
+        (r.q_id, r.rank, r.vec_id) for r in sim.cosine_topk_batch(emb).collect()
+    }
+    full = {
+        (r.q_id, r.rank, r.vec_id)
+        for r in sim.cosine_topk_batch_kmeans(
+            emb, n_probe=sim.KM_CENTROIDS
+        ).collect()
+    }
+    assert exact == full and len(exact) > 0

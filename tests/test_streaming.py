@@ -1094,3 +1094,72 @@ def test_continuous_mode_mix_filter(spark, tmp_path):
     for _, r in got.head(500).iterrows():
         rate = table.get(r.source, BP)
         assert r.rate_bp == rate and lcg(int(r.doc_id)) < rate
+
+
+def test_stream_mix_resume_from_checkpoint(spark, replay_dir, tmp_path):
+    """Kill the streaming mixing pipeline after its first commit; resume
+    from the same checkpoint; the committed windowed counts must have no
+    duplicate keys and match the batch recomputation for every closed
+    window — exactly-once across the kill/restart boundary for the fourth
+    streaming path."""
+    import time
+
+    import pyspark.sql.functions as F
+
+    from spatialflink_spark.operators.mixing import mix_rates_snapshot
+    from spatialflink_spark.streaming.pipeline import stream_source_mix
+
+    seq = sequences(spark, SF_SMALL)
+    rates = mix_rates_snapshot(seq).localCheckpoint()
+    sink = ExactlyOnceSink(str(tmp_path / "out"), key_cols=("ws", "source"))
+    ckpt = str(tmp_path / "ckpt")
+
+    def agg(stream):
+        return (
+            stream_source_mix(stream, rates)
+            .groupBy(
+                F.window("event_ts", f"{C.tumbling_s} seconds").alias("win"),
+                "source",
+            )
+            .agg(F.count(F.lit(1)).alias("n_kept"))
+            .select(
+                F.expr("cast(unix_timestamp(win.start) as bigint)").alias("ws"),
+                "source",
+                "n_kept",
+            )
+        )
+
+    q = (
+        agg(read_sequences_stream(spark, replay_dir, C.allowed_lateness_s))
+        .writeStream.foreachBatch(sink.foreach_batch())
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    deadline = time.time() + 60
+    while time.time() < deadline and not sink.committed_batches():
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(30)
+    assert len(sink.committed_batches()) >= 1
+
+    run_available_now(
+        agg(read_sequences_stream(spark, replay_dir, C.allowed_lateness_s)),
+        sink.foreach_batch(),
+        ckpt,
+    )
+    got = sink.read_committed(spark).toPandas()
+    assert not got.duplicated(subset=["ws", "source"]).any()
+    assert len(got) > 0
+
+    batch = (
+        stream_source_mix(seq, rates)
+        .withColumn("ws", F.expr(f"cast(floor(ts_s / {C.tumbling_s}) * {C.tumbling_s} as bigint)"))
+        .groupBy("ws", "source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .toPandas()
+    )
+    merged = got.merge(batch, on=["ws", "source"], suffixes=("_s", "_b"))
+    assert len(merged) == len(got)
+    assert (merged["n_kept_s"] == merged["n_kept_b"]).all()
