@@ -273,3 +273,71 @@ def test_geomcollection_join_stays_equi_join(spark):
     s = plans.simple_plan(df)
     assert "CartesianProduct" not in s
     assert "BroadcastNestedLoopJoin" not in s
+
+
+def test_pack_emit_randomized_vs_python_reference(spark):
+    """pack_emit against an independent pure-Python packer on seeded random
+    data chosen to stress the edges: tiny capacities (many straddles),
+    sequences several times the capacity (3+ bin spans), zero-length
+    sequences (no payload, no cum contribution), duplicate timestamps
+    (tie-break by doc_id, seq_no)."""
+    import random
+
+    from spatialflink_spark.operators.packing import pack_emit
+
+    rng = random.Random(20260817)
+    rows = []
+    for s in range(6):
+        src = f"s{s}"
+        for i in range(40):
+            n = rng.choice([0, 1, 2, 3, 5, 8, 13, 21, 25])
+            # (ts_s, doc_id, seq_no) must be a UNIQUE ordering key per
+            # source (the packing-order contract; the real sequences table
+            # guarantees it) — duplicate ts_s stress the tie-break, doc_id
+            # stays unique per source
+            rows.append(
+                (
+                    src,
+                    i,                           # doc_id, unique per source
+                    i % 3,                       # seq_no
+                    [rng.randrange(1000) for _ in range(n)],
+                    n,
+                    rng.randrange(50),           # ts_s, heavy duplication
+                )
+            )
+
+    def reference(capacity):
+        out = {}
+        by_src = {}
+        for src, d, q, toks, n, ts in rows:
+            by_src.setdefault(src, []).append((ts, d, q, toks, n))
+        for src, seqs in by_src.items():
+            seqs.sort(key=lambda t: (t[0], t[1], t[2]))
+            cum = 0
+            for ts, d, q, toks, n in seqs:
+                for i, t in enumerate(toks):
+                    pos = cum + i
+                    b = pos // capacity
+                    key = (src, b)
+                    parts, ntb, chk, last_seq = out.get(key, (0, 0, 0, None))
+                    if last_seq != (d, q, ts):
+                        parts += 1
+                    out[key] = (
+                        parts,
+                        ntb + 1,
+                        chk + (pos % capacity + 1) * (t + 1),
+                        (d, q, ts),
+                    )
+                cum += n
+        return {k: v[:3] for k, v in out.items()}
+
+    seq = spark.createDataFrame(
+        rows,
+        "source string, doc_id bigint, seq_no int, tokens array<int>, n_tok int, ts_s bigint",
+    )
+    for cap in (7, 16):
+        got = {
+            (r.source, r.bin_id): (r.n_parts, r.n_tok_bin, r.tok_checksum)
+            for r in pack_emit(seq, capacity=cap).collect()
+        }
+        assert got == reference(cap), f"capacity {cap}"
