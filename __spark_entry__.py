@@ -53,6 +53,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_ivf_kmeans": gate.q_cosine_topk_ivf_kmeans,
         "cosine_topk_batch_kmeans": gate.q_cosine_topk_batch_kmeans,
         "pack_bins_emit": gate.q_pack_bins_emit,
+        "token_freq_topk": gate.q_token_freq_topk,
+        "source_length_quantiles": gate.q_source_length_quantiles,
         "geomcollection_range": gate.q_geomcollection_range,
         "geomcollection_join": gate.q_geomcollection_join,
         "geomcollection_knn": gate.q_geomcollection_knn,
@@ -167,6 +169,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": osqld.fingerprint(),
         "pack_sequences": osql.pack_sequences(),
         "pack_bins_emit": osql.pack_bins_emit(),
+        "token_freq_topk": osql.token_freq_topk(),
+        "source_length_quantiles": osql.source_length_quantiles(),
         "media_features": osqld.media_features(),
         "range_approx": osqla.range_approx(),
         "trajectory_restricted": osqla.trajectory_restricted(),

@@ -112,6 +112,8 @@ HEADLINE = [
     "doc_fingerprint",
     "pack_sequences",
     "pack_bins_emit",
+    "token_freq_topk",
+    "source_length_quantiles",
     "media_features",
 ]
 

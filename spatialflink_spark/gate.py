@@ -701,6 +701,24 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_stats(sequences_cached(spark, sf_dir))
 
 
+def q_token_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token heavy hitters (operators/corpus.token_freq_topk):
+    explode -> vocab-bounded groupBy -> TakeOrderedAndProject cut.
+    Output: rank, token, n_occurrences, n_docs."""
+    from spatialflink_spark.operators.corpus import token_freq_topk
+
+    return token_freq_topk(sequences_cached(spark, sf_dir))
+
+
+def q_source_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source length quantiles (operators/corpus
+    .source_length_quantiles) over the count distribution — no per-row
+    sort. Output: source, n_rows, p50, p90, p99."""
+    from spatialflink_spark.operators.corpus import source_length_quantiles
+
+    return source_length_quantiles(sequences_cached(spark, sf_dir))
+
+
 def q_pack_bins_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packed-bin EMISSION (operators/packing.pack_emit): the packed corpus
     itself, not stats about the assignment — per-bin token payloads graded

@@ -1,0 +1,80 @@
+"""Corpus-analytics operators — the diagnostics a curation pipeline sets its
+thresholds from (no single reference analog; part of the training-data
+operator family like operators/text.py): exact token heavy hitters and exact
+per-source length quantiles.
+
+Scale notes (100 TB):
+- token_freq_topk: explode -> groupBy(token) is one shuffle whose key space
+  is the VOCABULARY (bounded, ~50k here), not the corpus — map-side partial
+  aggregation collapses each partition to <= |vocab| rows before the
+  exchange, and the final cut is TakeOrderedAndProject (per-partition heap,
+  driver merge of k). The lossy alternative (Misra-Gries / count-min) is
+  only needed when the key space itself is unbounded (e.g. n-gram counts);
+  for token ids the exact plan is already scale-safe.
+- source_length_quantiles: quantiles are computed on the per-(source,
+  n_tok) COUNT distribution — the window cumsum runs over distinct lengths
+  per source (bounded by the model context, not by row count), so no
+  per-row sort ever happens. Exact type-1 quantiles (smallest value whose
+  cumulative count reaches ceil(q/100 * n)) — deterministic integer
+  arithmetic, identical in the DuckDB twin; at petabyte scale the same
+  shape serves as the exact verifier for approx_percentile sketches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+TOPK_DEFAULT = 20
+QUANTILES = (50, 90, 99)
+
+
+def token_freq_topk(seq: DataFrame, k: int = TOPK_DEFAULT) -> DataFrame:
+    """Exact top-k tokens by occurrence count (ties broken by token id),
+    with the distinct-document frequency alongside — the heavy-hitters
+    table quality filters and tokenizer audits read.
+    Output: rank, token, n_occurrences, n_docs."""
+    from spatialflink_spark.session import spread
+
+    tok = spread(seq).select(F.explode("tokens").alias("token"), "doc_id")
+    agg = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    top = agg.orderBy(
+        F.col("n_occurrences").desc(), F.col("token").asc()
+    ).limit(k)
+    return (
+        top.withColumn(
+            "rank",
+            F.expr(
+                "row_number() OVER (ORDER BY n_occurrences DESC, token ASC)"
+            ).cast("int"),
+        )
+        .select("rank", "token", "n_occurrences", "n_docs")
+    )
+
+
+def source_length_quantiles(seq: DataFrame) -> DataFrame:
+    """Exact per-source token-length quantiles (type 1: the smallest n_tok
+    whose cumulative count reaches ceil(q/100 * n)) — the distribution
+    curation length-filters are tuned from.
+    Output: source, n_rows, p50, p90, p99."""
+    dist = seq.groupBy("source", "n_tok").agg(F.count(F.lit(1)).alias("_c"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("n_tok")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = dist.withColumn("_cum", F.sum("_c").over(w))
+    tot = dist.groupBy("source").agg(F.sum("_c").alias("n_rows"))
+    j = cum.join(tot, "source")
+    # cum >= ceil(q*n/100)  <=>  100*cum >= q*n   (cum integer)
+    quants = [
+        F.min(
+            F.when(F.expr(f"100 * _cum >= {q} * n_rows"), F.col("n_tok"))
+        ).alias(f"p{q}")
+        for q in QUANTILES
+    ]
+    return j.groupBy("source", "n_rows").agg(*quants)

@@ -395,3 +395,44 @@ SELECT doc_id, win_id, count(*) AS n_rows,
        min(n_tok) AS min_n_tok, max(n_tok) AS max_n_tok
 FROM ranked GROUP BY doc_id, win_id
 """
+
+
+def token_freq_topk(k: int = 20) -> str:
+    """Twin of operators/corpus.token_freq_topk: exact token heavy hitters
+    with distinct-doc frequency, deterministic (count desc, token asc)."""
+    return f"""{_prologue()}
+, tok AS (SELECT unnest(tokens) AS token, doc_id FROM sequences),
+agg AS (
+  SELECT token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+  FROM tok GROUP BY token
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (ORDER BY n_occurrences DESC, token ASC) AS INT) AS rank
+  FROM agg
+)
+SELECT rank, token, n_occurrences, n_docs FROM ranked WHERE rank <= {k}
+"""
+
+
+def source_length_quantiles() -> str:
+    """Twin of operators/corpus.source_length_quantiles: exact type-1
+    quantiles from the per-(source, n_tok) count distribution."""
+    from spatialflink_spark.operators.corpus import QUANTILES
+
+    quants = ", ".join(
+        f"min(CASE WHEN 100 * cum >= {q} * n_rows THEN n_tok END) AS p{q}"
+        for q in QUANTILES
+    )
+    return f"""{_prologue()}
+, dist AS (SELECT source, n_tok, count(*) AS c FROM sequences GROUP BY source, n_tok),
+cum AS (
+  SELECT source, n_tok, c,
+         sum(c) OVER (PARTITION BY source ORDER BY n_tok
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM dist
+),
+tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_rows FROM dist GROUP BY source)
+SELECT c.source, t.n_rows, {quants}
+FROM cum c JOIN tot t ON c.source = t.source
+GROUP BY c.source, t.n_rows
+"""
