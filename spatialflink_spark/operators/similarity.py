@@ -298,6 +298,27 @@ _KM_DIST = (
     "cast(0 as bigint), (s, v) -> s + v)"
 )
 
+# per-row squared-L2 to one packed centroid struct `c`
+_KM_CDIST = (
+    "aggregate(zip_with(qv, c.cq, (a, b) -> (a - b) * (a - b)), "
+    "cast(0 as bigint), (s, v) -> s + v)"
+)
+
+# argmin over the packed centroid array with (dist, cid) tie-break — struct
+# ordering is lexicographic, so array_min IS the deterministic argmin. Pure
+# per-row codegen: assignment costs NO shuffle (the centroid table is one
+# packed broadcast row), where a crossJoin+groupBy assignment would shuffle
+# an n_centroids-amplified corpus with the embedding inside the grouping key.
+_KM_ASSIGN = f"array_min(transform(_cents, c -> struct({_KM_CDIST} as d, c.cid as cid))).cid"
+
+
+def _packed_centroids(cent: DataFrame) -> DataFrame:
+    """One row: _cents array<struct<cid int, cq array<bigint>>> — the
+    broadcastable packed form of the centroid table (order fixed by sort)."""
+    return cent.agg(
+        F.expr("array_sort(collect_list(struct(cid, cq)))").alias("_cents")
+    )
+
 
 def kmeans_centroids(
     emb: DataFrame, n_centroids: int = KM_CENTROIDS, iters: int = KM_ITERS
@@ -318,16 +339,8 @@ def kmeans_centroids(
         F.col("vec_id").cast("int").alias("cid"), F.col("qv").alias("cq")
     )
     for _ in range(iters):
-        assigned = (
-            q.crossJoin(F.broadcast(cent))
-            .select(
-                "vec_id",
-                "qv",
-                F.struct(F.expr(_KM_DIST).alias("d"), F.col("cid")).alias("_dc"),
-            )
-            .groupBy("vec_id", "qv")
-            .agg(F.min("_dc").alias("_m"))
-            .select("vec_id", "qv", F.col("_m.cid").alias("cid"))
+        assigned = q.crossJoin(F.broadcast(_packed_centroids(cent))).select(
+            "vec_id", "qv", F.expr(_KM_ASSIGN).alias("cid")
         )
         upd = (
             assigned.select("cid", F.posexplode("qv").alias("pos", "v"))
@@ -366,38 +379,32 @@ def cosine_topk_ivf_kmeans(
     (not axis-aligned) boundaries — the production IVF the sign-bucket
     variants approximate. Output shape matches cosine_topk; recall measured
     against it in tests; full-probe (n_probe = n_centroids) == exact."""
-    cent = kmeans_centroids(emb, n_centroids, iters).localCheckpoint(eager=False)
+    packed = _packed_centroids(
+        kmeans_centroids(emb, n_centroids, iters)
+    ).localCheckpoint(eager=False)
     base = emb.select(
         "vec_id", "label", "embedding", F.expr(_km_quant("embedding")).alias("qv")
     )
-    assigned = (
-        base.crossJoin(F.broadcast(cent))
-        .select(
-            "vec_id",
-            "label",
-            "embedding",
-            F.struct(F.expr(_KM_DIST).alias("d"), F.col("cid")).alias("_dc"),
-        )
-        .groupBy("vec_id", "label", "embedding")
-        .agg(F.min("_dc").alias("_m"))
-        .select("vec_id", "label", "embedding", F.col("_m.cid").alias("cid"))
+    assigned = base.crossJoin(F.broadcast(packed)).select(
+        "vec_id", "label", "embedding", F.expr(_KM_ASSIGN).alias("cid")
     )
     qrow = base.where(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("q_emb"), F.col("qv").alias("qv")
     )
+    # n_probe nearest centroids per query: sort the packed (dist, cid)
+    # structs per row, slice — again no shuffle
     probed = (
-        qrow.crossJoin(F.broadcast(cent))
+        qrow.crossJoin(F.broadcast(packed))
         .select(
             "q_emb",
-            "cid",
-            F.expr(_KM_DIST).alias("d"),
+            F.explode(
+                F.expr(
+                    f"slice(array_sort(transform(_cents, c -> "
+                    f"struct({_KM_CDIST} as d, c.cid as cid))), 1, {n_probe})"
+                )
+            ).alias("_p"),
         )
-        .withColumn(
-            "_r",
-            F.expr("row_number() OVER (ORDER BY d ASC, cid ASC)"),
-        )
-        .where(F.col("_r") <= n_probe)
-        .select("cid", "q_emb")
+        .select(F.col("_p.cid").alias("cid"), "q_emb")
     )
     cand = (
         assigned.where(F.col("vec_id") != QUERY_VEC_ID)
@@ -427,36 +434,33 @@ def cosine_topk_batch_kmeans(
     batch machinery with the learned inverted file.
     Output: q_id, rank, vec_id, label, cos_sim."""
     qm = QUERY_MOD if query_mod is None else query_mod
-    cent = kmeans_centroids(emb, n_centroids, iters).localCheckpoint(eager=False)
+    packed = _packed_centroids(
+        kmeans_centroids(emb, n_centroids, iters)
+    ).localCheckpoint(eager=False)
     base = emb.select(
         "vec_id", "label", "embedding", F.expr(_km_quant("embedding")).alias("qv")
     )
-    assigned = (
-        base.crossJoin(F.broadcast(cent))
-        .select(
-            "vec_id",
-            "label",
-            "embedding",
-            F.struct(F.expr(_KM_DIST).alias("d"), F.col("cid")).alias("_dc"),
-        )
-        .groupBy("vec_id", "label", "embedding")
-        .agg(F.min("_dc").alias("_m"))
-        .select("vec_id", "label", "embedding", F.col("_m.cid").alias("bucket"))
+    assigned = base.crossJoin(F.broadcast(packed)).select(
+        "vec_id", "label", "embedding", F.expr(_KM_ASSIGN).alias("bucket")
     )
     qset = base.where(F.col("vec_id") % qm == 0).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
         "qv",
     )
-    from pyspark.sql.window import Window
-
-    w_q = Window.partitionBy("q_id").orderBy(F.col("d").asc(), F.col("cid").asc())
     qprobe = (
-        qset.crossJoin(F.broadcast(cent))
-        .select("q_id", "q_emb", "cid", F.expr(_KM_DIST).alias("d"))
-        .withColumn("_r", F.row_number().over(w_q))
-        .where(F.col("_r") <= n_probe)
-        .select("q_id", "q_emb", F.col("cid").alias("bucket"))
+        qset.crossJoin(F.broadcast(packed))
+        .select(
+            "q_id",
+            "q_emb",
+            F.explode(
+                F.expr(
+                    f"slice(array_sort(transform(_cents, c -> "
+                    f"struct({_KM_CDIST} as d, c.cid as cid))), 1, {n_probe})"
+                )
+            ).alias("_p"),
+        )
+        .select("q_id", "q_emb", F.col("_p.cid").alias("bucket"))
     )
     scored = assigned.join(
         F.broadcast(qprobe),
