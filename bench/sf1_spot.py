@@ -50,6 +50,10 @@ QUERIES = [
     "simhash_dup_pairs",
     "cosine_topk_batch",
     "cosine_topk_batch_ann",
+    "cosine_topk_ivf_kmeans",
+    "cosine_topk_batch_kmeans",
+    "token_freq_topk",
+    "source_length_quantiles",
     "pack_bins_emit",
     "geomcollection_join",
 ]
