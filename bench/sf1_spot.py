@@ -96,7 +96,10 @@ COPY (
 
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfs_sf1"
-    if not os.path.exists(f"{out_dir}/documents.parquet"):
+    # all three files must exist — a crash mid-amplify must not leave a
+    # half-written dir that silently skips regeneration forever
+    expected = ("documents.parquet", "embeddings.parquet", "events.parquet")
+    if not all(os.path.exists(f"{out_dir}/{f}") for f in expected):
         amplify(out_dir)
     from spatialflink_spark.session import get_spark
     import __spark_entry__ as entrymod

@@ -339,6 +339,12 @@ def kmeans_centroids(
         F.col("vec_id").cast("int").alias("cid"), F.col("qv").alias("cq")
     )
     for _ in range(iters):
+        # checkpoint the (tiny) centroid relation per round: cent_{i-1}
+        # feeds cent_i twice (assignment AND the emptied-cluster fallback),
+        # so without a materialization point the lineage doubles per
+        # iteration — 2^iters - 1 full-corpus aggregation subtrees in the
+        # plan (same fix as dedup_components_star's per-round checkpoint)
+        cent = cent.localCheckpoint(eager=False)
         assigned = q.crossJoin(F.broadcast(_packed_centroids(cent))).select(
             "vec_id", "qv", F.expr(_KM_ASSIGN).alias("cid")
         )
@@ -379,10 +385,12 @@ def cosine_topk_ivf_kmeans(
     (not axis-aligned) boundaries — the production IVF the sign-bucket
     variants approximate. Output shape matches cosine_topk; recall measured
     against it in tests; full-probe (n_probe = n_centroids) == exact."""
+    from spatialflink_spark.session import spread
+
     packed = _packed_centroids(
         kmeans_centroids(emb, n_centroids, iters)
     ).localCheckpoint(eager=False)
-    base = emb.select(
+    base = spread(emb).select(
         "vec_id", "label", "embedding", F.expr(_km_quant("embedding")).alias("qv")
     )
     assigned = base.crossJoin(F.broadcast(packed)).select(
@@ -433,11 +441,13 @@ def cosine_topk_batch_kmeans(
     the two-stage cut (stage-1 key = cluster id). Composes the round-4
     batch machinery with the learned inverted file.
     Output: q_id, rank, vec_id, label, cos_sim."""
+    from spatialflink_spark.session import spread
+
     qm = QUERY_MOD if query_mod is None else query_mod
     packed = _packed_centroids(
         kmeans_centroids(emb, n_centroids, iters)
     ).localCheckpoint(eager=False)
-    base = emb.select(
+    base = spread(emb).select(
         "vec_id", "label", "embedding", F.expr(_km_quant("embedding")).alias("qv")
     )
     assigned = base.crossJoin(F.broadcast(packed)).select(

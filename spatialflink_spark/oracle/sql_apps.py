@@ -389,9 +389,11 @@ def stream_decon_e2e() -> str:
     )
     return f"""{_prologue(tumbling=True)}
 , wm AS (
-  -- the engine filters probe docs BEFORE the watermark node (Spark pushes
-  -- the filter below EventTimeWatermark), so the stream's watermark tracks
-  -- only non-probe rows — the oracle must use the same max
+  -- the engine installs the probe filter STRUCTURALLY below the watermark
+  -- node (read_sequences_stream's pre_watermark_filter — guaranteed by
+  -- plan construction, NOT by optimizer pushdown), so the stream's
+  -- watermark tracks only non-probe rows; the oracle uses the same max.
+  -- A plain .where() AFTER the watermark would NOT be equivalent.
   SELECT max(ts_s) - {C.allowed_lateness_s} AS w
   FROM sequences WHERE doc_id % 13 <> 0
 ),

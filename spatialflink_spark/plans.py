@@ -68,9 +68,12 @@ def codegen_stage_count(df: DataFrame) -> int:
 
 
 def window_specs(df: DataFrame) -> list[str]:
-    """The windowspecdefinition(...) argument list of every Window node —
-    lets tests assert that no window runs un-partitioned over a large
-    relation (the single-task global-sort anti-pattern)."""
+    """PREFIX of each windowspecdefinition(...) argument list — up to the
+    first nested close-paren, which always covers the partition + ordering
+    columns (they precede the nested specifiedwindowframe(...)). Enough for
+    asserting that no window runs un-partitioned over a large relation (the
+    single-task global-sort anti-pattern); NOT the full spec — frame
+    contents are truncated by design."""
     return re.findall(r"windowspecdefinition\(([^)]*)\)", simple_plan(df))
 
 

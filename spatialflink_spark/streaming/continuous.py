@@ -172,7 +172,12 @@ def continuous_mix_filter(
     by construction."""
     from spatialflink_spark.operators.mixing import BP, LCG_KEEP_EXPR
 
-    pairs = ", ".join(f"'{s}', {int(bp)}" for s, bp in rates)
+    # escape quotes/backslashes: arbitrary source names must not kill the
+    # job (the mixing module's stated contract) nor inject into the literal
+    def esc(s: str) -> str:
+        return s.replace("\\", "\\\\").replace("'", "\\'")
+
+    pairs = ", ".join(f"'{esc(s)}', {int(bp)}" for s, bp in rates)
     mexpr = f"map({pairs})" if pairs else "cast(map() as map<string, int>)"
     enriched = stream.withColumn(
         "rate_bp",
