@@ -82,7 +82,9 @@ def pack_stats(
     )
 
 
-def pack_emit(seq: DataFrame, capacity: int = DEFAULT_CAPACITY) -> DataFrame:
+def pack_emit(
+    seq: DataFrame, capacity: int = DEFAULT_CAPACITY, bucket_s: int | None = None
+) -> DataFrame:
     """Emit the PACKED BINS themselves — the production output of packing
     (pack_stats only grades stats about the assignment): each context bin's
     token payload, including the boundary-straddling splits of sequences
@@ -104,26 +106,38 @@ def pack_emit(seq: DataFrame, capacity: int = DEFAULT_CAPACITY) -> DataFrame:
     a lazily-derived tokens column would re-run the derivation per output
     row (the CLAUDE.md generate-amplification trap).
 
-    Output: source, bin_id, n_parts, n_tok_bin, tok_checksum.
+    `bucket_s` is the same 10^12-row shard knob as pack_bins: pack per
+    (source, time bucket) so no window partition is unbounded; bins number
+    independently per bucket (real pipelines pack per shard anyway), and
+    the output carries the bucket column. None = exact global concat-and-cut
+    (equivalence when all rows share one bucket is tested).
+
+    Output: [bucket,] source, bin_id, n_parts, n_tok_bin, tok_checksum.
     """
     cap = capacity
+    keys = ["source"] + (["bucket"] if bucket_s else [])
+    s = seq
+    if bucket_s:
+        s = s.withColumn(
+            "bucket", F.expr(f"cast(floor(ts_s / {bucket_s}) as bigint)")
+        )
     w = (
-        Window.partitionBy("source")
+        Window.partitionBy(*keys)
         .orderBy("ts_s", "doc_id", "seq_no")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     cum = F.coalesce(F.sum(F.col("n_tok").cast("bigint")).over(w), F.lit(0))
-    placed = seq.select(
-        "source", "doc_id", "seq_no", "n_tok", "tokens", cum.alias("_cb")
+    placed = s.select(
+        *keys, "doc_id", "seq_no", "n_tok", "tokens", cum.alias("_cb")
     ).where(F.col("n_tok") > 0).select(
-        "source",
+        *keys,
         "tokens",
         "n_tok",
         F.expr(f"cast(floor(_cb / {cap}) as bigint)").alias("_b0"),
         F.expr(f"cast(_cb % {cap} as int)").alias("_o"),
     )
     spans = placed.select(
-        "source",
+        *keys,
         "tokens",
         "n_tok",
         "_b0",
@@ -133,7 +147,7 @@ def pack_emit(seq: DataFrame, capacity: int = DEFAULT_CAPACITY) -> DataFrame:
         ).alias("_j"),
     )
     sliced = spans.select(
-        "source",
+        *keys,
         (F.col("_b0") + F.col("_j")).alias("bin_id"),
         F.expr(f"greatest(0, _j * {cap} - _o)").alias("_st"),
         F.expr(f"least(n_tok, (_j + 1) * {cap} - _o) - greatest(0, _j * {cap} - _o)").alias("_ln"),
@@ -141,7 +155,7 @@ def pack_emit(seq: DataFrame, capacity: int = DEFAULT_CAPACITY) -> DataFrame:
         "tokens",
     )
     part = sliced.select(
-        "source",
+        *keys,
         "bin_id",
         "_ln",
         F.expr(
@@ -150,7 +164,7 @@ def pack_emit(seq: DataFrame, capacity: int = DEFAULT_CAPACITY) -> DataFrame:
             "cast(0 as bigint), (s, v) -> s + v)"
         ).alias("_chk"),
     )
-    return part.groupBy("source", "bin_id").agg(
+    return part.groupBy(*keys, "bin_id").agg(
         F.count(F.lit(1)).cast("int").alias("n_parts"),
         F.sum(F.col("_ln").cast("bigint")).alias("n_tok_bin"),
         F.sum("_chk").alias("tok_checksum"),

@@ -341,3 +341,32 @@ def test_pack_emit_randomized_vs_python_reference(spark):
             for r in pack_emit(seq, capacity=cap).collect()
         }
         assert got == reference(cap), f"capacity {cap}"
+
+
+def test_pack_emit_bucket_shard_equivalence(spark):
+    """pack_emit(bucket_s=...) must equal the global emission when all rows
+    fall in one time bucket (same guarantee pack_bins' knob is tested for),
+    and shard independently when they don't."""
+    from spatialflink_spark.operators.packing import pack_emit
+
+    rows = [(f"s{i % 2}", i, 0, list(range(i, i + 5)), 5, 100 + i) for i in range(12)]
+    seq = spark.createDataFrame(
+        rows,
+        "source string, doc_id bigint, seq_no int, tokens array<int>, n_tok int, ts_s bigint",
+    )
+    glob = {
+        (r.source, r.bin_id): (r.n_parts, r.n_tok_bin, r.tok_checksum)
+        for r in pack_emit(seq, capacity=8).collect()
+    }
+    one_bucket = {
+        (r.source, r.bin_id): (r.n_parts, r.n_tok_bin, r.tok_checksum)
+        for r in pack_emit(seq, capacity=8, bucket_s=10_000).collect()
+    }
+    assert glob == one_bucket
+    sharded = pack_emit(seq, capacity=8, bucket_s=4).collect()
+    assert {r.bucket for r in sharded} == {25, 26, 27}  # 100..111 / 4
+    # sharded bins renumber per bucket: every bucket starts at bin 0
+    assert all(
+        any(r.bin_id == 0 and r.bucket == b for r in sharded)
+        for b in {25, 26, 27}
+    )
