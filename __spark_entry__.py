@@ -55,6 +55,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_bins_emit": gate.q_pack_bins_emit,
         "token_freq_topk": gate.q_token_freq_topk,
         "source_length_quantiles": gate.q_source_length_quantiles,
+        "simhash_wide": gate.q_simhash_wide,
+        "simhash_wide_dup_pairs": gate.q_simhash_wide_dup_pairs,
         "geomcollection_range": gate.q_geomcollection_range,
         "geomcollection_join": gate.q_geomcollection_join,
         "geomcollection_knn": gate.q_geomcollection_knn,
@@ -153,6 +155,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_components_star": osqld.dedup_components(),
         "simhash": osqld.simhash(),
         "simhash_dup_pairs": osqld.simhash_dup_pairs(),
+        "simhash_wide": osqld.simhash_wide(),
+        "simhash_wide_dup_pairs": osqld.simhash_wide_dup_pairs(),
         "dedup_ngram_jaccard": osqld.ngram_jaccard_pairs(),
         "cosine_topk": osqld.cosine_topk(),
         "cosine_topk_ivf": osqld.cosine_topk_ivf(),

@@ -92,6 +92,8 @@ HEADLINE = [
     "dedup_components_star",
     "simhash",
     "simhash_dup_pairs",
+    "simhash_wide",
+    "simhash_wide_dup_pairs",
     "dedup_ngram_jaccard",
     "cosine_topk",
     "cosine_topk_ivf",

@@ -48,6 +48,7 @@ QUERIES = [
     "knn_unbounded_pruned",
     "range_prefix_counts",
     "simhash_dup_pairs",
+    "simhash_wide_dup_pairs",
     "cosine_topk_batch",
     "cosine_topk_batch_ann",
     "cosine_topk_ivf_kmeans",

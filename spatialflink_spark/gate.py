@@ -243,6 +243,20 @@ def q_simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.simhash_dup_pairs(_docs(spark, sf_dir))
 
 
+def q_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit production-width SimHash (dedup.simhash_wide): portable LCG
+    bit features; the fingerprint width at which random-pair collision
+    density stays negligible at corpus scale (the 16-bit form saturates —
+    BENCH.md sf1 row)."""
+    return dedup_ops.simhash_wide(_docs(spark, sf_dir))
+
+
+def q_simhash_wide_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked near-dup pairs over the wide fingerprint (4 bands x 15 bits,
+    Hamming <= 3 pigeonhole-exact)."""
+    return dedup_ops.simhash_wide_dup_pairs(_docs(spark, sf_dir))
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.ngram_jaccard_pairs(_docs(spark, sf_dir))
 

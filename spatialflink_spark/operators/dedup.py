@@ -303,6 +303,108 @@ def simhash_dup_pairs(
     ).where(F.col("hamming") <= hamming_max)
 
 
+# ---- wide SimHash (production fingerprint width) -----------------------------
+#
+# The 16-bit form above SATURATES as the corpus grows: random pairs land
+# within Hamming <= h of each other with density ~ n^2 * C(16,<=h)/2^16 —
+# measured as a 12-26x output blowup at the 50k-doc sf1 spot check
+# (BENCH.md). The production fingerprint is wide enough that random
+# collisions stay negligible at any realistic corpus size. 60 bits here
+# (not 64: bits live in a SIGNED bigint in both dialects, and 60 = 4 bands
+# x 15 bits keeps the pigeonhole arithmetic clean): per-token bit features
+# come from two portable 30-bit LCG hashes (token ids themselves only carry
+# ~16 bits of entropy), votes are summed per bit, banded pairs stay
+# pigeonhole-exact for Hamming <= 3 with 4 bands.
+
+SIMHASH_WIDE_BITS = 60
+SIMHASH_WIDE_BANDS = 4
+SIMHASH_WIDE_HAMMING_MAX = 3  # must stay < SIMHASH_WIDE_BANDS
+
+_H_MOD = 1 << 30
+_H1 = "((cast(t as bigint) + 1) * 2654435761)"
+_H2 = "((cast(t as bigint) + 1) * 40503 + 1013904223)"
+
+
+def _wide_bit_expr(j: int) -> str:
+    """Per-token vote for bit j: +-1 by the j-th bit of a 30-bit LCG hash
+    (h1 covers bits 0-29, h2 bits 30-59). Identical arithmetic in the
+    DuckDB twin."""
+    if j < 30:
+        h, s = _H1, j
+    else:
+        h, s = _H2, j - 30
+    return f"(CASE WHEN (({h} % {_H_MOD}) div {1 << s}) % 2 = 1 THEN 1 ELSE -1 END)"
+
+
+def simhash_wide(docs: DataFrame, bits: int = SIMHASH_WIDE_BITS) -> DataFrame:
+    """Per-doc 60-bit SimHash: bit j set iff the summed +-1 votes of the
+    per-token hash-bit features are positive. One aggregate per bit over the
+    token array (same shape as the 16-bit op, wider features)."""
+    tok = T.spark_tokenize("text")
+    bit_terms = " + ".join(
+        f"(CASE WHEN aggregate(_t, 0, (a, t) -> a + {_wide_bit_expr(j)}) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(bits)
+    )
+    from spatialflink_spark.session import spread
+
+    return spread(docs).select("doc_id", F.expr(tok).alias("_t")).select(
+        "doc_id", F.expr(f"cast({bit_terms} as bigint)").alias("simhash")
+    )
+
+
+def simhash_wide_dup_pairs(
+    docs: DataFrame,
+    bits: int = SIMHASH_WIDE_BITS,
+    bands: int = SIMHASH_WIDE_BANDS,
+    hamming_max: int = SIMHASH_WIDE_HAMMING_MAX,
+) -> DataFrame:
+    """Blocked near-dup pairs over the WIDE fingerprint — identical
+    band/verify machinery to simhash_dup_pairs (pigeonhole: hamming_max <
+    bands makes the blocked result EXACTLY the all-pairs result), but with
+    collision density ~ n^2 * C(60,<=3)/2^60 random pairs stay negligible
+    at production corpus sizes where the 16-bit form drowns (BENCH.md sf1
+    row). Output: left_doc, right_doc, hamming."""
+    assert bits % bands == 0 and hamming_max < bands
+    band_bits = bits // bands
+    sh = simhash_wide(docs, bits).persist()
+    banded = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.expr(f"sequence(0, {bands - 1})")).alias("band_id"),
+    ).withColumn(
+        "band_key",
+        F.expr(f"shiftright(simhash, band_id * {band_bits}) % {1 << band_bits}"),
+    )
+    l = banded.select(
+        "band_id", "band_key",
+        F.col("doc_id").alias("left_doc"), F.col("simhash").alias("l_sh"),
+    )
+    r = banded.select(
+        F.col("band_id").alias("band_id_r"), F.col("band_key").alias("band_key_r"),
+        F.col("doc_id").alias("right_doc"), F.col("simhash").alias("r_sh"),
+    )
+    try:
+        cand = (
+            l.join(
+                r,
+                (l.band_id == r.band_id_r)
+                & (l.band_key == r.band_key_r)
+                & (l.left_doc < r.right_doc),
+            )
+            .select("left_doc", "right_doc", "l_sh", "r_sh")
+            .dropDuplicates(["left_doc", "right_doc"])
+            .localCheckpoint()
+        )
+    finally:
+        sh.unpersist()
+    return cand.select(
+        "left_doc",
+        "right_doc",
+        F.expr("cast(bit_count(l_sh ^ r_sh) as int)").alias("hamming"),
+    ).where(F.col("hamming") <= hamming_max)
+
+
 def dedup_components(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
     """Connected components over near-dup pairs — the decision step of every
     dedup pipeline: docs in one component are mutual (transitive) near-dups;

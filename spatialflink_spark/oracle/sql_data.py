@@ -692,3 +692,55 @@ ranked AS (
 )
 SELECT q_id, rank, vec_id, label, cos_sim FROM ranked WHERE rank <= {k}
 """
+
+
+def _wide_duck_bit(j: int) -> str:
+    """DuckDB twin of dedup._wide_bit_expr: +-1 vote for bit j from the two
+    portable 30-bit LCG hashes."""
+    mod = 1 << 30
+    if j < 30:
+        h, s = "((CAST(t AS BIGINT) + 1) * 2654435761)", j
+    else:
+        h, s = "((CAST(t AS BIGINT) + 1) * 40503 + 1013904223)", j - 30
+    return f"(CASE WHEN (({h} % {mod}) // {1 << s}) % 2 = 1 THEN 1 ELSE -1 END)"
+
+
+def _wide_sh_cte() -> str:
+    from spatialflink_spark.operators.dedup import SIMHASH_WIDE_BITS
+
+    tok = T.duck_tokenize("text")
+    bit_terms = " + ".join(
+        "(CASE WHEN list_reduce(list_prepend(0, _t), (a, t) -> a + "
+        f"{_wide_duck_bit(j)}) > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(SIMHASH_WIDE_BITS)
+    )
+    return (
+        f"t AS (SELECT doc_id, {tok} AS _t FROM documents),\n"
+        f"s AS (SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM t)"
+    )
+
+
+def simhash_wide() -> str:
+    """Twin of dedup.simhash_wide: 60-bit fingerprint, portable LCG bit
+    features."""
+    return f"""
+WITH {_wide_sh_cte()}
+SELECT doc_id, simhash FROM s
+"""
+
+
+def simhash_wide_dup_pairs(hamming_max: int | None = None) -> str:
+    """All-pairs Hamming join over the wide fingerprint — exact twin of the
+    banded engine op (pigeonhole: hamming_max < bands)."""
+    from spatialflink_spark.operators.dedup import SIMHASH_WIDE_HAMMING_MAX
+
+    hamming_max = SIMHASH_WIDE_HAMMING_MAX if hamming_max is None else hamming_max
+    return f"""
+WITH {_wide_sh_cte()},
+pairs AS (
+  SELECT l.doc_id AS left_doc, r.doc_id AS right_doc,
+         CAST(bit_count(CAST(xor(l.simhash, r.simhash) AS BIGINT)) AS INT) AS hamming
+  FROM s l JOIN s r ON l.doc_id < r.doc_id
+)
+SELECT * FROM pairs WHERE hamming <= {hamming_max}
+"""
