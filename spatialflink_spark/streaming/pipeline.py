@@ -330,6 +330,21 @@ def stream_decontaminate(
     )
 
 
+# ---- streaming token counts --------------------------------------------------
+
+def stream_token_counts(stream: DataFrame) -> DataFrame:
+    """Streaming face of corpus.token_freq_topk's counting stage: running
+    per-token occurrence counts over the live ingest, maintained
+    incrementally by the state store (update mode — each micro-batch emits
+    the tokens whose counts changed). The key space is the VOCABULARY, so
+    state is bounded by |vocab| regardless of stream length — the same
+    reason the batch op's groupBy is scale-safe. Top-k consumption happens
+    batch-side per emitted snapshot (heavy hitters over a changelog).
+    Output: token, n_occurrences."""
+    tok = stream.select(F.explode("tokens").alias("token"))
+    return tok.groupBy("token").agg(F.count(F.lit(1)).alias("n_occurrences"))
+
+
 # ---- streaming source mixing -------------------------------------------------
 
 def stream_source_mix(stream: DataFrame, rates: DataFrame) -> DataFrame:

@@ -114,13 +114,21 @@ def make_heatmap_fn(idle_evict_s: int | None):
         docs: dict[str, list[int]] = dict(state.get[0]) if state.exists else {}
         docs = {k: list(v) for k, v in docs.items()}
         for pdf in pdf_iter:
-            for d, ts in zip(pdf["doc_id"].to_numpy(), pdf["ts_s"].to_numpy()):
-                k, t = str(d), int(ts)
+            # vectorized batch fold: per-doc (min, max) of the batch via one
+            # pandas groupby, then one dict merge per DISTINCT doc — the
+            # per-row Python loop only touched state transitions, but at
+            # large per-key batches the interpreter cost per row adds up
+            # (same honesty fix as _tstats_fn's numpy rewrite)
+            agg = pdf.groupby("doc_id")["ts_s"].agg(["min", "max"])
+            for d, lo_new, hi_new in zip(
+                agg.index.to_numpy(), agg["min"].to_numpy(), agg["max"].to_numpy()
+            ):
+                k = str(d)
                 if k in docs:
                     lo, hi = docs[k]
-                    docs[k] = [min(lo, t), max(hi, t)]
+                    docs[k] = [min(lo, int(lo_new)), max(hi, int(hi_new))]
                 else:
-                    docs[k] = [t, t]
+                    docs[k] = [int(lo_new), int(hi_new)]
         # idle-trajectory eviction (TAggregateQuery.java:367-376), made
         # deterministic: the reference uses WALL-CLOCK idle time; we evict on
         # EVENT-TIME idleness vs the watermark (SURVEY.md §4 decision).

@@ -1163,3 +1163,42 @@ def test_stream_mix_resume_from_checkpoint(spark, replay_dir, tmp_path):
     merged = got.merge(batch, on=["ws", "source"], suffixes=("_s", "_b"))
     assert len(merged) == len(got)
     assert (merged["n_kept_s"] == merged["n_kept_b"]).all()
+
+
+def test_stream_token_counts_matches_batch(spark, replay_dir, tmp_path):
+    """Streaming running token counts == the batch counts after a full
+    drain: for every token, the LAST update-mode emission equals the batch
+    groupBy count (vocabulary-bounded state)."""
+    import pyspark.sql.functions as F
+
+    from spatialflink_spark.streaming.pipeline import stream_token_counts
+
+    stream = read_sequences_stream(spark, replay_dir, C.allowed_lateness_s)
+    res = stream_token_counts(stream)
+    q = (
+        res.writeStream.format("memory")
+        .queryName("tok_counts")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode appends one row per (micro-batch, changed token); the
+    # final count per token is the max across emissions (counts only grow)
+    got = (
+        spark.sql("select * from tok_counts")
+        .groupBy("token")
+        .agg(F.max("n_occurrences").alias("n_occurrences"))
+        .toPandas()
+    )
+    batch = (
+        sequences(spark, SF_SMALL)
+        .select(F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .toPandas()
+    )
+    key = lambda df: sorted(map(tuple, df.values))
+    assert key(got) == key(batch)
+    assert len(got) > 0
