@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_length_quantiles": gate.q_source_length_quantiles,
         "simhash_wide": gate.q_simhash_wide,
         "simhash_wide_dup_pairs": gate.q_simhash_wide_dup_pairs,
+        "dedup_components_wide": gate.q_dedup_components_wide,
         "geomcollection_range": gate.q_geomcollection_range,
         "geomcollection_join": gate.q_geomcollection_join,
         "geomcollection_knn": gate.q_geomcollection_knn,
@@ -157,6 +158,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dup_pairs": osqld.simhash_dup_pairs(),
         "simhash_wide": osqld.simhash_wide(),
         "simhash_wide_dup_pairs": osqld.simhash_wide_dup_pairs(),
+        "dedup_components_wide": osqld.dedup_components_wide(),
         "dedup_ngram_jaccard": osqld.ngram_jaccard_pairs(),
         "cosine_topk": osqld.cosine_topk(),
         "cosine_topk_ivf": osqld.cosine_topk_ivf(),

@@ -94,6 +94,7 @@ HEADLINE = [
     "simhash_dup_pairs",
     "simhash_wide",
     "simhash_wide_dup_pairs",
+    "dedup_components_wide",
     "dedup_ngram_jaccard",
     "cosine_topk",
     "cosine_topk_ivf",

@@ -257,6 +257,16 @@ def q_simhash_wide_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.simhash_wide_dup_pairs(_docs(spark, sf_dir))
 
 
+def q_dedup_components_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION over the wide fingerprint: wide SimHash pairs ->
+    connected components -> (doc_id, component) keep/drop labels — the
+    production near-dup pipeline end to end (candidate generation at a
+    collision-safe width feeding the same propagation kernel). Oracle =
+    recursive-CTE transitive closure over the same pairs."""
+    pairs = dedup_ops.simhash_wide_dup_pairs(_docs(spark, sf_dir))
+    return dedup_ops.dedup_components(pairs)
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.ngram_jaccard_pairs(_docs(spark, sf_dir))
 

@@ -744,3 +744,21 @@ pairs AS (
 )
 SELECT * FROM pairs WHERE hamming <= {hamming_max}
 """
+
+
+def dedup_components_wide() -> str:
+    """Transitive closure over the WIDE SimHash near-dup pairs (recursive
+    CTE) — golden for components-over-wide-pairs; same closure shape as
+    dedup_components(), different candidate generator."""
+    return f"""
+WITH RECURSIVE
+pairs AS ({simhash_wide_dup_pairs()}),
+edges AS (SELECT left_doc AS a, right_doc AS b FROM pairs
+          UNION SELECT right_doc AS a, left_doc AS b FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a
+"""
