@@ -320,35 +320,78 @@ SIMHASH_WIDE_BITS = 60
 SIMHASH_WIDE_BANDS = 4
 SIMHASH_WIDE_HAMMING_MAX = 3  # must stay < SIMHASH_WIDE_BANDS
 
-_H_MOD = 1 << 30
-_H1 = "((cast(t as bigint) + 1) * 2654435761)"
-_H2 = "((cast(t as bigint) + 1) * 40503 + 1013904223)"
+# xorshift-multiply (murmur-finalizer-style) per-token hash: two seeded
+# 30-bit halves. NOT a plain LCG — multiply-add mod 2^k is AFFINE in the
+# low bits (bit 0 of ANY such chain is parity(t) xor const), which made a
+# first LCG attempt's halves perfectly anti-correlated in bits 0-2 (caught
+# by review + numeric check). The xor-shift steps break the affine
+# structure; measured over the full token domain, per-bit set fractions are
+# 0.495-0.503 and the worst pairwise agreement among all 60 bits is 0.492
+# (pinned by tests/test_portability.py). All intermediates < 2^63 under
+# ANSI. ONE shared builder emits both dialects so the constants cannot
+# drift apart.
+WIDE_MIX_M31 = 1 << 31
+WIDE_MIX_MULT1 = 2246822519
+WIDE_MIX_MULT2 = 3266489917
+WIDE_SEED_H1 = 374761393
+WIDE_SEED_H2 = 668265263
 
 
-def _wide_bit_expr(j: int) -> str:
-    """Per-token vote for bit j: +-1 by the j-th bit of a 30-bit LCG hash
-    (h1 covers bits 0-29, h2 bits 30-59). Identical arithmetic in the
-    DuckDB twin."""
-    if j < 30:
-        h, s = _H1, j
+def wide_hash_chain(col: str, seed: int, dialect: str) -> str:
+    """Array-of-30-bit-hashes expression over token array `col`, in either
+    dialect ('spark' | 'duck'). A chain of per-element transforms — each
+    lambda references only its own variable, so nothing upstream is ever
+    re-evaluated (the CLAUDE.md lambda-CSE rule)."""
+    if dialect == "spark":
+        tf, div = "transform", "div"
+        xor = lambda a, b: f"({a} ^ {b})"
     else:
-        h, s = _H2, j - 30
-    return f"(CASE WHEN (({h} % {_H_MOD}) div {1 << s}) % 2 = 1 THEN 1 ELSE -1 END)"
+        tf, div = "list_transform", "//"
+        xor = lambda a, b: f"xor({a}, {b})"
+    e = f"{tf}({col}, t -> (CAST(t AS BIGINT) + {seed}) % {WIDE_MIX_M31})"
+    for shift, mult in ((16, WIDE_MIX_MULT1), (13, WIDE_MIX_MULT2), (16, None)):
+        e = f"{tf}({e}, h -> {xor('h', f'(h {div} {1 << shift})')})"
+        if mult is not None:
+            e = f"{tf}({e}, h -> (h * {mult}) % {WIDE_MIX_M31})"
+    return f"{tf}({e}, h -> h % {1 << 30})"
+
+
+def wide_hash_py(t: int, seed: int) -> int:
+    """Pure-python mirror of wide_hash_chain for property tests."""
+    h = (t + seed) % WIDE_MIX_M31
+    h ^= h >> 16
+    h = (h * WIDE_MIX_MULT1) % WIDE_MIX_M31
+    h ^= h >> 13
+    h = (h * WIDE_MIX_MULT2) % WIDE_MIX_M31
+    h ^= h >> 16
+    return h % (1 << 30)
 
 
 def simhash_wide(docs: DataFrame, bits: int = SIMHASH_WIDE_BITS) -> DataFrame:
     """Per-doc 60-bit SimHash: bit j set iff the summed +-1 votes of the
-    per-token hash-bit features are positive. One aggregate per bit over the
-    token array (same shape as the 16-bit op, wider features)."""
+    per-token hash-bit features are positive (h1 covers bits 0-29, h2 bits
+    30-59). The two hash arrays are STAGED columns computed once per token;
+    the 60 per-bit aggregates only shift-and-test them (the 16-bit op's
+    cheap-lambda shape — no per-bit hash recomputation)."""
     tok = T.spark_tokenize("text")
+    from spatialflink_spark.session import spread
+
+    hashed = (
+        spread(docs)
+        .select("doc_id", F.expr(tok).alias("_t"))
+        .select(
+            "doc_id",
+            F.expr(wide_hash_chain("_t", WIDE_SEED_H1, "spark")).alias("_h1"),
+            F.expr(wide_hash_chain("_t", WIDE_SEED_H2, "spark")).alias("_h2"),
+        )
+    )
     bit_terms = " + ".join(
-        f"(CASE WHEN aggregate(_t, 0, (a, t) -> a + {_wide_bit_expr(j)}) > 0 "
+        f"(CASE WHEN aggregate({'_h1' if j < 30 else '_h2'}, 0, (a, h) -> a + "
+        f"(CASE WHEN (h div {1 << (j % 30)}) % 2 = 1 THEN 1 ELSE -1 END)) > 0 "
         f"THEN {1 << j} ELSE 0 END)"
         for j in range(bits)
     )
-    from spatialflink_spark.session import spread
-
-    return spread(docs).select("doc_id", F.expr(tok).alias("_t")).select(
+    return hashed.select(
         "doc_id", F.expr(f"cast({bit_terms} as bigint)").alias("simhash")
     )
 

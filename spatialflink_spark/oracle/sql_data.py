@@ -694,29 +694,29 @@ SELECT q_id, rank, vec_id, label, cos_sim FROM ranked WHERE rank <= {k}
 """
 
 
-def _wide_duck_bit(j: int) -> str:
-    """DuckDB twin of dedup._wide_bit_expr: +-1 vote for bit j from the two
-    portable 30-bit LCG hashes."""
-    mod = 1 << 30
-    if j < 30:
-        h, s = "((CAST(t AS BIGINT) + 1) * 2654435761)", j
-    else:
-        h, s = "((CAST(t AS BIGINT) + 1) * 40503 + 1013904223)", j - 30
-    return f"(CASE WHEN (({h} % {mod}) // {1 << s}) % 2 = 1 THEN 1 ELSE -1 END)"
-
-
 def _wide_sh_cte() -> str:
-    from spatialflink_spark.operators.dedup import SIMHASH_WIDE_BITS
+    """Wide-fingerprint CTE chain — hash arrays from the SAME builder the
+    engine uses (dedup.wide_hash_chain, 'duck' dialect), so the constants
+    and mixing steps cannot drift between dialects."""
+    from spatialflink_spark.operators.dedup import (
+        SIMHASH_WIDE_BITS,
+        WIDE_SEED_H1,
+        WIDE_SEED_H2,
+        wide_hash_chain,
+    )
 
     tok = T.duck_tokenize("text")
     bit_terms = " + ".join(
-        "(CASE WHEN list_reduce(list_prepend(0, _t), (a, t) -> a + "
-        f"{_wide_duck_bit(j)}) > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        f"(CASE WHEN list_reduce(list_prepend(0, {'_h1' if j < 30 else '_h2'}), "
+        f"(a, h) -> a + (CASE WHEN (h // {1 << (j % 30)}) % 2 = 1 THEN 1 ELSE -1 END)"
+        f") > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
         for j in range(SIMHASH_WIDE_BITS)
     )
     return (
         f"t AS (SELECT doc_id, {tok} AS _t FROM documents),\n"
-        f"s AS (SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM t)"
+        f"hx AS (SELECT doc_id, {wide_hash_chain('_t', WIDE_SEED_H1, 'duck')} AS _h1, "
+        f"{wide_hash_chain('_t', WIDE_SEED_H2, 'duck')} AS _h2 FROM t),\n"
+        f"s AS (SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM hx)"
     )
 
 

@@ -341,7 +341,13 @@ def stream_token_counts(stream: DataFrame) -> DataFrame:
     reason the batch op's groupBy is scale-safe. Top-k consumption happens
     batch-side per emitted snapshot (heavy hitters over a changelog).
     Output: token, n_occurrences."""
-    tok = stream.select(F.explode("tokens").alias("token"))
+    # replay slices arrive as ONE file = ONE task per micro-batch; spread
+    # before the explode + partial count or they run serially (the CLAUDE.md
+    # streaming single-partition rule, same fix as the decon gate path)
+    spread_stream = stream.repartition(
+        stream.sparkSession.sparkContext.defaultParallelism
+    )
+    tok = spread_stream.select(F.explode("tokens").alias("token"))
     return tok.groupBy("token").agg(F.count(F.lit(1)).alias("n_occurrences"))
 
 

@@ -119,7 +119,11 @@ def make_heatmap_fn(idle_evict_s: int | None):
             # per-row Python loop only touched state transitions, but at
             # large per-key batches the interpreter cost per row adds up
             # (same honesty fix as _tstats_fn's numpy rewrite)
-            agg = pdf.groupby("doc_id")["ts_s"].agg(["min", "max"])
+            # dropna=False: a null doc_id row previously folded under the
+            # str(nan) state key; the vectorized fold must not silently
+            # drop it (behavior pinned, not endorsed — upstream rows always
+            # carry doc_id in practice)
+            agg = pdf.groupby("doc_id", dropna=False)["ts_s"].agg(["min", "max"])
             for d, lo_new, hi_new in zip(
                 agg.index.to_numpy(), agg["min"].to_numpy(), agg["max"].to_numpy()
             ):

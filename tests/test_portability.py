@@ -40,3 +40,58 @@ def test_fast_tokenizer_same_shape(spark):
         F.expr(T.spark_tokenize_fast("text"))[0].alias("b"),
     )
     assert vals.where(F.col("a") != F.col("b")).count() > 0
+
+
+def test_wide_hash_bit_independence():
+    """The wide-SimHash per-token hash halves must be statistically
+    independent ACROSS all 60 fingerprint bit positions over the full token
+    domain — the property a first LCG attempt violated (bits 0-2 of the two
+    halves were exact complements: multiply-add mod 2^k is affine in the
+    low bits). Pinned: per-bit set fractions near 0.5 and no bit pair with
+    agreement outside [0.45, 0.55]."""
+    import itertools
+
+    from spatialflink_spark.config import VOCAB_SIZE
+    from spatialflink_spark.operators.dedup import (
+        WIDE_SEED_H1,
+        WIDE_SEED_H2,
+        wide_hash_py,
+    )
+
+    n = VOCAB_SIZE
+    cols = [[0] * n for _ in range(60)]
+    for t in range(n):
+        x, y = wide_hash_py(t, WIDE_SEED_H1), wide_hash_py(t, WIDE_SEED_H2)
+        for j in range(30):
+            cols[j][t] = (x >> j) & 1
+            cols[30 + j][t] = (y >> j) & 1
+    for c in cols:
+        assert 0.45 <= sum(c) / n <= 0.55
+    for i, j in itertools.combinations(range(60), 2):
+        agree = sum(1 for a, b in zip(cols[i], cols[j]) if a == b) / n
+        assert 0.45 <= agree <= 0.55, (i, j, agree)
+
+
+def test_wide_hash_py_matches_both_dialects(spark):
+    """wide_hash_py (the property-test mirror) == the Spark chain == the
+    DuckDB chain on a token sample — one builder, three consistent faces."""
+    import duckdb
+
+    from spatialflink_spark.operators.dedup import (
+        WIDE_SEED_H1,
+        wide_hash_chain,
+        wide_hash_py,
+    )
+
+    toks = list(range(0, 50257, 997))
+    expected = [wide_hash_py(t, WIDE_SEED_H1) for t in toks]
+    [spark_row] = (
+        spark.createDataFrame([(toks,)], "arr array<int>")
+        .selectExpr(f"{wide_hash_chain('arr', WIDE_SEED_H1, 'spark')} as h")
+        .collect()
+    )
+    assert list(spark_row.h) == expected
+    [duck_row] = duckdb.connect().execute(
+        f"SELECT {wide_hash_chain(f'{toks}', WIDE_SEED_H1, 'duck')}"
+    ).fetchone(),
+    assert list(duck_row[0] if isinstance(duck_row, tuple) else duck_row) == expected
