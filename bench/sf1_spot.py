@@ -97,11 +97,15 @@ COPY (
 
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfs_sf1"
-    # all three files must exist — a crash mid-amplify must not leave a
-    # half-written dir that silently skips regeneration forever
-    expected = ("documents.parquet", "embeddings.parquet", "events.parquet")
-    if not all(os.path.exists(f"{out_dir}/{f}") for f in expected):
+    # _SUCCESS marker written strictly AFTER the last COPY: file-existence
+    # checks alone cannot distinguish a complete last file from a torn one
+    # (a crash mid-COPY into events.parquet would otherwise be reused
+    # forever)
+    marker = f"{out_dir}/_SUCCESS"
+    if not os.path.exists(marker):
         amplify(out_dir)
+        with open(marker, "w") as f:
+            f.write("ok\n")
     from spatialflink_spark.session import get_spark
     import __spark_entry__ as entrymod
 

@@ -244,10 +244,11 @@ def q_simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """60-bit production-width SimHash (dedup.simhash_wide): portable LCG
-    bit features; the fingerprint width at which random-pair collision
-    density stays negligible at corpus scale (the 16-bit form saturates —
-    BENCH.md sf1 row)."""
+    """60-bit production-width SimHash (dedup.simhash_wide): seeded
+    xorshift-multiply bit features (dedup.wide_hash_chain — NOT a plain
+    LCG, whose low bits are affine); the fingerprint width at which
+    random-pair collision density stays negligible at corpus scale (the
+    16-bit form saturates — BENCH.md sf1 row)."""
     return dedup_ops.simhash_wide(_docs(spark, sf_dir))
 
 

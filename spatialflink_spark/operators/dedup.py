@@ -312,7 +312,7 @@ def simhash_dup_pairs(
 # collisions stay negligible at any realistic corpus size. 60 bits here
 # (not 64: bits live in a SIGNED bigint in both dialects, and 60 = 4 bands
 # x 15 bits keeps the pigeonhole arithmetic clean): per-token bit features
-# come from two portable 30-bit LCG hashes (token ids themselves only carry
+# come from two seeded 30-bit xorshift-multiply hashes (token ids only carry
 # ~16 bits of entropy), votes are summed per bit, banded pairs stay
 # pigeonhole-exact for Hamming <= 3 with 4 bands.
 

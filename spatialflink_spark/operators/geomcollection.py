@@ -59,12 +59,17 @@ filter(array(
        'hi', cast(n_tok + {GC_STRIDE} + (doc_id % 7 + 2) as int),
        'vertices', cast(null as array<int>)),
      cast(null as {_PART_T})),
-  if(doc_id % 3 = 0,
+  if(doc_id % 3 = 0 AND size(tokens) > 0,
      named_struct('kind', 'ls', 'lo', array_min(tokens),
                   'hi', array_max(tokens), 'vertices', tokens),
      cast(null as {_PART_T}))
 ), p -> p is not null)
 """
+# NB the size(tokens) > 0 guard: an empty token array would make the 'ls'
+# part's bbox NULL, the covered-cells sequence NULL, and explode(NULL) then
+# DROPS the whole row — including its always-present point part — while the
+# oracle's least() would keep it (latent parity break, caught in review; no
+# current fixture has empty sequences but pack_emit explicitly models them)
 
 
 def gc_stream(seq_ws: DataFrame) -> DataFrame:

@@ -688,9 +688,12 @@ def _gc_duck_dist(tbl: str, p: str) -> str:
         f"{p} - ({tbl}.n_tok + {GC_STRIDE} + ({tbl}.doc_id % 7 + 2)))"
     )
     ls = f"list_min(list_transform({tbl}.tokens, t -> abs(t - {p})))"
+    # len(tokens) > 0 guard mirrors the engine's GC_PARTS_EXPR: no 'ls'
+    # part for an empty token array (and list_min of [] is NULL anyway)
     return (
         f"least({pt}, CASE WHEN {tbl}.doc_id % 2 = 0 THEN {iv} ELSE {pt} END, "
-        f"CASE WHEN {tbl}.doc_id % 3 = 0 THEN {ls} ELSE {pt} END)"
+        f"CASE WHEN {tbl}.doc_id % 3 = 0 AND len({tbl}.tokens) > 0 "
+        f"THEN {ls} ELSE {pt} END)"
     )
 
 
@@ -765,13 +768,13 @@ rates AS (
     FROM totals
   ) totals
 )
-SELECT s.ws, s.source, r.rate_bp, count(*) AS n_kept,
+SELECT s.ws, s.source, coalesce(r.rate_bp, {BP}) AS rate_bp, count(*) AS n_kept,
        CAST(sum(s.n_tok) AS BIGINT) AS tok_kept
-FROM seq_t s JOIN rates r ON s.source = r.source
+FROM seq_t s LEFT JOIN rates r ON s.source = r.source
 WHERE (((s.doc_id % 2147483648) * {LCG_A} + {LCG_C}) % 2147483648) % {BP}
-      < r.rate_bp
+      < coalesce(r.rate_bp, {BP})
   AND s.ws + {C.tumbling_s} <= (SELECT wlim FROM wm)
-GROUP BY s.ws, s.source, r.rate_bp
+GROUP BY s.ws, s.source, coalesce(r.rate_bp, {BP})
 """
 
 

@@ -721,8 +721,9 @@ def _wide_sh_cte() -> str:
 
 
 def simhash_wide() -> str:
-    """Twin of dedup.simhash_wide: 60-bit fingerprint, portable LCG bit
-    features."""
+    """Twin of dedup.simhash_wide: 60-bit fingerprint, seeded
+    xorshift-multiply bit features from the shared wide_hash_chain
+    builder."""
     return f"""
 WITH {_wide_sh_cte()}
 SELECT doc_id, simhash FROM s

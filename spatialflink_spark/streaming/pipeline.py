@@ -367,9 +367,16 @@ def stream_source_mix(stream: DataFrame, rates: DataFrame) -> DataFrame:
     even stream-static broadcasts). `rates` (source, rate_bp) is tiny by
     construction (one row per source) — the caller should materialize it
     eagerly (localCheckpoint) so a lazy static side isn't re-derived every
-    micro-batch. Output: the surviving rows plus rate_bp."""
-    from spatialflink_spark.operators.mixing import LCG_KEEP_EXPR
+    micro-batch. Output: the surviving rows plus rate_bp.
 
-    return stream.join(F.broadcast(rates), "source").where(
-        F.expr(LCG_KEEP_EXPR) < F.col("rate_bp")
+    LEFT join + keep-all default: a source that appears on the stream
+    BETWEEN snapshot refreshes has no rate row yet — it keeps everything
+    (rate 10000), the batch op's zero-mass rule (unseen mass costs no
+    quota) and exactly what the continuous-mode face does; an inner join
+    would silently black-hole the new source until the next refresh."""
+    from spatialflink_spark.operators.mixing import BP, LCG_KEEP_EXPR
+
+    joined = stream.join(F.broadcast(rates), "source", "left").withColumn(
+        "rate_bp", F.expr(f"coalesce(rate_bp, {BP})")
     )
+    return joined.where(F.expr(LCG_KEEP_EXPR) < F.col("rate_bp"))

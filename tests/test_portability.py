@@ -91,7 +91,7 @@ def test_wide_hash_py_matches_both_dialects(spark):
         .collect()
     )
     assert list(spark_row.h) == expected
-    [duck_row] = duckdb.connect().execute(
+    [duck_col] = duckdb.connect().execute(
         f"SELECT {wide_hash_chain(f'{toks}', WIDE_SEED_H1, 'duck')}"
-    ).fetchone(),
-    assert list(duck_row[0] if isinstance(duck_row, tuple) else duck_row) == expected
+    ).fetchone()
+    assert list(duck_col) == expected

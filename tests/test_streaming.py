@@ -1202,3 +1202,18 @@ def test_stream_token_counts_matches_batch(spark, replay_dir, tmp_path):
     key = lambda df: sorted(map(tuple, df.values))
     assert key(got) == key(batch)
     assert len(got) > 0
+
+
+def test_stream_source_mix_keeps_unknown_sources(spark):
+    """A source ABSENT from the rates snapshot (it appeared between
+    refreshes) must keep everything — the zero-mass rule, matching the
+    continuous-mode face; an inner join would silently drop it."""
+    from spatialflink_spark.streaming.pipeline import stream_source_mix
+
+    rows = spark.createDataFrame(
+        [(1, 0, [1], 1, "known", 100), (2, 0, [2], 1, "brand_new", 101)],
+        "doc_id bigint, seq_no int, tokens array<int>, n_tok int, source string, ts_s bigint",
+    )
+    rates = spark.createDataFrame([("known", 10_000)], "source string, rate_bp int")
+    got = {(r.source, r.rate_bp) for r in stream_source_mix(rows, rates).collect()}
+    assert got == {("known", 10_000), ("brand_new", 10_000)}
