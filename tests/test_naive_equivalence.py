@@ -260,3 +260,25 @@ def test_kmeans_batch_full_probe_equals_exact_batch(spark):
         ).collect()
     }
     assert exact == full and len(exact) > 0
+
+
+def test_kmeans_batch_default_probe_recall(spark):
+    """Batch k-means retrieval at the default 2/8-cluster probe must
+    recover well over the probe FRACTION (0.25) of each query's exact
+    top-k. On the RANDOM-vector fixture clusters are weakly separable —
+    mean per-query recall measured 0.58 (single queries range 0.2-0.9);
+    still >2x the probe fraction, asserted with margin. Real embedding
+    manifolds cluster far better — this is the adversarial floor."""
+    from collections import defaultdict
+
+    from spatialflink_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    exact = defaultdict(set)
+    for r in sim.cosine_topk_batch(emb).collect():
+        exact[r.q_id].add(r.vec_id)
+    got = defaultdict(set)
+    for r in sim.cosine_topk_batch_kmeans(emb).collect():
+        got[r.q_id].add(r.vec_id)
+    recalls = [len(exact[q] & got[q]) / len(exact[q]) for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.5

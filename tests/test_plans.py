@@ -370,3 +370,16 @@ def test_pack_emit_bucket_shard_equivalence(spark):
         any(r.bin_id == 0 and r.bucket == b for r in sharded)
         for b in {25, 26, 27}
     )
+
+
+def test_kmeans_family_no_cartesian_broadcast_centroids(spark):
+    """The k-means retrieval ops must broadcast the packed centroid row and
+    never fall back to a cartesian product; the corpus side's only shuffles
+    are the Lloyd update aggregations and the final cut."""
+    from spatialflink_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    for op in (sim.cosine_topk_ivf_kmeans, sim.cosine_topk_batch_kmeans):
+        s = plans.simple_plan(op(emb))
+        assert "CartesianProduct" not in s
+        assert "Broadcast" in s, s
