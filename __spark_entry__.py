@@ -31,65 +31,10 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness snapshot grades the FIRST 50
     # entries only. Entries that have never (or least recently) been
-    # driver-graded go first; rotate each round until every entry has a
-    # driver-green row (VERDICT r3 Next-round #1).
+    # driver-graded go first; rotate each round until every entry's latest
+    # driver row is <= 2 rounds old (VERDICT r4 Next-round #2).
     return {
-        # -- never driver-graded before r4 (judge-verified only in r3) --
-        "interval_interval_join": gate.q_interval_interval_join,
-        "interval_knn": gate.q_interval_knn,
-        "multiinterval_range": gate.q_multiinterval_range,
-        "multiinterval_join": gate.q_multiinterval_join,
-        "multiinterval_knn": gate.q_multiinterval_knn,
-        "linestring_range": gate.q_linestring_range,
-        "linestring_knn": gate.q_linestring_knn,
-        "point_linestring_join": gate.q_point_linestring_join,
-        "interval_linestring_join": gate.q_interval_linestring_join,
-        "knn_unbounded_pruned": gate.q_knn_unbounded_pruned,
-        "stream_decon_e2e": gate.q_stream_decon_e2e,
-        # -- new in round 4 --
-        # (inserted here as they land so they get driver rows immediately)
-        "cosine_topk_batch": gate.q_cosine_topk_batch,
-        "cosine_topk_batch_ann": gate.q_cosine_topk_batch_ann,
-        "cosine_topk_ivf_kmeans": gate.q_cosine_topk_ivf_kmeans,
-        "cosine_topk_batch_kmeans": gate.q_cosine_topk_batch_kmeans,
-        "pack_bins_emit": gate.q_pack_bins_emit,
-        "token_freq_topk": gate.q_token_freq_topk,
-        "source_length_quantiles": gate.q_source_length_quantiles,
-        "simhash_wide": gate.q_simhash_wide,
-        "simhash_wide_dup_pairs": gate.q_simhash_wide_dup_pairs,
-        "dedup_components_wide": gate.q_dedup_components_wide,
-        "geomcollection_range": gate.q_geomcollection_range,
-        "geomcollection_join": gate.q_geomcollection_join,
-        "geomcollection_knn": gate.q_geomcollection_knn,
-        "stream_mix_e2e": gate.q_stream_mix_e2e,
-        # -- driver-graded in r02 only; code unchanged but re-grade --
-        "variation_salted": gate.q_variation_salted,
-        "events_json_props": gate.q_events_json_props,
-        "stream_range_e2e": gate.q_stream_range_e2e,
-        "stream_knn_e2e": gate.q_stream_knn_e2e,
-        "interval_range_count": gate.q_interval_range_count,
-        "interval_containment_join": gate.q_interval_containment_join,
-        "knn_unbounded": gate.q_knn_unbounded,
-        # -- stable core (all driver-green in r03; tail past 50 rotates) --
-        "range_tumbling_count": gate.q_range_tumbling_count,
-        "range_prefix_counts": gate.q_range_prefix_counts,
-        "range_rows": gate.q_range_rows,
-        "knn_sliding": gate.q_knn_sliding,
-        "join_self_tumbling": gate.q_join_self_tumbling,
-        "variation_sliding": gate.q_variation_sliding,
-        "variance_sliding": gate.q_variance_sliding,
-        "trajectory_tumbling": gate.q_trajectory_tumbling,
-        "heatmap_sliding": gate.q_heatmap_sliding,
-        "tstats_running": gate.q_tstats_running,
-        "tstats_windowed": gate.q_tstats_windowed,
-        "events_sessionize": gate.q_events_sessionize,
-        "events_sliding_stats": gate.q_events_sliding_stats,
-        "serde_roundtrip": gate.q_serde_roundtrip,
-        "csv_ingest": gate.q_csv_ingest,
-        "binfmt_ingest": gate.q_binfmt_ingest,
-        "count_windows_tumbling": gate.q_count_windows_tumbling,
-        # training-data pipeline ops
-        "dedup_exact": gate.q_dedup_exact,
+        # -- absent from the r04 window (last driver rows: r02/r03) --
         "decontaminate": gate.q_decontaminate,
         "source_mix": gate.q_source_mix,
         "curation_pipeline": gate.q_curation_pipeline,
@@ -110,7 +55,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": gate.q_fingerprint,
         "pack_sequences": gate.q_pack_sequences,
         "media_features": gate.q_media_features,
-        # SNCB-analog app queries
         "range_approx": gate.q_range_approx,
         "trajectory_restricted": gate.q_trajectory_restricted,
         "fence_speed_alert": gate.q_fence_speed_alert,
@@ -123,6 +67,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tknn_trajectories": gate.q_tknn_trajectories,
         "trange_trajectories": gate.q_trange_trajectories,
         "join_two_streams": gate.q_join_two_streams,
+        # -- r04-green entries whose modules changed in round 5: re-grade --
+        "cosine_topk_batch": gate.q_cosine_topk_batch,
+        "cosine_topk_batch_ann": gate.q_cosine_topk_batch_ann,
+        "cosine_topk_ivf_kmeans": gate.q_cosine_topk_ivf_kmeans,
+        "cosine_topk_batch_kmeans": gate.q_cosine_topk_batch_kmeans,
+        "simhash_wide": gate.q_simhash_wide,
+        "simhash_wide_dup_pairs": gate.q_simhash_wide_dup_pairs,
+        "dedup_components_wide": gate.q_dedup_components_wide,
+        "dedup_exact": gate.q_dedup_exact,
+        "binfmt_ingest": gate.q_binfmt_ingest,
+        "stream_range_e2e": gate.q_stream_range_e2e,
+        "stream_knn_e2e": gate.q_stream_knn_e2e,
+        "stream_decon_e2e": gate.q_stream_decon_e2e,
+        "stream_mix_e2e": gate.q_stream_mix_e2e,
+        "geomcollection_range": gate.q_geomcollection_range,
+        "geomcollection_join": gate.q_geomcollection_join,
+        "geomcollection_knn": gate.q_geomcollection_knn,
+        "pack_bins_emit": gate.q_pack_bins_emit,
+        "token_freq_topk": gate.q_token_freq_topk,
+        # ---- 50-entry window boundary (everything below: r04-green,
+        # ---- code unchanged this round) ----
+        "source_length_quantiles": gate.q_source_length_quantiles,
+        "interval_interval_join": gate.q_interval_interval_join,
+        "interval_knn": gate.q_interval_knn,
+        "multiinterval_range": gate.q_multiinterval_range,
+        "multiinterval_join": gate.q_multiinterval_join,
+        "multiinterval_knn": gate.q_multiinterval_knn,
+        "linestring_range": gate.q_linestring_range,
+        "linestring_knn": gate.q_linestring_knn,
+        "point_linestring_join": gate.q_point_linestring_join,
+        "interval_linestring_join": gate.q_interval_linestring_join,
+        "knn_unbounded_pruned": gate.q_knn_unbounded_pruned,
+        "variation_salted": gate.q_variation_salted,
+        "events_json_props": gate.q_events_json_props,
+        "interval_range_count": gate.q_interval_range_count,
+        "interval_containment_join": gate.q_interval_containment_join,
+        "knn_unbounded": gate.q_knn_unbounded,
+        "range_tumbling_count": gate.q_range_tumbling_count,
+        "range_prefix_counts": gate.q_range_prefix_counts,
+        "range_rows": gate.q_range_rows,
+        "knn_sliding": gate.q_knn_sliding,
+        "join_self_tumbling": gate.q_join_self_tumbling,
+        "variation_sliding": gate.q_variation_sliding,
+        "variance_sliding": gate.q_variance_sliding,
+        "trajectory_tumbling": gate.q_trajectory_tumbling,
+        "heatmap_sliding": gate.q_heatmap_sliding,
+        "tstats_running": gate.q_tstats_running,
+        "tstats_windowed": gate.q_tstats_windowed,
+        "events_sessionize": gate.q_events_sessionize,
+        "events_sliding_stats": gate.q_events_sliding_stats,
+        "serde_roundtrip": gate.q_serde_roundtrip,
+        "csv_ingest": gate.q_csv_ingest,
+        "count_windows_tumbling": gate.q_count_windows_tumbling,
     }
 
 

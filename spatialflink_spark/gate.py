@@ -182,28 +182,41 @@ def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end curation pipeline — the composition the individual gates
-    grade in isolation: exact dedup (keep canonical) -> benchmark
-    decontamination (drop eval docs and >= 3-shingle overlaps) -> source
-    mixing (quota-sample the survivors). Grades that stage OUTPUTS feed
-    stage INPUTS correctly (rates are computed over the post-filter corpus,
-    not the raw one). Output: source, rate_bp, n_kept, tok_kept."""
+    """End-to-end curation pipeline — the PRODUCTION composition the
+    individual gates grade in isolation: exact dedup (keep canonical) ->
+    wide-fingerprint NEAR-dup dedup (60-bit SimHash banded pairs ->
+    connected components -> keep the component representative — exactly the
+    dedup_components_wide chain) -> benchmark decontamination (drop eval
+    docs and >= 3-shingle overlaps) -> source mixing (quota-sample the
+    survivors). Grades that stage OUTPUTS feed stage INPUTS correctly
+    (near-dup pairs are mined over the post-exact-dedup corpus, rates over
+    the post-filter corpus — not the raw table). Reference analog: chained
+    query stages, MobilityRunner.java:36-67.
+    Output: source, rate_bp, n_kept, tok_kept."""
     from spatialflink_spark.operators.mixing import source_mix_sample
 
     d = _docs(spark, sf_dir)
     canon = (
         dedup_ops.exact_dedup(d).where("dup_rank = 1").select("doc_id")
     )
-    # surv and train each feed multiple downstream stages; without a
+    # surv / surv2 / train each feed multiple downstream stages; without a
     # materialization point every consumer re-tokenizes the corpus (the
     # unshared plan re-derived documents ~6x, 15s -> ~5s at sf0.1). A real
     # pipeline materializes each stage's survivors to a table; the lazy
     # localCheckpoint is the in-session equivalent (computed once at first
     # use, then read back by the other branches).
     surv = d.join(canon, "doc_id").localCheckpoint(eager=False)
-    contaminated = dedup_ops.decontaminate(surv).select("doc_id")
+    near_drop = (
+        dedup_ops.dedup_components(dedup_ops.simhash_wide_dup_pairs(surv))
+        .where("doc_id <> component")
+        .select("doc_id")
+    )
+    surv2 = surv.join(near_drop, "doc_id", "left_anti").localCheckpoint(
+        eager=False
+    )
+    contaminated = dedup_ops.decontaminate(surv2).select("doc_id")
     train = (
-        surv.where(~F.expr("doc_id % 13 = 0"))
+        surv2.where(~F.expr("doc_id % 13 = 0"))
         .join(contaminated, "doc_id", "left_anti")
         .localCheckpoint(eager=False)
     )
@@ -420,6 +433,37 @@ def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# staged-replay config shared by the four stream_*_e2e gates: event-time
+# slices staged once per (session, sf_dir). The availableNow gate run drains
+# ALL staged files in one trigger — the file source's own availableNow
+# behavior when maxFilesPerTrigger doesn't cap it — which cannot change
+# output: slices are event-time-ordered (stage_replay_files cuts at ts
+# quantiles), so no row is ever late relative to an earlier slice's
+# watermark, and the final watermark — hence the set of closed windows — is
+# identical (verified: byte-identical committed output at mft 1 vs 2;
+# ~2x wall saving per gate run). Multi-batch watermark advancement and
+# kill/resume stay covered by tests/test_streaming.py, which replay with
+# maxFilesPerTrigger=1.
+_REPLAY_SLICES = 2
+
+_STREAM_STATIC_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _stream_static(spark: SparkSession, sf_dir: str, key: str, build):
+    """Session-cached static side inputs for the streaming gates (decon
+    probe set, mix rate table): deterministic artifacts of the input table,
+    staged once per (session, sf_dir) exactly like the replay files — a
+    production streaming job loads these from a precomputed table, it does
+    not re-derive them per run. The streaming run itself is never cached
+    (fresh checkpoint + sink every call)."""
+    k = (spark.sparkContext.applicationId, sf_dir, key)
+    df = _STREAM_STATIC_CACHE.get(k)
+    if df is None:
+        df = build()
+        _STREAM_STATIC_CACHE[k] = df
+    return df
+
+
 def q_stream_range_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REAL Structured Streaming path inside the correctness gate:
     stage the sequence table as a 4-file replay, run the watermarked
@@ -439,14 +483,19 @@ def q_stream_range_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spatialflink_spark.streaming.sink import ExactlyOnceSink
 
     root = tempfile.mkdtemp(prefix="sfs_gate_stream_")
-    replay = stage_replay_files_cached(spark, sf_dir, n_batches=2)
+    replay = stage_replay_files_cached(spark, sf_dir, n_batches=_REPLAY_SLICES)
     sink = ExactlyOnceSink(f"{root}/out", key_cols=("ws", "q_id"))
-    # state-store partition count is fixed at first checkpoint write; 8 is
+    # state-store partition count is fixed at first checkpoint write; 4 is
     # plenty for the (window, q_id) key space and cuts per-batch fixed cost
+    # (a deployment-size knob, not an engine property — a real cluster job
+    # sizes it to executors*cores)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
-        stream = read_sequences_stream(spark, replay, C.allowed_lateness_s)
+        stream = read_sequences_stream(
+            spark, replay, C.allowed_lateness_s,
+            max_files_per_trigger=_REPLAY_SLICES,
+        )
         res = stream_range_count(stream, C, DEFAULT_QUERY_POINTS)
         run_available_now(res, sink.foreach_batch(), f"{root}/ckpt")
     finally:
@@ -475,24 +524,30 @@ def q_stream_decon_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spatialflink_spark.streaming.sink import ExactlyOnceSink
 
     root = tempfile.mkdtemp(prefix="sfs_gate_decon_")
-    replay = stage_replay_files_cached(spark, sf_dir, n_batches=2)
+    replay = stage_replay_files_cached(spark, sf_dir, n_batches=_REPLAY_SLICES)
     # materialize the shingle arrays before the explode (the CLAUDE.md
     # explode-amplification trap), and EAGERLY materialize the tiny distinct
     # probe: a lazy static side of a stream-static join is re-derived every
     # micro-batch, re-paying the whole derivation (measured 21s -> ~4s at
-    # sf0.1 for this gate query)
-    probe = (
-        sequences_cached(spark, sf_dir)
-        .where("doc_id % 13 = 0")
-        .select(F.expr(token_shingle_expr()).alias("_sh"))
-        .localCheckpoint(eager=False)
-        .select(F.explode("_sh").alias("h"))
-        .distinct()
-        .localCheckpoint()
+    # sf0.1 for this gate query). Session-cached: the probe is a static
+    # artifact of the input table (see _stream_static).
+    probe = _stream_static(
+        spark,
+        sf_dir,
+        "decon_probe",
+        lambda: (
+            sequences_cached(spark, sf_dir)
+            .where("doc_id % 13 = 0")
+            .select(F.expr(token_shingle_expr()).alias("_sh"))
+            .localCheckpoint(eager=False)
+            .select(F.explode("_sh").alias("h"))
+            .distinct()
+            .localCheckpoint()
+        ),
     )
     sink = ExactlyOnceSink(f"{root}/out", key_cols=("ws", "source"))
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         # streaming edition of the single-partition trap: each replay slice
         # is one file, so every micro-batch is ONE task and the per-row
@@ -506,6 +561,7 @@ def q_stream_decon_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark,
             replay,
             C.allowed_lateness_s,
+            max_files_per_trigger=_REPLAY_SLICES,
             pre_watermark_filter="doc_id % 13 <> 0",
         ).repartition(spark.sparkContext.defaultParallelism)
         surv = stream_decontaminate(stream, probe)
@@ -554,16 +610,27 @@ def q_stream_mix_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spatialflink_spark.streaming.sink import ExactlyOnceSink
 
     root = tempfile.mkdtemp(prefix="sfs_gate_mix_")
-    replay = stage_replay_files_cached(spark, sf_dir, n_batches=2)
+    replay = stage_replay_files_cached(spark, sf_dir, n_batches=_REPLAY_SLICES)
     # eager checkpoint: a lazy static side of a stream-static join re-derives
     # the whole snapshot aggregation every micro-batch (same trap as the
-    # decon probe above); the rate table is one row per source
-    rates = mix_rates_snapshot(sequences_cached(spark, sf_dir)).localCheckpoint()
+    # decon probe above); the rate table is one row per source.
+    # Session-cached static artifact (see _stream_static).
+    rates = _stream_static(
+        spark,
+        sf_dir,
+        "mix_rates",
+        lambda: mix_rates_snapshot(
+            sequences_cached(spark, sf_dir)
+        ).localCheckpoint(),
+    )
     sink = ExactlyOnceSink(f"{root}/out", key_cols=("ws", "source"))
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
-        stream = read_sequences_stream(spark, replay, C.allowed_lateness_s)
+        stream = read_sequences_stream(
+            spark, replay, C.allowed_lateness_s,
+            max_files_per_trigger=_REPLAY_SLICES,
+        )
         surv = stream_source_mix(stream, rates)
         res = (
             surv.groupBy(
@@ -774,12 +841,15 @@ def q_stream_knn_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spatialflink_spark.streaming.sink import ExactlyOnceSink
 
     root = tempfile.mkdtemp(prefix="sfs_gate_sknn_")
-    replay = stage_replay_files_cached(spark, sf_dir, n_batches=2)
+    replay = stage_replay_files_cached(spark, sf_dir, n_batches=_REPLAY_SLICES)
     sink = ExactlyOnceSink(f"{root}/out", key_cols=("ws", "q_id", "rank"))
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
-        stream = read_sequences_stream(spark, replay, C.allowed_lateness_s)
+        stream = read_sequences_stream(
+            spark, replay, C.allowed_lateness_s,
+            max_files_per_trigger=_REPLAY_SLICES,
+        )
         topk = stream_knn_topk(stream, C, DEFAULT_QUERY_POINTS)
 
         def fb(df, bid):

@@ -341,7 +341,12 @@ def wide_hash_chain(col: str, seed: int, dialect: str) -> str:
     """Array-of-30-bit-hashes expression over token array `col`, in either
     dialect ('spark' | 'duck'). A chain of per-element transforms — each
     lambda references only its own variable, so nothing upstream is ever
-    re-evaluated (the CLAUDE.md lambda-CSE rule)."""
+    re-evaluated (the CLAUDE.md lambda-CSE rule).
+
+    PRECONDITION: token ids t must be >= 0 (the portable tokenizer emits
+    only nonnegative ids). Both SQL dialects' `%` keeps the dividend's sign
+    (unlike Python's), so a negative t would diverge from wide_hash_py; the
+    nonnegative contract makes % and pmod coincide everywhere it runs."""
     if dialect == "spark":
         tf, div = "transform", "div"
         xor = lambda a, b: f"({a} ^ {b})"

@@ -293,11 +293,6 @@ def _km_quant(col: str) -> str:
     return f"transform({col}, x -> cast(round(cast(x as double) * {KM_QSCALE}) as bigint))"
 
 
-_KM_DIST = (
-    "aggregate(zip_with(qv, cq, (a, b) -> (a - b) * (a - b)), "
-    "cast(0 as bigint), (s, v) -> s + v)"
-)
-
 # per-row squared-L2 to one packed centroid struct `c`
 _KM_CDIST = (
     "aggregate(zip_with(qv, c.cq, (a, b) -> (a - b) * (a - b)), "

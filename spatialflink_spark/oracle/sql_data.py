@@ -110,11 +110,17 @@ GROUP BY t.source, r.rate_bp"""
 
 
 def curation_pipeline() -> str:
-    """Twin of gate.q_curation_pipeline: exact dedup -> decontamination ->
-    source mixing, composed from the SAME snippet helpers the standalone
-    oracles use (_decon_ctes, _mix_sql) so the stage logic exists once."""
+    """Twin of gate.q_curation_pipeline — the PRODUCTION composition: exact
+    dedup -> wide-fingerprint NEAR-dup dedup (60-bit SimHash pairs ->
+    transitive closure -> keep the component representative) ->
+    decontamination -> source mixing, composed from the SAME snippet helpers
+    the standalone oracles use (_wide_sh_cte, _decon_ctes, _mix_sql) so each
+    stage's logic exists once."""
+    from spatialflink_spark.operators.dedup import SIMHASH_WIDE_HAMMING_MAX
+
     return f"""
-WITH canon AS (
+WITH RECURSIVE
+canon AS (
   SELECT doc_id FROM (
     SELECT doc_id, row_number() OVER (
       PARTITION BY md5(array_to_string({_W}, ' ')) ORDER BY doc_id
@@ -124,9 +130,26 @@ WITH canon AS (
 surv AS (
   SELECT d.* FROM documents d JOIN canon USING (doc_id)
 ),
-{_decon_ctes('surv')},
-train AS (
+{_wide_sh_cte('surv', 'w_')},
+ndpairs AS (
+  SELECT l.doc_id AS a, r.doc_id AS b
+  FROM w_s l JOIN w_s r ON l.doc_id < r.doc_id
+  WHERE bit_count(CAST(xor(l.simhash, r.simhash) AS BIGINT)) <= {SIMHASH_WIDE_HAMMING_MAX}
+),
+edges AS (SELECT a, b FROM ndpairs UNION SELECT b AS a, a AS b FROM ndpairs),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a),
+surv2 AS (
   SELECT * FROM surv
+  WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)
+),
+{_decon_ctes('surv2')},
+train AS (
+  SELECT * FROM surv2
   WHERE doc_id % 13 <> 0 AND doc_id NOT IN (SELECT doc_id FROM conta)
 ),
 {_mix_sql('train')}
@@ -694,10 +717,13 @@ SELECT q_id, rank, vec_id, label, cos_sim FROM ranked WHERE rank <= {k}
 """
 
 
-def _wide_sh_cte() -> str:
-    """Wide-fingerprint CTE chain — hash arrays from the SAME builder the
-    engine uses (dedup.wide_hash_chain, 'duck' dialect), so the constants
-    and mixing steps cannot drift between dialects."""
+def _wide_sh_cte(src_rel: str = "documents", prefix: str = "") -> str:
+    """Wide-fingerprint CTE chain over `src_rel` — hash arrays from the SAME
+    builder the engine uses (dedup.wide_hash_chain, 'duck' dialect), so the
+    constants and mixing steps cannot drift between dialects. `prefix`
+    namespaces the CTE names (t/hx/s) for composition into larger queries
+    whose other snippets use the same names (curation_pipeline's mix CTEs
+    also define `t`)."""
     from spatialflink_spark.operators.dedup import (
         SIMHASH_WIDE_BITS,
         WIDE_SEED_H1,
@@ -713,10 +739,10 @@ def _wide_sh_cte() -> str:
         for j in range(SIMHASH_WIDE_BITS)
     )
     return (
-        f"t AS (SELECT doc_id, {tok} AS _t FROM documents),\n"
-        f"hx AS (SELECT doc_id, {wide_hash_chain('_t', WIDE_SEED_H1, 'duck')} AS _h1, "
-        f"{wide_hash_chain('_t', WIDE_SEED_H2, 'duck')} AS _h2 FROM t),\n"
-        f"s AS (SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM hx)"
+        f"{prefix}t AS (SELECT doc_id, {tok} AS _t FROM {src_rel}),\n"
+        f"{prefix}hx AS (SELECT doc_id, {wide_hash_chain('_t', WIDE_SEED_H1, 'duck')} AS _h1, "
+        f"{wide_hash_chain('_t', WIDE_SEED_H2, 'duck')} AS _h2 FROM {prefix}t),\n"
+        f"{prefix}s AS (SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM {prefix}hx)"
     )
 
 

@@ -109,9 +109,19 @@ def write_token_shards(df: DataFrame, out_dir: str) -> DataFrame:
         # silently truncate; os.replace is atomic, so a speculative retry
         # racing on the same part path still yields one complete file
         tmp_path = f"{path}.tmp-{os.getpid()}"
-        with open(tmp_path, "wb") as f:
-            f.write(blob)
-        os.replace(tmp_path, path)
+        try:
+            with open(tmp_path, "wb") as f:
+                f.write(blob)
+            os.replace(tmp_path, path)
+        except BaseException:
+            # don't leave an orphaned tmp file behind on task failure —
+            # readers never see it (glob is *.tsf) but it would accumulate
+            # across retries
+            try:
+                os.unlink(tmp_path)
+            except OSError:
+                pass
+            raise
         yield pd.DataFrame(
             {"path": [path], "n_records": [n], "n_bytes": [len(blob)]}
         )
