@@ -470,6 +470,7 @@ def dedup_components(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
 
     Input: (left_doc, right_doc) pairs. Output: (doc_id, component) for every
     doc appearing in >= 1 pair, component = min doc_id reachable."""
+    spark = pairs.sparkSession
     edges = (
         pairs.select(F.col("left_doc").alias("a"), F.col("right_doc").alias("b"))
         .unionByName(
@@ -478,6 +479,19 @@ def dedup_components(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
         .dropDuplicates()
         .persist()
     )
+    # adaptive loop sizing: each round is one join + one groupBy over the
+    # (now materialized) edge set, and the count here both warms the persist
+    # and measures it. On a small graph, a full session's worth of
+    # near-empty shuffle tasks PER ROUND is pure fixed overhead (~25% of
+    # the loop at sf0.1); size the loop's shuffle like AQE sizes
+    # post-shuffle partitions — by measured input (~50k edges/task),
+    # clamped to the session setting so production-scale graphs keep full
+    # parallelism. Restored in the finally below; the returned labels are
+    # already materialized by the loop's own per-round action.
+    n_edges = edges.count()
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    loop_p = max(2, min(int(prev_sp), n_edges // 50_000 + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_p))
     # localCheckpoint (eager) per round, NOT persist: an iterative loop's
     # logical plan otherwise nests one join level per round and the
     # analyzer/codegen blows up long before the data does (a 20-round chain
@@ -523,6 +537,7 @@ def dedup_components(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
                 return labels
         raise RuntimeError(f"dedup_components: no fixpoint in {max_iters} rounds")
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
         edges.unpersist()
 
 
@@ -722,21 +737,33 @@ def dedup_components_star(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
         )
 
     fp = fingerprint(edges)
-    for _ in range(max_iters):
-        new_edges = small_star(large_star(edges)).localCheckpoint(eager=False)
-        new_fp = fingerprint(new_edges)  # materializes the checkpoint
-        # fingerprint match is the cheap candidate test; confirm the fixpoint
-        # EXACTLY before terminating (runs once, at the candidate round) so a
-        # hash collision can't end the loop early with wrong labels. Equal
-        # counts (in the fingerprint) + empty multiset difference => equality.
-        converged = new_fp == fp and new_edges.exceptAll(edges).isEmpty()
-        edges, fp = new_edges, new_fp
-        if converged:
-            break
-    else:
-        raise RuntimeError(
-            f"dedup_components_star: no fixpoint in {max_iters} rounds"
-        )
+    # adaptive loop sizing (same rationale and clamp as dedup_components):
+    # the initial fingerprint already measured the edge count; tiny graphs
+    # run the star rounds at few partitions, production graphs keep the
+    # session's parallelism
+    spark = pairs.sparkSession
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    loop_p = max(2, min(int(prev_sp), fp[0] // 50_000 + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_p))
+    try:
+        for _ in range(max_iters):
+            new_edges = small_star(large_star(edges)).localCheckpoint(eager=False)
+            new_fp = fingerprint(new_edges)  # materializes the checkpoint
+            # fingerprint match is the cheap candidate test; confirm the
+            # fixpoint EXACTLY before terminating (runs once, at the
+            # candidate round) so a hash collision can't end the loop early
+            # with wrong labels. Equal counts (in the fingerprint) + empty
+            # multiset difference => equality.
+            converged = new_fp == fp and new_edges.exceptAll(edges).isEmpty()
+            edges, fp = new_edges, new_fp
+            if converged:
+                break
+        else:
+            raise RuntimeError(
+                f"dedup_components_star: no fixpoint in {max_iters} rounds"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     # star forest -> labels: every node's component is its min neighbor (or
     # itself for roots)
     nodes = pairs.select(F.col("left_doc").alias("doc_id")).unionByName(
