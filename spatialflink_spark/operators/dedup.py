@@ -372,23 +372,22 @@ def wide_hash_py(t: int, seed: int) -> int:
     return h % (1 << 30)
 
 
-def simhash_wide(docs: DataFrame, bits: int = SIMHASH_WIDE_BITS) -> DataFrame:
-    """Per-doc 60-bit SimHash: bit j set iff the summed +-1 votes of the
+def with_wide_simhash(
+    df: DataFrame, tokens_col: str, bits: int = SIMHASH_WIDE_BITS
+) -> DataFrame:
+    """Append a 60-bit wide-SimHash `simhash` column computed from an
+    EXISTING token-array column — the shared fingerprint kernel used by the
+    batch op (simhash_wide, which tokenizes text first) and the streaming
+    ingest face (pipeline.stream_neardup_dedup, whose sequence stream
+    already carries tokens). Bit j is set iff the summed +-1 votes of the
     per-token hash-bit features are positive (h1 covers bits 0-29, h2 bits
     30-59). The two hash arrays are STAGED columns computed once per token;
     the 60 per-bit aggregates only shift-and-test them (the 16-bit op's
     cheap-lambda shape — no per-bit hash recomputation)."""
-    tok = T.spark_tokenize("text")
-    from spatialflink_spark.session import spread
-
-    hashed = (
-        spread(docs)
-        .select("doc_id", F.expr(tok).alias("_t"))
-        .select(
-            "doc_id",
-            F.expr(wide_hash_chain("_t", WIDE_SEED_H1, "spark")).alias("_h1"),
-            F.expr(wide_hash_chain("_t", WIDE_SEED_H2, "spark")).alias("_h2"),
-        )
+    hashed = df.select(
+        "*",
+        F.expr(wide_hash_chain(tokens_col, WIDE_SEED_H1, "spark")).alias("_h1"),
+        F.expr(wide_hash_chain(tokens_col, WIDE_SEED_H2, "spark")).alias("_h2"),
     )
     bit_terms = " + ".join(
         f"(CASE WHEN aggregate({'_h1' if j < 30 else '_h2'}, 0, (a, h) -> a + "
@@ -397,8 +396,18 @@ def simhash_wide(docs: DataFrame, bits: int = SIMHASH_WIDE_BITS) -> DataFrame:
         for j in range(bits)
     )
     return hashed.select(
-        "doc_id", F.expr(f"cast({bit_terms} as bigint)").alias("simhash")
+        *df.columns, F.expr(f"cast({bit_terms} as bigint)").alias("simhash")
     )
+
+
+def simhash_wide(docs: DataFrame, bits: int = SIMHASH_WIDE_BITS) -> DataFrame:
+    """Per-doc 60-bit SimHash over the tokenized text — tokenize, then the
+    shared with_wide_simhash fingerprint kernel."""
+    tok = T.spark_tokenize("text")
+    from spatialflink_spark.session import spread
+
+    toks = spread(docs).select("doc_id", F.expr(tok).alias("_t"))
+    return with_wide_simhash(toks, "_t", bits).select("doc_id", "simhash")
 
 
 def simhash_wide_dup_pairs(

@@ -118,6 +118,38 @@ def stream_exact_dedup(stream: DataFrame, within_watermark: bool = False) -> Dat
     return deduped.select("content_hash", "doc_id", "seq_no")
 
 
+def stream_neardup_dedup(
+    stream: DataFrame, within_watermark: bool = False
+) -> DataFrame:
+    """Streaming NEAR-dup dedup at ingest — the streaming face of the
+    60-bit wide SimHash fingerprint (dedup.with_wide_simhash, the same
+    kernel the batch ops use): emit each fingerprint's FIRST-arriving row,
+    drop later rows that collide. Hamming-0 on the production-width
+    fingerprint is the standard ingest-time near-dup filter — near-identical
+    token content votes the same bits; the full Hamming<=3 banded form
+    (simhash_wide_dup_pairs) needs a cross-row pairwise verify that no
+    per-key streaming dedup operator can hold, so it stays the batch stage
+    of the curation pipeline and this is its bounded-state ingest
+    complement.
+
+    Same two state regimes as stream_exact_dedup: global dropDuplicates
+    (one state entry per distinct fingerprint ever seen) or
+    dropDuplicatesWithinWatermark (state expires with the watermark — the
+    10^12-sequence knob).
+
+    Output: simhash, doc_id, seq_no — append-mode rows."""
+    from spatialflink_spark.operators.dedup import with_wide_simhash
+
+    fp = with_wide_simhash(
+        stream.select("event_ts", "doc_id", "seq_no", "tokens"), "tokens"
+    )
+    if within_watermark:
+        deduped = fp.dropDuplicatesWithinWatermark(["simhash"])
+    else:
+        deduped = fp.dropDuplicates(["simhash"])
+    return deduped.select("simhash", "doc_id", "seq_no")
+
+
 def stream_stream_join(
     left: DataFrame, right: DataFrame, cfg: EngineConfig, radius: int
 ) -> DataFrame:

@@ -523,6 +523,42 @@ def test_stream_exact_dedup_matches_batch_hash_set(spark, replay_dir, tmp_path):
     assert all(tuple(r) in valid for r in got[["content_hash", "doc_id", "seq_no"]].values)
 
 
+def test_stream_neardup_dedup_matches_batch_fingerprint_set(
+    spark, replay_dir, tmp_path
+):
+    """Streaming wide-fingerprint dedup (dropDuplicates on the 60-bit
+    SimHash): emits exactly one row per distinct fingerprint (fingerprint
+    set == batch over the same kernel), and each emitted (doc, seq) is one
+    of that fingerprint's actual rows (arrival order picks which) — the
+    near-dup ingest complement of stream_exact_dedup."""
+    from spatialflink_spark.operators.dedup import with_wide_simhash
+    from spatialflink_spark.streaming.pipeline import stream_neardup_dedup
+
+    stream = read_sequences_stream(spark, replay_dir, C.allowed_lateness_s)
+    res = stream_neardup_dedup(stream)
+    q = (
+        res.writeStream.format("memory")
+        .queryName("neardup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from neardup_stream").toPandas()
+
+    batch = with_wide_simhash(
+        sequences(spark, SF_SMALL).select("doc_id", "seq_no", "tokens"),
+        "tokens",
+    ).toPandas()
+    assert set(got.simhash) == set(batch.simhash)
+    assert len(got) == batch.simhash.nunique()
+    valid = set(map(tuple, batch[["simhash", "doc_id", "seq_no"]].values))
+    assert all(tuple(r) in valid for r in got[["simhash", "doc_id", "seq_no"]].values)
+    # the fixture really exercises the dedup: collisions exist
+    assert batch.simhash.nunique() < len(batch)
+
+
 def test_stream_exact_dedup_within_watermark(spark, replay_dir, tmp_path):
     """Bounded-state variant: dropDuplicatesWithinWatermark emits at least
     one row per distinct hash (exactly one when all duplicates arrive within
