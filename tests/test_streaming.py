@@ -559,6 +559,38 @@ def test_stream_neardup_dedup_matches_batch_fingerprint_set(
     assert batch.simhash.nunique() < len(batch)
 
 
+def test_stream_neardup_dedup_within_watermark(spark, replay_dir, tmp_path):
+    """Bounded-state near-dup variant: dropDuplicatesWithinWatermark over
+    the wide fingerprint emits at least one row per distinct fingerprint
+    (exactly one when all collisions arrive within the watermark delay) and
+    never invents rows."""
+    from spatialflink_spark.operators.dedup import with_wide_simhash
+    from spatialflink_spark.streaming.pipeline import stream_neardup_dedup
+
+    stream = read_sequences_stream(spark, replay_dir, C.allowed_lateness_s)
+    res = stream_neardup_dedup(stream, within_watermark=True)
+    q = (
+        res.writeStream.format("memory")
+        .queryName("neardup_stream_ww")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from neardup_stream_ww").toPandas()
+
+    batch = with_wide_simhash(
+        sequences(spark, SF_SMALL).select("doc_id", "seq_no", "tokens"),
+        "tokens",
+    ).toPandas()
+    # every distinct fingerprint appears (>= once: far-apart collisions may
+    # re-emit under the bounded-state regime)
+    assert set(got.simhash) == set(batch.simhash)
+    valid = set(map(tuple, batch[["simhash", "doc_id", "seq_no"]].values))
+    assert all(tuple(r) in valid for r in got[["simhash", "doc_id", "seq_no"]].values)
+
+
 def test_stream_exact_dedup_within_watermark(spark, replay_dir, tmp_path):
     """Bounded-state variant: dropDuplicatesWithinWatermark emits at least
     one row per distinct hash (exactly one when all duplicates arrive within
