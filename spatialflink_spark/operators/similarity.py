@@ -481,6 +481,85 @@ def cosine_topk_batch_kmeans(
     return _batch_topk_two_stage(scored, k)
 
 
+def build_ivf_index(
+    emb: DataFrame,
+    path: str,
+    n_centroids: int = KM_CENTROIDS,
+    iters: int = KM_ITERS,
+) -> None:
+    """Persist the learned inverted file — the BUILD half of production IVF
+    (build once, search many; the reference's analog is the grid index built
+    once per stream config, UniformGrid.java:74-85, reused by every query):
+
+    - <path>/centroids: the (cid, cq) quantized k-means centroid table
+    - <path>/corpus:    the cluster-assigned corpus, PARTITIONED BY cid
+
+    The partitionBy('cid') layout is the point at 100 TB: a search probing
+    n_probe clusters reads ONLY those clusters' files (Hive-style partition
+    pruning at the scan — asserted in tests), i.e. probe I/O is
+    ~n_probe/n_centroids of the corpus, not a full scan plus a filter."""
+    cent = kmeans_centroids(emb, n_centroids, iters).localCheckpoint(eager=False)
+    cent.write.mode("overwrite").parquet(f"{path}/centroids")
+    from spatialflink_spark.session import spread
+
+    packed = _packed_centroids(cent)
+    base = spread(emb).select(
+        "vec_id", "label", "embedding", F.expr(_km_quant("embedding")).alias("qv")
+    )
+    assigned = base.crossJoin(F.broadcast(packed)).select(
+        "vec_id", "label", "embedding", "qv", F.expr(_KM_ASSIGN).alias("cid")
+    )
+    assigned.write.mode("overwrite").partitionBy("cid").parquet(f"{path}/corpus")
+
+
+def search_ivf_index(
+    spark,
+    path: str,
+    k: int = DEFAULT_K,
+    n_probe: int = KM_PROBE,
+) -> DataFrame:
+    """SEARCH half over a persisted index: load the centroid table, find the
+    query's n_probe nearest centroids, scan ONLY those cid partitions of the
+    corpus (cid IN (...) is a partition filter — the files of unprobed
+    clusters are never opened), exact cosine re-rank. Answer-identical to
+    cosine_topk_ivf_kmeans at the same (n_centroids, iters, n_probe) —
+    pinned by an equivalence test."""
+    cent = spark.read.parquet(f"{path}/centroids")
+    corpus = spark.read.parquet(f"{path}/corpus")
+    packed = _packed_centroids(cent)
+    qrow = corpus.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("q_emb"), F.col("qv").alias("qv")
+    )
+    probe_rows = (
+        qrow.crossJoin(F.broadcast(packed))
+        .select(
+            F.expr(
+                f"slice(array_sort(transform(_cents, c -> "
+                f"struct({_KM_CDIST} as d, c.cid as cid))), 1, {n_probe})"
+            ).alias("_p")
+        )
+        .select(F.expr("transform(_p, p -> p.cid)").alias("cids"))
+        .collect()
+    )
+    # the n_probe cluster ids are a tiny driver-side list by construction
+    # (the ONE collect production IVF serving also does — the probe set IS
+    # the query plan); inlining them as literals is what lets the scan
+    # prune partitions instead of joining
+    probed_cids = [int(c) for c in probe_rows[0]["cids"]]
+    q_emb = qrow.select("q_emb")
+    cand = (
+        corpus.where(F.col("cid").isin(probed_cids))
+        .where(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q_emb))
+        .select(
+            "vec_id",
+            "label",
+            F.expr(_cos_expr("embedding", "q_emb")).alias("cos_sim"),
+        )
+    )
+    return _topk_ranked(cand, k)
+
+
 # ---------------------------------------------------------------------------
 # Query-TABLE batch top-k — the op an LLM retrieval/dedup pipeline actually
 # runs: top-k per query over a query SET, mirroring the reference's kNN which

@@ -284,6 +284,28 @@ def test_kmeans_batch_default_probe_recall(spark):
     assert sum(recalls) / len(recalls) >= 0.5
 
 
+def test_ivf_index_search_equals_inline(spark, tmp_path):
+    """Build-once/search-many: searching the PERSISTED inverted file
+    (build_ivf_index -> search_ivf_index) must reproduce the inline
+    cosine_topk_ivf_kmeans exactly (ranks included) at the same
+    (n_centroids, iters, n_probe) — the index layout changes I/O, never
+    the answer."""
+    from spatialflink_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    sim.build_ivf_index(emb, path)
+    got = {
+        (r.rank, r.vec_id, r.cos_sim)
+        for r in sim.search_ivf_index(spark, path).collect()
+    }
+    inline = {
+        (r.rank, r.vec_id, r.cos_sim)
+        for r in sim.cosine_topk_ivf_kmeans(emb).collect()
+    }
+    assert got == inline and len(got) > 0
+
+
 def test_kmeans_batch_high_recall_on_clustered_fixture(spark):
     """The regime learned IVF exists for: a corpus with real cluster
     structure. Plant 8 well-separated clusters (disjoint 8-dim support per

@@ -92,6 +92,21 @@ def test_simhash_dup_pairs_is_bucketed(spark):
     assert "BroadcastNestedLoopJoin" not in s
 
 
+def test_simhash_wide_pairs_bucketed_over_joined_input(spark):
+    """The curation pipeline mines wide near-dup pairs over the
+    post-exact-dedup SURVIVOR relation (itself a join output); the banded
+    candidate join must stay a band-key equi-join there too — a composed
+    input must not degrade it to a cartesian/nested-loop."""
+    from spatialflink_spark.operators import dedup as D
+
+    d = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    canon = D.exact_dedup(d).where("dup_rank = 1").select("doc_id")
+    surv = d.join(canon, "doc_id")
+    s = plans.simple_plan(D.simhash_wide_dup_pairs(surv))
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+
+
 def test_staytime_normalized_single_shuffle_key(spark):
     """Join of two agg streams on (cell, ws): both sides aggregate on the
     join key, so the join adds no cartesian and stays hash/SMJ."""
@@ -370,6 +385,24 @@ def test_pack_emit_bucket_shard_equivalence(spark):
         any(r.bin_id == 0 and r.bucket == b for r in sharded)
         for b in {25, 26, 27}
     )
+
+
+def test_ivf_index_search_prunes_partitions(spark, tmp_path):
+    """The persisted-IVF search must reach the corpus scan as a PARTITION
+    filter on cid (Hive-style pruning over the partitionBy('cid') layout) —
+    the probe reads only the probed clusters' files, the 100 TB point of
+    the index. A cid filter that degraded to a post-scan predicate would
+    still be correct but would read every cluster."""
+    from spatialflink_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    sim.build_ivf_index(emb, path)
+    p = plans.formatted_plan(sim.search_ivf_index(spark, path))
+    import re
+
+    pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", p)
+    assert any("cid" in f and "IN" in f for f in pf), p
 
 
 def test_kmeans_family_no_cartesian_broadcast_centroids(spark):
