@@ -466,7 +466,7 @@ def _stream_static(spark: SparkSession, sf_dir: str, key: str, build):
 
 def q_stream_range_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REAL Structured Streaming path inside the correctness gate:
-    stage the sequence table as a 4-file replay, run the watermarked
+    stage the sequence table as an event-time-sliced replay, run the watermarked
     tumbling range-count through availableNow + the exactly-once sink, and
     return the committed output. Oracle = batch counts over windows the
     final watermark closed (ws + tumbling <= max_ts - lateness)."""
