@@ -559,6 +559,49 @@ def test_stream_neardup_dedup_matches_batch_fingerprint_set(
     assert batch.simhash.nunique() < len(batch)
 
 
+def test_stream_neardup_dedup_resume_from_checkpoint(spark, replay_dir, tmp_path):
+    """Kill the streaming near-dup dedup after its first commit; resume from
+    the same checkpoint and drain. The dropDuplicates state lives in the
+    checkpoint, so the union of committed rows must still hold EXACTLY one
+    row per distinct fingerprint — no re-emission across the kill/restart
+    boundary (exactly-once for the dedup family, completing range / kNN /
+    mixing)."""
+    import time
+
+    from spatialflink_spark.operators.dedup import with_wide_simhash
+    from spatialflink_spark.streaming.pipeline import stream_neardup_dedup
+
+    sink = ExactlyOnceSink(str(tmp_path / "out"), key_cols=("simhash",))
+    ckpt = str(tmp_path / "ckpt")
+    stream = read_sequences_stream(spark, replay_dir, C.allowed_lateness_s)
+    res = stream_neardup_dedup(stream)
+    q = (
+        res.writeStream.foreachBatch(sink.foreach_batch())
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    deadline = time.time() + 60
+    while time.time() < deadline and not sink.committed_batches():
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(30)
+    assert len(sink.committed_batches()) >= 1
+
+    stream2 = read_sequences_stream(spark, replay_dir, C.allowed_lateness_s)
+    res2 = stream_neardup_dedup(stream2)
+    run_available_now(res2, sink.foreach_batch(), ckpt)
+
+    got = sink.read_committed(spark).toPandas()
+    assert not got.duplicated(subset=["simhash"]).any()
+    batch = with_wide_simhash(
+        sequences(spark, SF_SMALL).select("doc_id", "seq_no", "tokens"),
+        "tokens",
+    ).toPandas()
+    assert set(got.simhash) == set(batch.simhash)
+
+
 def test_stream_neardup_dedup_within_watermark(spark, replay_dir, tmp_path):
     """Bounded-state near-dup variant: dropDuplicatesWithinWatermark over
     the wide fingerprint emits at least one row per distinct fingerprint
