@@ -97,7 +97,6 @@ def main() -> None:
     # grid is engine-side pruning and must not appear in the answer
     import duckdb
 
-    import pandas as pd
     from spatialflink_spark.oracle import sql_apps as osqla
 
     con = duckdb.connect()

@@ -456,9 +456,15 @@ def _stream_static(spark: SparkSession, sf_dir: str, key: str, build):
     production streaming job loads these from a precomputed table, it does
     not re-derive them per run. The streaming run itself is never cached
     (fresh checkpoint + sink every call)."""
-    k = (spark.sparkContext.applicationId, sf_dir, key)
+    app_id = spark.sparkContext.applicationId
+    k = (app_id, sf_dir, key)
     df = _STREAM_STATIC_CACHE.get(k)
     if df is None:
+        # evict entries of other (stopped) sessions before inserting —
+        # sessions here are one-at-a-time, and a dead session's entries
+        # would otherwise pin its checkpointed blocks/plans forever
+        for stale in [kk for kk in _STREAM_STATIC_CACHE if kk[0] != app_id]:
+            del _STREAM_STATIC_CACHE[stale]
         df = build()
         _STREAM_STATIC_CACHE[k] = df
     return df

@@ -501,19 +501,23 @@ def dedup_components(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
     loop_p = max(2, min(int(prev_sp), n_edges // 50_000 + 1))
     spark.conf.set("spark.sql.shuffle.partitions", str(loop_p))
-    # localCheckpoint (eager) per round, NOT persist: an iterative loop's
-    # logical plan otherwise nests one join level per round and the
-    # analyzer/codegen blows up long before the data does (a 20-round chain
-    # OOMs a default-heap session). Checkpointing truncates lineage so every
-    # round plans against a flat scan; on a cluster use reliable checkpoint()
-    # for executor-loss tolerance.
-    labels = (
-        edges.select(F.col("a").alias("doc_id"))
-        .dropDuplicates()
-        .withColumn("component", F.col("doc_id"))
-        .localCheckpoint()
-    )
+    # conf.set is the last statement before the try: everything that runs a
+    # Spark job (the eager label-init checkpoint included) sits inside it,
+    # so a task failure can't skip the finally and leave the session
+    # clamped at loop_p / the edge set leaked in the persist cache
     try:
+        # localCheckpoint (eager) per round, NOT persist: an iterative
+        # loop's logical plan otherwise nests one join level per round and
+        # the analyzer/codegen blows up long before the data does (a
+        # 20-round chain OOMs a default-heap session). Checkpointing
+        # truncates lineage so every round plans against a flat scan; on a
+        # cluster use reliable checkpoint() for executor-loss tolerance.
+        labels = (
+            edges.select(F.col("a").alias("doc_id"))
+            .dropDuplicates()
+            .withColumn("component", F.col("doc_id"))
+            .localCheckpoint()
+        )
         for _ in range(max_iters):
             neigh = (
                 edges.join(labels, edges.b == labels.doc_id)

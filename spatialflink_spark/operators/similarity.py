@@ -518,39 +518,41 @@ def search_ivf_index(
     k: int = DEFAULT_K,
     n_probe: int = KM_PROBE,
 ) -> DataFrame:
-    """SEARCH half over a persisted index: load the centroid table, find the
-    query's n_probe nearest centroids, scan ONLY those cid partitions of the
-    corpus (cid IN (...) is a partition filter — the files of unprobed
-    clusters are never opened), exact cosine re-rank. Answer-identical to
-    cosine_topk_ivf_kmeans at the same (n_centroids, iters, n_probe) —
-    pinned by an equivalence test."""
-    cent = spark.read.parquet(f"{path}/centroids")
+    """SEARCH half over a persisted index: fetch the query row (ONE lookup
+    scan — a production server takes the query vector as an argument and
+    skips even that), pick its n_probe nearest centroids DRIVER-SIDE over
+    the tiny centroid table (quantized-integer squared-L2 with the same
+    (dist, cid) tie-break as _KM_ASSIGN — Python bigints reproduce it
+    exactly), then scan ONLY those cid partitions of the corpus (cid IN
+    (...literals...) is a partition filter — the files of unprobed clusters
+    are never opened) with the query embedding inlined as a one-row literal
+    relation. The probed scan is the only corpus-wide I/O in the plan.
+    Answer-identical to cosine_topk_ivf_kmeans at the same (n_centroids,
+    iters, n_probe) — pinned by an equivalence test."""
     corpus = spark.read.parquet(f"{path}/corpus")
-    packed = _packed_centroids(cent)
-    qrow = corpus.where(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("embedding").alias("q_emb"), F.col("qv").alias("qv")
-    )
-    probe_rows = (
-        qrow.crossJoin(F.broadcast(packed))
-        .select(
-            F.expr(
-                f"slice(array_sort(transform(_cents, c -> "
-                f"struct({_KM_CDIST} as d, c.cid as cid))), 1, {n_probe})"
-            ).alias("_p")
-        )
-        .select(F.expr("transform(_p, p -> p.cid)").alias("cids"))
+    qrows = (
+        corpus.where(F.col("vec_id") == QUERY_VEC_ID)
+        .select("embedding", "qv")
         .collect()
     )
-    # the n_probe cluster ids are a tiny driver-side list by construction
-    # (the ONE collect production IVF serving also does — the probe set IS
-    # the query plan); inlining them as literals is what lets the scan
-    # prune partitions instead of joining
-    probed_cids = [int(c) for c in probe_rows[0]["cids"]]
-    q_emb = qrow.select("q_emb")
+    if not qrows:
+        raise ValueError(
+            f"search_ivf_index: query vec_id {QUERY_VEC_ID} not present in "
+            f"the index corpus at {path}"
+        )
+    q_emb_vals = list(qrows[0]["embedding"])
+    qv = [int(v) for v in qrows[0]["qv"]]
+    cents = spark.read.parquet(f"{path}/centroids").collect()
+    ranked = sorted(
+        (sum((a - b) * (a - b) for a, b in zip(qv, row["cq"])), int(row["cid"]))
+        for row in cents
+    )
+    probed_cids = [cid for _, cid in ranked[:n_probe]]
+    q_lit = spark.createDataFrame([(q_emb_vals,)], "q_emb array<float>")
     cand = (
         corpus.where(F.col("cid").isin(probed_cids))
         .where(F.col("vec_id") != QUERY_VEC_ID)
-        .crossJoin(F.broadcast(q_emb))
+        .crossJoin(F.broadcast(q_lit))
         .select(
             "vec_id",
             "label",
