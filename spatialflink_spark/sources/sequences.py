@@ -130,3 +130,31 @@ def sequences_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         # cleanup) — re-mark; the next action rematerializes it once
         df = df.persist()
     return df
+
+
+def write_bucketed_sequences(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    path: str,
+    buckets: int = 16,
+) -> None:
+    """Persist the derived sequence table BUCKETED by doc_id — the
+    co-located-join layout for the 10^12-sequence store: every downstream
+    join / groupBy keyed on doc_id reads pre-shuffled, per-bucket files and
+    plans WITHOUT a shuffle Exchange on either side (asserted in
+    tests/test_plans.py). This is the batch-table counterpart of the
+    engine's explicit (source, doc_id) hash partitioning: the shuffle is
+    paid ONCE at write time instead of once per query. `bucketBy` requires
+    the table-catalog write path (saveAsTable); the explicit `path` makes
+    it an external table so the data lives outside the default warehouse
+    and survives the (in-memory) catalog."""
+    (
+        sequences(spark, sf_dir)
+        .write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(buckets, "doc_id")
+        .sortBy("doc_id", "seq_no")
+        .option("path", path)
+        .saveAsTable(table)
+    )

@@ -387,6 +387,40 @@ def test_pack_emit_bucket_shard_equivalence(spark):
     )
 
 
+def test_bucketed_sequences_join_skips_shuffle(spark, tmp_path):
+    """A doc_id self-join over the bucketed sequence table must plan with
+    ZERO shuffle Exchanges — both sides read co-located buckets (the
+    write-time shuffle replaces every query-time one). Broadcast is
+    disabled for the assertion so the join can't sidestep the question."""
+    from spatialflink_spark.sources.sequences import write_bucketed_sequences
+
+    tbl = "seq_bucketed_plan_test"
+    write_bucketed_sequences(
+        spark, SF_SMALL, tbl, str(tmp_path / "seqb"), buckets=8
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        t = spark.table(tbl)
+        l = t.select("doc_id", F.col("seq_no").alias("l_seq"), "n_tok")
+        r = t.select("doc_id", F.col("seq_no").alias("r_seq"))
+        j = l.join(r, "doc_id")
+        s = plans.simple_plan(j)
+        assert "Exchange hashpartitioning" not in s, s
+        # and the layout changes I/O, never the answer
+        n_bucketed = j.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    seq = gate.sequences(spark, SF_SMALL)
+    n_plain = (
+        seq.select("doc_id", F.col("seq_no").alias("l_seq"))
+        .join(seq.select("doc_id", F.col("seq_no").alias("r_seq")), "doc_id")
+        .count()
+    )
+    assert n_bucketed == n_plain > 0
+
+
 def test_ivf_index_search_prunes_partitions(spark, tmp_path):
     """The persisted-IVF search must reach the corpus scan as a PARTITION
     filter on cid (Hive-style pruning over the partitionBy('cid') layout) —
