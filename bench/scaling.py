@@ -58,9 +58,43 @@ def host_ceiling(procs: int, dur: float = 6.0) -> float:
     return sum(rates)
 
 
+_PYFILES_ZIP: str | None = None
+
+
+def _engine_zip() -> str:
+    """Zip the package once per harness run — the --py-files payload."""
+    global _PYFILES_ZIP
+    if _PYFILES_ZIP is None:
+        import shutil
+        import tempfile
+
+        base = os.path.join(tempfile.mkdtemp(prefix="sfs_scale_"), "engine")
+        _PYFILES_ZIP = shutil.make_archive(
+            base, "zip", str(REPO), "spatialflink_spark"
+        )
+    return _PYFILES_ZIP
+
+
 def run_job(job: str, cores: int, amplify: int) -> dict:
+    """Launch one scaling job via spark-submit --py-files — the north_rule
+    launch mode, verbatim (`spark-submit --py-files` at each parallelism
+    level). The submit layer controls the master; scale_job's get_spark
+    builder sets the identical local[cores] value, so the configs agree."""
+    import pyspark
+
+    spark_submit = os.path.join(
+        os.path.dirname(pyspark.__file__), "bin", "spark-submit"
+    )
     cmd = [
-        sys.executable,
+        spark_submit,
+        "--master",
+        f"local[{cores}]",
+        "--driver-memory",
+        "16g",
+        "--conf",
+        "spark.sql.session.timeZone=UTC",
+        "--py-files",
+        _engine_zip(),
         str(REPO / "bench" / "scale_job.py"),
         job,
         str(cores),
@@ -106,9 +140,10 @@ def main() -> None:
         "# BENCH — two-parallelism scaling evidence",
         "",
         f"Generated by `python bench/scaling.py {n} {amplify}` "
-        f"(best of {repeats} fresh-JVM runs per level) on a single "
-        f"{os.cpu_count()}-vCPU box — the sandbox stand-in for N vs 4N "
-        "executors (BASELINE.json north_rule).",
+        f"(best of {repeats} fresh-JVM runs per level, each launched via "
+        f"`spark-submit --py-files engine.zip` — the north_rule launch "
+        f"mode) on a single {os.cpu_count()}-vCPU box — the sandbox "
+        "stand-in for N vs 4N executors (BASELINE.json north_rule).",
         "",
         "| job | cores | input rows | wall (s) | rows/s | speedup | efficiency |",
         "|---|---|---|---|---|---|---|",
