@@ -49,6 +49,11 @@ QUERIES = [
     "range_prefix_counts",
     "simhash_dup_pairs",
     "simhash_wide_dup_pairs",
+    # the composed near-dup decision + full curation pipeline: added after
+    # the round-5 probe caught plain propagation overrunning its round cap
+    # on a diameter-32 chain here (fixed: star form) — keep them tripwired
+    "dedup_components_wide",
+    "curation_pipeline",
     "cosine_topk_batch",
     "cosine_topk_batch_ann",
     "cosine_topk_ivf_kmeans",

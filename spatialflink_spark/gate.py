@@ -206,8 +206,13 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint is the in-session equivalent (computed once at first
     # use, then read back by the other branches).
     surv = d.join(canon, "doc_id").localCheckpoint(eager=False)
+    # star rounds, NOT plain propagation: the sf1 probe measured a
+    # diameter-32 near-dup chain at 50k docs, which overruns any fixed
+    # propagation round cap — chain length grows with the corpus, so the
+    # production composition uses the O(log^2 n)-round star form
+    # (answer-identical; BENCH.md round-5 scale-defect section)
     near_drop = (
-        dedup_ops.dedup_components(dedup_ops.simhash_wide_dup_pairs(surv))
+        dedup_ops.dedup_components_star(dedup_ops.simhash_wide_dup_pairs(surv))
         .where("doc_id <> component")
         .select("doc_id")
     )
@@ -275,10 +280,13 @@ def q_dedup_components_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup DECISION over the wide fingerprint: wide SimHash pairs ->
     connected components -> (doc_id, component) keep/drop labels — the
     production near-dup pipeline end to end (candidate generation at a
-    collision-safe width feeding the same propagation kernel). Oracle =
+    collision-safe width feeding the STAR component kernel: the sf1 probe
+    found a diameter-32 chain at 50k docs that overruns plain propagation's
+    round cap — chain diameter grows with the corpus, so the production
+    form is the O(log^2 n)-round star variant; answer-identical). Oracle =
     recursive-CTE transitive closure over the same pairs."""
     pairs = dedup_ops.simhash_wide_dup_pairs(_docs(spark, sf_dir))
-    return dedup_ops.dedup_components(pairs)
+    return dedup_ops.dedup_components_star(pairs)
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
