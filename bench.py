@@ -180,8 +180,14 @@ def main() -> None:
             # each headline query is an independent job in production; drop
             # the caches operators persisted so one query's intermediates
             # never squeeze the next one's execution memory (sequences_cached
-            # re-persists itself on the next use)
+            # re-persists itself on the next use). The gc.collect() lets the
+            # ContextCleaner reclaim localCheckpoint blocks too — clearCache
+            # alone leaves them pinned until their Python refs are collected
+            # (measured ~400 MB of checkpoint blocks per iterative-CC call)
             spark.catalog.clearCache()
+            import gc
+
+            gc.collect()
         timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]

@@ -131,6 +131,11 @@ def main() -> None:
                 wall = time.time() - t0
                 best = wall if best is None else min(best, wall)
                 spark.catalog.clearCache()
+                # let the ContextCleaner reclaim localCheckpoint blocks
+                # (clearCache alone leaves them pinned until Python GC)
+                import gc
+
+                gc.collect()
             times[sf_name] = round(best, 2)
         times["ratio"] = round(times["sf1"] / max(times["sf0.1"], 1e-9), 1)
         rows[name] = times
