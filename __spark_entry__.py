@@ -34,6 +34,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver-graded go first; rotate each round until every entry's latest
     # driver row is <= 2 rounds old (VERDICT r4 Next-round #2).
     return {
+        # -- NEW this round (never driver-graded): selection / repetition /
+        # -- diversity / boilerplate / keep-best / shard layout --
+        "doc_repetition": gate.q_doc_repetition,
+        "token_diversity": gate.q_token_diversity,
+        "boilerplate_ngrams": gate.q_boilerplate_ngrams,
+        "quality_topk_per_source": gate.q_quality_topk_per_source,
+        "shard_assign": gate.q_shard_assign,
+        "dedup_keep_best": gate.q_dedup_keep_best,
         # -- absent from the r04 window (last driver rows: r02/r03) --
         "decontaminate": gate.q_decontaminate,
         "source_mix": gate.q_source_mix,
@@ -75,19 +83,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_wide": gate.q_simhash_wide,
         "simhash_wide_dup_pairs": gate.q_simhash_wide_dup_pairs,
         "dedup_components_wide": gate.q_dedup_components_wide,
-        "dedup_exact": gate.q_dedup_exact,
         "binfmt_ingest": gate.q_binfmt_ingest,
         "stream_range_e2e": gate.q_stream_range_e2e,
         "stream_knn_e2e": gate.q_stream_knn_e2e,
         "stream_decon_e2e": gate.q_stream_decon_e2e,
         "stream_mix_e2e": gate.q_stream_mix_e2e,
+        # ---- 50-entry window boundary. Everything below is r04-green with
+        # ---- its specific code path unchanged since (the six displaced by
+        # ---- this round's new entries — dedup_exact, geomcollection x3,
+        # ---- pack_bins_emit, token_freq_topk — were re-verified through the
+        # ---- fresh-process driver recipe this round; rotate them back into
+        # ---- the window next round) ----
+        "dedup_exact": gate.q_dedup_exact,
         "geomcollection_range": gate.q_geomcollection_range,
         "geomcollection_join": gate.q_geomcollection_join,
         "geomcollection_knn": gate.q_geomcollection_knn,
         "pack_bins_emit": gate.q_pack_bins_emit,
         "token_freq_topk": gate.q_token_freq_topk,
-        # ---- 50-entry window boundary (everything below: r04-green,
-        # ---- code unchanged this round) ----
         "source_length_quantiles": gate.q_source_length_quantiles,
         "interval_interval_join": gate.q_interval_interval_join,
         "interval_knn": gate.q_interval_knn,
@@ -168,6 +180,12 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk_ivf_multiprobe": osqld.cosine_topk_ivf_multiprobe(),
         "lang_id": osqld.lang_id(),
         "quality_score": osqld.quality_score(),
+        "doc_repetition": osqld.doc_repetition(),
+        "token_diversity": osqld.token_diversity(),
+        "boilerplate_ngrams": osqld.boilerplate_ngrams(),
+        "quality_topk_per_source": osqld.quality_topk_per_source(),
+        "shard_assign": osqld.shard_assign(),
+        "dedup_keep_best": osqld.dedup_keep_best(),
         "token_counts": osqld.token_counts(),
         "doc_fingerprint": osqld.fingerprint(),
         "pack_sequences": osql.pack_sequences(),

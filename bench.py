@@ -118,6 +118,14 @@ HEADLINE = [
     "token_freq_topk",
     "source_length_quantiles",
     "media_features",
+    # round-5 curation additions: repetition / diversity / boilerplate /
+    # per-source selection / shard layout / quality-keep near-dup
+    "doc_repetition",
+    "token_diversity",
+    "boilerplate_ngrams",
+    "quality_topk_per_source",
+    "shard_assign",
+    "dedup_keep_best",
 ]
 
 

@@ -1000,3 +1000,55 @@ def q_embedding_dup_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame
     equi-join + exact cosine within blocks (embedding_dup_pairs is its
     all-pairs recall oracle)."""
     return sim_ops.embedding_dup_pairs_blocked(_emb(spark, sf_dir))
+
+
+# ---- round-5 additions: repetition / diversity / boilerplate / selection --
+
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-doc repetition rule (operators/text
+    .doc_repetition): duplicate-bigram fraction + top-bigram share per doc.
+    Output: doc_id, n_grams, dup_gram_frac, top_gram_frac."""
+    return text_ops.doc_repetition(_docs(spark, sf_dir))
+
+
+def q_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity per doc (operators/text.token_diversity):
+    type-token ratio + Simpson index (IEEE-pinned arithmetic only).
+    Output: doc_id, n_tok, n_distinct, ttr, simpson."""
+    return text_ops.token_diversity(_docs(spark, sf_dir))
+
+
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate shingles (operators/corpus
+    .boilerplate_ngrams): document-frequency heavy hitters over distinct
+    per-doc shingle hashes. Output: rank, gram_hash, df, df_frac."""
+    from spatialflink_spark.operators.corpus import boilerplate_ngrams
+
+    return boilerplate_ngrams(_docs(spark, sf_dir))
+
+
+def q_quality_topk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source best-k selection by quality (operators/selection
+    .quality_topk_per_source), two-stage cut so no task sorts a whole
+    source. Output: source, rank, doc_id, quality."""
+    from spatialflink_spark.operators.selection import quality_topk_per_source
+
+    return quality_topk_per_source(_docs(spark, sf_dir))
+
+
+def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-export shard layout (operators/selection
+    .shard_assign): hash-ordered global shuffle, per-shard positions only.
+    Output: doc_id, shard, pos."""
+    from spatialflink_spark.operators.selection import shard_assign
+
+    return shard_assign(_docs(spark, sf_dir))
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-keep near-dup canonicalization (operators/dedup
+    .dedup_keep_best): wide pairs -> star components -> keep the
+    highest-quality member per component.
+    Output: doc_id, component, quality, keep."""
+    return dedup_ops.dedup_keep_best(_docs(spark, sf_dir))

@@ -78,3 +78,48 @@ def source_length_quantiles(seq: DataFrame) -> DataFrame:
         for q in QUANTILES
     ]
     return j.groupBy("source", "n_rows").agg(*quants)
+
+
+BOILERPLATE_MIN_BP = 30  # DF floor under the top-k cut: basis points of docs
+BOILERPLATE_TOPK = 20
+
+
+def boilerplate_ngrams(
+    docs: DataFrame, min_bp: int = BOILERPLATE_MIN_BP, k: int = BOILERPLATE_TOPK
+) -> DataFrame:
+    """Corpus-level boilerplate shingle detection (the prerequisite of
+    CCNet-style boilerplate removal): word-shingle hashes that occur in at
+    least min_bp basis points (0.01%) of documents, ranked by document
+    frequency.
+
+    Scale: per-doc DISTINCT shingle hashes (dedup.with_shingle_hashes, the
+    staged once-per-row pipeline) -> explode -> groupBy(hash) doc-frequency
+    count — map-side partial aggregation collapses each partition before
+    the exchange; the threshold compare is integer (10000*df >= min_bp*n),
+    the corpus size rides a broadcast one-row crossJoin, and the final cut
+    is orderBy().limit(k) = TakeOrderedAndProject. At an unbounded n-gram
+    key space a count-min pre-filter would front this shuffle; the exact
+    form is its verifier (same posture as token_freq_topk above).
+    Output: rank, gram_hash, df, df_frac."""
+    from spatialflink_spark.operators.dedup import with_shingle_hashes
+
+    hs = with_shingle_hashes(docs).select(
+        "doc_id", F.explode("_hs").alias("gram_hash")
+    )
+    dfreq = hs.groupBy("gram_hash").agg(
+        F.expr("cast(count(1) as bigint)").alias("df")
+    )
+    nd = docs.agg(F.expr("cast(count(1) as bigint)").alias("n_docs"))
+    hits = dfreq.crossJoin(F.broadcast(nd)).where(
+        F.expr(f"10000 * df >= {min_bp} * n_docs")
+    )
+    top = hits.orderBy(F.col("df").desc(), F.col("gram_hash").asc()).limit(k)
+    return top.withColumn(
+        "rank",
+        F.expr("row_number() OVER (ORDER BY df DESC, gram_hash ASC)").cast("int"),
+    ).select(
+        "rank",
+        "gram_hash",
+        "df",
+        F.expr("round(cast(df as double) / n_docs, 6)").alias("df_frac"),
+    )

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from spatialflink_spark.config import HASH_MOD
 from spatialflink_spark.functions import tokens as T
@@ -794,3 +795,33 @@ def dedup_components_star(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
             "component"
         ),
     )
+
+
+def dedup_keep_best(docs: DataFrame) -> DataFrame:
+    """Near-dup canonicalization that keeps the highest-QUALITY member of
+    each wide-fingerprint duplicate component — the production keep policy
+    (min-doc_id keep is arbitrary; quality-keep retains the least
+    truncated / least boilerplate copy of each duplicate cluster).
+
+    Composition: simhash_wide_dup_pairs -> dedup_components_star (the
+    skew-bounded O(log^2 n)-round kernel — production paths never use the
+    fixed-round propagation, CLAUDE.md invariant) -> join per-doc quality
+    (text.with_quality, computed inline, no re-scan self-join) -> argmax
+    per component (tie: smaller doc_id). The final window partitions by
+    component — components are duplicate clusters, orders of magnitude
+    smaller than sources, so the per-key sorted state is tiny.
+    Output: doc_id, component, quality, keep (1 = canonical member)."""
+    from spatialflink_spark.operators.text import with_quality
+    from spatialflink_spark.session import spread
+
+    comp = dedup_components_star(simhash_wide_dup_pairs(docs))
+    q = with_quality(spread(docs).select("doc_id", "text")).select(
+        "doc_id", "quality"
+    )
+    j = comp.join(q, "doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return j.withColumn(
+        "keep", (F.row_number().over(w) == 1).cast("int")
+    ).select("doc_id", "component", "quality", "keep")

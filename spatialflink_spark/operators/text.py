@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from spatialflink_spark.config import HASH_MOD
+from spatialflink_spark.config import HASH_MOD, VOCAB_SIZE
 from spatialflink_spark.functions import tokens as T
 
 # deterministic mini stopword profiles; priority order breaks ties
@@ -80,14 +80,21 @@ def lang_id(docs: DataFrame) -> DataFrame:
                     F.expr(pred_lang_sql()).alias("pred_lang"))
 
 
-def quality_score(docs: DataFrame) -> DataFrame:
-    """Length / stopword / digit-ratio quality heuristic, weighted and
-    rounded — the standard cheap pre-filter for corpus curation."""
-    from spatialflink_spark.session import spread
+QUALITY_COLS = ("n_words", "n_chars", "stop_ratio", "digit_ratio", "quality")
 
+
+def with_quality(docs: DataFrame) -> DataFrame:
+    """Append the quality columns (n_words, n_chars, stop_ratio,
+    digit_ratio, quality) to `docs`, keeping every input column — the
+    shared kernel behind quality_score and the selection / keep-best ops
+    that need quality NEXT TO other columns (source, component) without a
+    re-scan self-join. Callers must project away clashing input columns
+    first (the raw documents table already carries an `n_chars`)."""
+    clash = set(docs.columns) & set(QUALITY_COLS)
+    assert not clash, f"with_quality: project away clashing columns {clash}"
     w = T.spark_words("text")
-    d = spread(docs).select(
-        "doc_id",
+    d = docs.select(
+        "*",
         F.expr(f"size({w})").alias("n_words"),
         F.length("text").alias("n_chars"),
         F.expr(lang_score_sql(w, "en", size_fn="size", filter_fn="filter")).alias(
@@ -98,13 +105,21 @@ def quality_score(docs: DataFrame) -> DataFrame:
             "greatest(length(text), 1), 6)"
         ).alias("digit_ratio"),
     )
-    return d.select(
+    return d.select("*", F.expr(QUALITY_SQL).alias("quality"))
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Length / stopword / digit-ratio quality heuristic, weighted and
+    rounded — the standard cheap pre-filter for corpus curation."""
+    from spatialflink_spark.session import spread
+
+    return with_quality(spread(docs).select("doc_id", "text")).select(
         "doc_id",
         "n_words",
         "n_chars",
         "stop_ratio",
         "digit_ratio",
-        F.expr(QUALITY_SQL).alias("quality"),
+        "quality",
     )
 
 
@@ -142,4 +157,87 @@ def fingerprint(docs: DataFrame, k: int = 3, mod: int = 7) -> DataFrame:
         F.expr(
             f"aggregate(_fp, cast(0 as bigint), (a, h) -> (a*131 + h) % {HASH_MOD})"
         ).alias("fp_checksum"),
+    )
+
+
+REP_NGRAM = 2  # bigram — the Gopher "duplicate 2-gram fraction" rule width
+
+
+def gram_id_expr(arr: str, i: str, n: int, dialect: str) -> str:
+    """Base-VOCAB_SIZE packed id of the n-gram starting at 1-based index
+    `i` of token array `arr` — same bigint in both dialects (max value
+    VOCAB_SIZE^n, < 2^63 for n <= 3). Spark indexes via element_at, DuckDB
+    via list_extract (both 1-based)."""
+    at = "element_at" if dialect == "spark" else "list_extract"
+    e = f"CAST({at}({arr}, {i}) AS BIGINT)"
+    for j in range(1, n):
+        e = f"({e} * {VOCAB_SIZE} + {at}({arr}, {i} + {j}))"
+    return e
+
+
+def doc_repetition(docs: DataFrame, n: int = REP_NGRAM) -> DataFrame:
+    """Intra-document repetition score (the Gopher-style repetition rule:
+    documents whose n-grams are mostly repeats of themselves are low-quality
+    boilerplate/spam): per doc, the fraction of token n-grams that are
+    duplicate occurrences and the share of the single most frequent n-gram.
+
+    Scale: explode -> groupBy(doc_id, gram) -> groupBy(doc_id) — both
+    shuffles are keyed by doc_id(+gram), partial-aggregated map-side; no
+    per-doc data ever needs to be co-resident beyond its own gram counts.
+    Output: doc_id, n_grams, dup_gram_frac, top_gram_frac."""
+    from spatialflink_spark.session import spread
+
+    toks = (
+        spread(docs)
+        .select("doc_id", F.expr(T.spark_tokenize("text")).alias("_t"))
+        .where(F.expr(f"size(_t) >= {n}"))
+    )
+    gram_arr = (
+        f"transform(sequence(1, size(_t) - {n - 1}), "
+        f"i -> {gram_id_expr('_t', 'i', n, 'spark')})"
+    )
+    g = toks.select("doc_id", F.explode(F.expr(gram_arr)).alias("gram"))
+    per = g.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("_c"))
+    agg = per.groupBy("doc_id").agg(
+        F.expr("cast(sum(_c) as bigint)").alias("n_grams"),
+        F.expr("cast(count(1) as bigint)").alias("_nd"),
+        F.expr("cast(max(_c) as bigint)").alias("_mx"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_grams",
+        F.expr(
+            "round(cast(1.0 as double) - cast(_nd as double) / n_grams, 6)"
+        ).alias("dup_gram_frac"),
+        F.expr("round(cast(_mx as double) / n_grams, 6)").alias("top_gram_frac"),
+    )
+
+
+def token_diversity(docs: DataFrame) -> DataFrame:
+    """Per-doc lexical diversity: type-token ratio and Simpson diversity
+    index (1 - sum(c^2)/n^2) over engine token counts. Simpson rather than
+    Shannon entropy ON PURPOSE: +,-,*,/ are IEEE-754-pinned so both engines
+    compute bit-identical doubles, while log() is implementation-defined
+    (JVM vs libm can differ 1 ulp — enough to flip a round(,6) boundary).
+    Output: doc_id, n_tok, n_distinct, ttr, simpson."""
+    from spatialflink_spark.session import spread
+
+    tok = (
+        spread(docs)
+        .select("doc_id", F.explode(F.expr(T.spark_tokenize("text"))).alias("tok"))
+    )
+    per = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("_c"))
+    agg = per.groupBy("doc_id").agg(
+        F.expr("cast(sum(_c) as bigint)").alias("n_tok"),
+        F.expr("cast(count(1) as bigint)").alias("n_distinct"),
+        F.expr("cast(sum(_c * _c) as bigint)").alias("_ss"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tok",
+        "n_distinct",
+        F.expr("round(cast(n_distinct as double) / n_tok, 6)").alias("ttr"),
+        F.expr(
+            "round(cast(1.0 as double) - cast(_ss as double) / n_tok / n_tok, 6)"
+        ).alias("simpson"),
     )

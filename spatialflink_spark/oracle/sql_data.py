@@ -373,22 +373,34 @@ SELECT doc_id, s_en, s_de, s_es, s_fr, {pred_lang_sql()} AS pred_lang FROM d
 """
 
 
-def quality_score() -> str:
+def _quality_ctes(extra_cols: str = "") -> str:
+    """CTE block `qd`/`q` computing per-doc quality (plus passthrough
+    `extra_cols`) — the one place the quality heuristic exists in this
+    dialect; shared by quality_score / quality_topk_per_source /
+    dedup_keep_best so a threshold change cannot drift between them."""
     en = lang_score_sql(_W, "en", size_fn="len", filter_fn="list_filter")
-    return f"""
-WITH d AS (
-  SELECT doc_id,
+    ec = (extra_cols + ", ") if extra_cols else ""
+    return f"""qd AS (
+  SELECT doc_id, {ec}
          len({_W}) AS n_words,
          length(text) AS n_chars,
          {en} AS stop_ratio,
          round(cast(length(regexp_replace(text, '[^0-9]', '', 'g')) as double) /
                greatest(length(text), 1), 6) AS digit_ratio
   FROM documents
-)
-SELECT doc_id, CAST(n_words AS INT) AS n_words, CAST(n_chars AS INT) AS n_chars,
-       stop_ratio, digit_ratio,
-       {QUALITY_SQL} AS quality
-FROM d
+),
+q AS (
+  SELECT doc_id, {ec}{QUALITY_SQL} AS quality,
+         CAST(n_words AS INT) AS n_words,
+         CAST(n_chars AS INT) AS n_chars, stop_ratio, digit_ratio
+  FROM qd
+)"""
+
+
+def quality_score() -> str:
+    return f"""
+WITH {_quality_ctes()}
+SELECT doc_id, n_words, n_chars, stop_ratio, digit_ratio, quality FROM q
 """
 
 
@@ -788,4 +800,128 @@ reach(a, b) AS (
   SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
 )
 SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a
+"""
+
+
+# ---- round-5 additions: repetition / diversity / boilerplate / selection --
+
+
+def doc_repetition(n: int | None = None) -> str:
+    """Twin of text.doc_repetition — gram ids from the shared
+    text.gram_id_expr builder (both dialects pack base-VOCAB_SIZE)."""
+    from spatialflink_spark.operators.text import REP_NGRAM, gram_id_expr
+
+    n = REP_NGRAM if n is None else n
+    tok = T.duck_tokenize("text")
+    gram = gram_id_expr("_t", "i", n, "duck")
+    return f"""
+WITH t AS (SELECT doc_id, {tok} AS _t FROM documents),
+tt AS (SELECT doc_id, _t FROM t WHERE len(_t) >= {n}),
+g AS (SELECT doc_id,
+             unnest(list_transform(range(1, len(_t) + {2 - n}), i -> {gram}))
+               AS gram
+      FROM tt),
+per AS (SELECT doc_id, gram, count(*) AS _c FROM g GROUP BY doc_id, gram)
+SELECT doc_id,
+       CAST(sum(_c) AS BIGINT) AS n_grams,
+       round(cast(1.0 as double)
+             - cast(count(*) as double) / CAST(sum(_c) AS BIGINT), 6)
+         AS dup_gram_frac,
+       round(cast(max(_c) as double) / CAST(sum(_c) AS BIGINT), 6)
+         AS top_gram_frac
+FROM per GROUP BY doc_id
+"""
+
+
+def token_diversity() -> str:
+    """Twin of text.token_diversity (type-token ratio + Simpson index —
+    IEEE-pinned arithmetic only, no transcendental functions)."""
+    tok = T.duck_tokenize("text")
+    return f"""
+WITH t AS (SELECT doc_id, unnest({tok}) AS tok FROM documents),
+per AS (SELECT doc_id, tok, count(*) AS _c FROM t GROUP BY doc_id, tok)
+SELECT doc_id,
+       CAST(sum(_c) AS BIGINT) AS n_tok,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       round(cast(count(*) as double) / CAST(sum(_c) AS BIGINT), 6) AS ttr,
+       round(cast(1.0 as double)
+             - cast(CAST(sum(_c * _c) AS BIGINT) as double)
+               / CAST(sum(_c) AS BIGINT) / CAST(sum(_c) AS BIGINT), 6)
+         AS simpson
+FROM per GROUP BY doc_id
+"""
+
+
+def boilerplate_ngrams(min_bp: int | None = None, k: int | None = None) -> str:
+    """Twin of corpus.boilerplate_ngrams (integer threshold compare, rank
+    over (df DESC, gram_hash) with LIMIT k)."""
+    from spatialflink_spark.operators.corpus import (
+        BOILERPLATE_MIN_BP,
+        BOILERPLATE_TOPK,
+    )
+
+    min_bp = BOILERPLATE_MIN_BP if min_bp is None else min_bp
+    k = BOILERPLATE_TOPK if k is None else k
+    return f"""
+WITH hs AS (SELECT doc_id, unnest({_duck_shingle_hashes()}) AS gram_hash
+            FROM documents),
+d AS (SELECT gram_hash, CAST(count(*) AS BIGINT) AS df FROM hs GROUP BY gram_hash),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+f AS (SELECT gram_hash, df, n_docs FROM d, n
+      WHERE 10000 * df >= {min_bp} * n_docs)
+SELECT CAST(row_number() OVER (ORDER BY df DESC, gram_hash) AS INT) AS rank,
+       gram_hash, df,
+       round(cast(df as double) / n_docs, 6) AS df_frac
+FROM f ORDER BY df DESC, gram_hash LIMIT {k}
+"""
+
+
+def quality_topk_per_source(k: int | None = None) -> str:
+    """Twin of selection.quality_topk_per_source — one window per source
+    (the engine's two-stage cut is answer-identical by the bucket-top-k
+    containment argument in its docstring)."""
+    from spatialflink_spark.operators.selection import SEL_K
+
+    k = SEL_K if k is None else k
+    return f"""
+WITH {_quality_ctes(extra_cols="source")},
+r AS (SELECT source, doc_id, quality,
+             CAST(row_number() OVER (
+               PARTITION BY source ORDER BY quality DESC, doc_id
+             ) AS INT) AS rank
+      FROM q)
+SELECT source, rank, doc_id, quality FROM r WHERE rank <= {k}
+"""
+
+
+def shard_assign(n_shards: int | None = None) -> str:
+    """Twin of selection.shard_assign — scalar hash from the SAME
+    wide_hash_chain builder (duck dialect) over a one-element list."""
+    from spatialflink_spark.operators.dedup import wide_hash_chain
+    from spatialflink_spark.operators.selection import N_SHARDS, SHARD_SEED
+
+    n_shards = N_SHARDS if n_shards is None else n_shards
+    h = f"list_extract({wide_hash_chain('[doc_id]', SHARD_SEED, 'duck')}, 1)"
+    return f"""
+WITH h AS (SELECT doc_id, {h} AS _h FROM documents),
+s AS (SELECT doc_id, CAST(_h % {n_shards} AS INT) AS shard, _h FROM h)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY _h, doc_id) AS INT)
+         AS pos
+FROM s
+"""
+
+
+def dedup_keep_best() -> str:
+    """Twin of dedup.dedup_keep_best: recursive-CTE closure over the wide
+    near-dup pairs joined to the quality CTE; canonical member = argmax
+    quality (tie: smaller doc_id) per component."""
+    return f"""
+WITH {_quality_ctes()},
+comp AS ({dedup_components_wide()})
+SELECT c.doc_id, c.component, q.quality,
+       CAST(CASE WHEN row_number() OVER (
+         PARTITION BY c.component ORDER BY q.quality DESC, c.doc_id
+       ) = 1 THEN 1 ELSE 0 END AS INT) AS keep
+FROM comp c JOIN q USING (doc_id)
 """

@@ -1,0 +1,166 @@
+"""Property / equivalence tests for the round-5 selection & repetition
+operators (operators/{text,corpus,selection,dedup}.py additions) beyond the
+auto-derived oracle parity in test_oracle_parity.py:
+
+- two-stage per-source top-k == the single-window reference plan
+- keep-best canonicalization invariants (one canonical per component,
+  canonical = argmax quality with doc_id tiebreak)
+- shard layout invariants (total partition, dense per-shard positions,
+  determinism across runs)
+- doc_repetition / token_diversity vs a pure-Python mirror of the portable
+  tokenizer pipeline
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from spatialflink_spark.config import VOCAB_SIZE
+from tests.conftest import SF_SMALL
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+
+
+def _py_tokenize(text: str) -> list[int]:
+    """Pure-python mirror of functions/tokens.py spark_tokenize."""
+    words = [w for w in re.split(r"[^a-z0-9]+", text.lower()) if w]
+    out = []
+    for w in words:
+        a = 0
+        for c in w:
+            a = (a * 31 + ord(c)) % VOCAB_SIZE
+        out.append(a)
+    return out
+
+
+def test_quality_topk_two_stage_equals_window(spark):
+    """The bucketed two-stage cut must be answer-identical to one
+    row_number window per source."""
+    from pyspark.sql.window import Window
+
+    from spatialflink_spark.operators.selection import (
+        SEL_K,
+        quality_topk_per_source,
+    )
+    from spatialflink_spark.operators.text import with_quality
+
+    got = quality_topk_per_source(_docs(spark)).orderBy("source", "rank")
+    q = with_quality(_docs(spark).select("doc_id", "source", "text")).select(
+        "source", "doc_id", "quality"
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    want = (
+        q.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= SEL_K)
+        .select("source", "rank", "doc_id", "quality")
+        .orderBy("source", "rank")
+    )
+    assert got.collect() == want.collect()
+
+
+def test_keep_best_invariants(spark):
+    from spatialflink_spark.operators.dedup import dedup_keep_best
+
+    rows = dedup_keep_best(_docs(spark)).collect()
+    assert rows, "no near-dup components at sf0.001 — vacuous"
+    by_comp: dict[int, list] = {}
+    for r in rows:
+        by_comp.setdefault(r.component, []).append(r)
+    for comp, members in by_comp.items():
+        keeps = [r for r in members if r.keep == 1]
+        assert len(keeps) == 1, f"component {comp}: {len(keeps)} canonicals"
+        best = max(members, key=lambda r: (r.quality, -r.doc_id))
+        assert keeps[0].doc_id == best.doc_id
+        # every member of a component resolves to the same root
+        assert all(r.component == comp for r in members)
+
+
+def test_shard_assign_layout(spark):
+    from spatialflink_spark.operators.selection import N_SHARDS, shard_assign
+
+    docs = _docs(spark)
+    n = docs.count()
+    rows = shard_assign(docs).collect()
+    assert len(rows) == n, "shard layout must partition the corpus exactly"
+    assert len({r.doc_id for r in rows}) == n
+    per = Counter(r.shard for r in rows)
+    assert set(per) == set(range(N_SHARDS)), "empty shard at 500 docs"
+    for s, cnt in per.items():
+        pos = sorted(r.pos for r in rows if r.shard == s)
+        assert pos == list(range(1, cnt + 1)), f"shard {s}: positions not dense"
+    # deterministic: a second run reproduces the exact layout
+    again = {(r.doc_id, r.shard, r.pos) for r in shard_assign(docs).collect()}
+    assert again == {(r.doc_id, r.shard, r.pos) for r in rows}
+
+
+def test_doc_repetition_matches_python(spark):
+    from spatialflink_spark.operators.text import REP_NGRAM, doc_repetition
+
+    sample = {
+        r.doc_id: r.text
+        for r in _docs(spark).where("doc_id < 20").collect()
+    }
+    got = {
+        r.doc_id: r
+        for r in doc_repetition(_docs(spark).where("doc_id < 20")).collect()
+    }
+    n = REP_NGRAM
+    for doc_id, text in sample.items():
+        toks = _py_tokenize(text)
+        if len(toks) < n:
+            assert doc_id not in got
+            continue
+        grams = []
+        for i in range(len(toks) - n + 1):
+            g = toks[i]
+            for j in range(1, n):
+                g = g * VOCAB_SIZE + toks[i + j]
+            grams.append(g)
+        c = Counter(grams)
+        r = got[doc_id]
+        assert r.n_grams == len(grams)
+        # rounded-float compare with tolerance: Spark round() is HALF_UP,
+        # Python's HALF_EVEN — exact equality lives with the DuckDB oracle
+        assert abs(r.dup_gram_frac - (1.0 - len(c) / len(grams))) < 1e-6
+        assert abs(r.top_gram_frac - max(c.values()) / len(grams)) < 1e-6
+
+
+def test_token_diversity_matches_python(spark):
+    from spatialflink_spark.operators.text import token_diversity
+
+    sample = {
+        r.doc_id: r.text
+        for r in _docs(spark).where("doc_id < 20").collect()
+    }
+    got = {
+        r.doc_id: r
+        for r in token_diversity(_docs(spark).where("doc_id < 20")).collect()
+    }
+    for doc_id, text in sample.items():
+        toks = _py_tokenize(text)
+        if not toks:
+            assert doc_id not in got
+            continue
+        c = Counter(toks)
+        r = got[doc_id]
+        assert r.n_tok == len(toks)
+        assert r.n_distinct == len(c)
+        assert abs(r.ttr - len(c) / len(toks)) < 1e-6
+        ss = sum(v * v for v in c.values())
+        assert abs(r.simpson - (1.0 - ss / len(toks) / len(toks))) < 1e-6
+
+
+def test_boilerplate_topk_is_bounded_sort(spark):
+    """The final cut must be TakeOrderedAndProject (per-partition heap),
+    never a global single-task sort."""
+    from spatialflink_spark.operators.corpus import boilerplate_ngrams
+
+    plan = boilerplate_ngrams(_docs(spark))._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
