@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_topk_per_source": gate.q_quality_topk_per_source,
         "shard_assign": gate.q_shard_assign,
         "dedup_keep_best": gate.q_dedup_keep_best,
+        "quality_filter": gate.q_quality_filter,
         # -- absent from the r04 window (last driver rows: r02/r03) --
         "decontaminate": gate.q_decontaminate,
         "source_mix": gate.q_source_mix,
@@ -83,17 +84,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_wide": gate.q_simhash_wide,
         "simhash_wide_dup_pairs": gate.q_simhash_wide_dup_pairs,
         "dedup_components_wide": gate.q_dedup_components_wide,
-        "binfmt_ingest": gate.q_binfmt_ingest,
         "stream_range_e2e": gate.q_stream_range_e2e,
         "stream_knn_e2e": gate.q_stream_knn_e2e,
         "stream_decon_e2e": gate.q_stream_decon_e2e,
         "stream_mix_e2e": gate.q_stream_mix_e2e,
-        # ---- 50-entry window boundary. Everything below is r04-green with
-        # ---- its specific code path unchanged since (the six displaced by
-        # ---- this round's new entries — dedup_exact, geomcollection x3,
-        # ---- pack_bins_emit, token_freq_topk — were re-verified through the
-        # ---- fresh-process driver recipe this round; rotate them back into
-        # ---- the window next round) ----
+        # ---- 50-entry window boundary. Everything below is r04-green;
+        # ---- the eight displaced by this round's seven new entries
+        # ---- (binfmt_ingest, dedup_exact, geomcollection x3,
+        # ---- pack_bins_emit, token_freq_topk, source_length_quantiles)
+        # ---- were re-verified through the fresh-process driver recipe at
+        # ---- sf0.01 this round; rotate them back into the window next
+        # ---- round ----
+        "binfmt_ingest": gate.q_binfmt_ingest,
         "dedup_exact": gate.q_dedup_exact,
         "geomcollection_range": gate.q_geomcollection_range,
         "geomcollection_join": gate.q_geomcollection_join,
@@ -186,6 +188,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_topk_per_source": osqld.quality_topk_per_source(),
         "shard_assign": osqld.shard_assign(),
         "dedup_keep_best": osqld.dedup_keep_best(),
+        "quality_filter": osqld.quality_filter(),
         "token_counts": osqld.token_counts(),
         "doc_fingerprint": osqld.fingerprint(),
         "pack_sequences": osql.pack_sequences(),

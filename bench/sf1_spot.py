@@ -62,6 +62,15 @@ QUERIES = [
     "source_length_quantiles",
     "pack_bins_emit",
     "geomcollection_join",
+    # round-5 curation additions — dedup_keep_best composes the same
+    # component kernel the round-5 probe crash-tested; the others verify
+    # the doc_id/gram-keyed shuffles and two-stage cuts stay linear
+    "doc_repetition",
+    "token_diversity",
+    "boilerplate_ngrams",
+    "quality_topk_per_source",
+    "shard_assign",
+    "dedup_keep_best",
 ]
 
 

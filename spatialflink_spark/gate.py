@@ -1052,3 +1052,12 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     highest-quality member per component.
     Output: doc_id, component, quality, keep."""
     return dedup_ops.dedup_keep_best(_docs(spark, sf_dir))
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed C4/Gopher-style document filter (operators/text
+    .quality_filter): length + repetition + quality + language rules in ONE
+    per-row pass, zero shuffles (repetition via the per-row
+    with_repetition kernel). Output: doc_id, n_words, dup_gram_frac,
+    quality, pred_lang, pass_len, pass_rep, pass_quality, pass_lang, keep."""
+    return text_ops.quality_filter(_docs(spark, sf_dir))

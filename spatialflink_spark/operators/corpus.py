@@ -103,8 +103,14 @@ def boilerplate_ngrams(
     Output: rank, gram_hash, df, df_frac."""
     from spatialflink_spark.operators.dedup import with_shingle_hashes
 
-    hs = with_shingle_hashes(docs).select(
-        "doc_id", F.explode("_hs").alias("gram_hash")
+    # MATERIALIZE the shingle arrays before the explode (CLAUDE.md
+    # invariant: generate re-evaluates an inlined producing expression well
+    # beyond once per row — the un-checkpointed form measured 56s vs 6s at
+    # the 10x spot check, same 6x-plus blowup decontaminate hit)
+    hs = (
+        with_shingle_hashes(docs)
+        .localCheckpoint(eager=False)
+        .select("doc_id", F.explode("_hs").alias("gram_hash"))
     )
     dfreq = hs.groupBy("gram_hash").agg(
         F.expr("cast(count(1) as bigint)").alias("df")

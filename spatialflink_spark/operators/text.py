@@ -175,41 +175,64 @@ def gram_id_expr(arr: str, i: str, n: int, dialect: str) -> str:
     return e
 
 
+# longest equal-run length of a SORTED array — per-row max multiplicity
+# (prev = -1 sentinel: gram ids are nonnegative)
+_MAX_RUN = (
+    "aggregate({arr}, "
+    "named_struct('prev', cast(-1 as bigint), 'run', cast(0 as bigint), "
+    "'best', cast(0 as bigint)), "
+    "(a, x) -> named_struct('prev', x, "
+    "'run', if(x = a.prev, a.run + 1, cast(1 as bigint)), "
+    "'best', greatest(a.best, if(x = a.prev, a.run + 1, cast(1 as bigint)))), "
+    "a -> a.best)"
+)
+
+
+def with_repetition(df: DataFrame, tokens_col: str, n: int = REP_NGRAM) -> DataFrame:
+    """Append n_grams / dup_gram_frac / top_gram_frac computed PER ROW from
+    an existing token-array column — no shuffle at all: duplicate fraction
+    via array_distinct, max multiplicity via a sorted-array run scan
+    (aggregate with struct state). The explode -> groupBy(doc_id, gram)
+    alternative re-shuffles the entire corpus times the gram factor; at
+    100 TB that shuffle IS the job, and nothing about the statistic needs
+    it (every gram of a doc is already co-resident in its row). Rows with
+    fewer than n tokens are dropped (no grams). Staged through
+    intermediate selects per the lambda-CSE rule."""
+    d = df.where(F.expr(f"size({tokens_col}) >= {n}"))
+    gram_arr = (
+        f"transform(sequence(1, size({tokens_col}) - {n - 1}), "
+        f"i -> {gram_id_expr(tokens_col, 'i', n, 'spark')})"
+    )
+    d = d.select("*", F.expr(gram_arr).alias("_g"))
+    d = d.select("*", F.expr("array_sort(_g)").alias("_gs"))
+    d = d.select("*", F.expr(_MAX_RUN.format(arr="_gs")).alias("_mx"))
+    return d.select(
+        *df.columns,
+        F.expr("cast(size(_g) as bigint)").alias("n_grams"),
+        F.expr(
+            "round(cast(1.0 as double) - "
+            "cast(size(array_distinct(_g)) as double) / size(_g), 6)"
+        ).alias("dup_gram_frac"),
+        F.expr("round(cast(_mx as double) / size(_g), 6)").alias("top_gram_frac"),
+    )
+
+
 def doc_repetition(docs: DataFrame, n: int = REP_NGRAM) -> DataFrame:
     """Intra-document repetition score (the Gopher-style repetition rule:
     documents whose n-grams are mostly repeats of themselves are low-quality
     boilerplate/spam): per doc, the fraction of token n-grams that are
     duplicate occurrences and the share of the single most frequent n-gram.
-
-    Scale: explode -> groupBy(doc_id, gram) -> groupBy(doc_id) — both
-    shuffles are keyed by doc_id(+gram), partial-aggregated map-side; no
-    per-doc data ever needs to be co-resident beyond its own gram counts.
+    Entirely per-row (with_repetition) — zero shuffles; the DuckDB oracle
+    computes the same values through an explode -> GROUP BY plan, pinning
+    the per-row rewrite to the relational definition.
     Output: doc_id, n_grams, dup_gram_frac, top_gram_frac."""
     from spatialflink_spark.session import spread
 
-    toks = (
-        spread(docs)
-        .select("doc_id", F.expr(T.spark_tokenize("text")).alias("_t"))
-        .where(F.expr(f"size(_t) >= {n}"))
+    toks = spread(docs).select(
+        "doc_id", F.expr(T.spark_tokenize("text")).alias("_t")
     )
-    gram_arr = (
-        f"transform(sequence(1, size(_t) - {n - 1}), "
-        f"i -> {gram_id_expr('_t', 'i', n, 'spark')})"
-    )
-    g = toks.select("doc_id", F.explode(F.expr(gram_arr)).alias("gram"))
-    per = g.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("_c"))
-    agg = per.groupBy("doc_id").agg(
-        F.expr("cast(sum(_c) as bigint)").alias("n_grams"),
-        F.expr("cast(count(1) as bigint)").alias("_nd"),
-        F.expr("cast(max(_c) as bigint)").alias("_mx"),
-    )
-    return agg.select(
-        "doc_id",
-        "n_grams",
-        F.expr(
-            "round(cast(1.0 as double) - cast(_nd as double) / n_grams, 6)"
-        ).alias("dup_gram_frac"),
-        F.expr("round(cast(_mx as double) / n_grams, 6)").alias("top_gram_frac"),
+    return with_repetition(toks, "_t", n).select(
+        "doc_id", "n_grams", "dup_gram_frac", "top_gram_frac"
     )
 
 
@@ -241,3 +264,76 @@ def token_diversity(docs: DataFrame) -> DataFrame:
             "round(cast(1.0 as double) - cast(_ss as double) / n_tok / n_tok, 6)"
         ).alias("simpson"),
     )
+
+
+# C4/Gopher-style filter thresholds (calibrated so every rule fires on the
+# synthetic corpus: words p10=18, rep p90=0.065, quality p10=0.41)
+QF_MIN_WORDS = 15
+QF_MAX_WORDS = 1000
+QF_MAX_REP = 0.08
+QF_MIN_QUALITY = 0.45
+QF_LANGS = ("en",)
+
+# one condition string per rule, valid verbatim in BOTH dialects (they
+# reference the already-aliased columns n_words / dup_gram_frac / quality /
+# pred_lang)
+QF_CONDS: dict[str, str] = {
+    "pass_len": f"(n_words >= {QF_MIN_WORDS} AND n_words <= {QF_MAX_WORDS})",
+    "pass_rep": f"(dup_gram_frac <= {QF_MAX_REP})",
+    "pass_quality": f"(quality >= {QF_MIN_QUALITY})",
+    "pass_lang": f"(pred_lang IN ({', '.join(repr(lg) for lg in QF_LANGS)}))",
+}
+QF_KEEP = " AND ".join(QF_CONDS.values())
+
+
+def qf_flag_sql(cond: str) -> str:
+    return f"CAST(CASE WHEN {cond} THEN 1 ELSE 0 END AS INT)"
+
+
+def with_quality_filter(df: DataFrame) -> DataFrame:
+    """Append the composed C4/Gopher-style keep/drop verdict to a
+    (doc_id, text, ...) relation — ONE per-row pass, ZERO shuffles: length
+    rule + repetition rule (per-row with_repetition) + quality-score rule +
+    language rule, every signal computed from the same scan. The shared
+    kernel behind the batch gate query and the streaming ingest face
+    (stateless -> trivially streaming-safe). Rows with < REP_NGRAM tokens
+    are dropped with the repetition stage (they cannot pass the length rule
+    anyway). Appends: n_words, dup_gram_frac, quality, pred_lang,
+    pass_len, pass_rep, pass_quality, pass_lang, keep."""
+    w = T.spark_words("text")
+    base = with_quality(df)
+    base = base.select("*", F.expr(T.spark_tokenize("text")).alias("_t"))
+    base = base.select(
+        "*",
+        *[
+            F.expr(
+                lang_score_sql(w, lg, size_fn="size", filter_fn="filter")
+            ).alias(f"s_{lg}")
+            for lg in LANG_ORDER
+        ],
+    )
+    base = base.select("*", F.expr(pred_lang_sql()).alias("pred_lang"))
+    rep = with_repetition(base, "_t")
+    flagged = rep.select(
+        "*", *[F.expr(qf_flag_sql(c)).alias(name) for name, c in QF_CONDS.items()]
+    )
+    return flagged.select(
+        *df.columns,
+        "n_words",
+        "dup_gram_frac",
+        "quality",
+        "pred_lang",
+        *QF_CONDS.keys(),
+        F.expr(qf_flag_sql(QF_KEEP)).alias("keep"),
+    )
+
+
+def quality_filter(docs: DataFrame) -> DataFrame:
+    """Composed document filter — the standard curation pre-filter chain
+    (C4's length/lang rules + Gopher's repetition rule + the weighted
+    quality heuristic) as one declarative verdict table.
+    Output: doc_id, n_words, dup_gram_frac, quality, pred_lang,
+    pass_len, pass_rep, pass_quality, pass_lang, keep."""
+    from spatialflink_spark.session import spread
+
+    return with_quality_filter(spread(docs).select("doc_id", "text")).drop("text")

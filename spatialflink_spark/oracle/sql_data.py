@@ -925,3 +925,33 @@ SELECT c.doc_id, c.component, q.quality,
        ) = 1 THEN 1 ELSE 0 END AS INT) AS keep
 FROM comp c JOIN q USING (doc_id)
 """
+
+
+def quality_filter() -> str:
+    """Twin of text.quality_filter — the composed C4/Gopher-style verdict.
+    The engine computes repetition per row (zero shuffles); this oracle
+    reuses the explode -> GROUP BY doc_repetition() statement, pinning the
+    per-row rewrite to the relational definition. Flag conditions come
+    verbatim from text.QF_CONDS (one source for both dialects)."""
+    from spatialflink_spark.operators.text import QF_CONDS, QF_KEEP, qf_flag_sql
+
+    lang_scores = ", ".join(
+        lang_score_sql(_W, lg, size_fn="len", filter_fn="list_filter")
+        + f" AS s_{lg}"
+        for lg in LANG_ORDER
+    )
+    flags = ",\n       ".join(
+        f"{qf_flag_sql(c)} AS {name}" for name, c in QF_CONDS.items()
+    )
+    return f"""
+WITH {_quality_ctes()},
+lang AS (
+  SELECT doc_id, {pred_lang_sql()} AS pred_lang
+  FROM (SELECT doc_id, {lang_scores} FROM documents) _l
+),
+rep AS ({doc_repetition()})
+SELECT q.doc_id, q.n_words, rep.dup_gram_frac, q.quality, lang.pred_lang,
+       {flags},
+       {qf_flag_sql(QF_KEEP)} AS keep
+FROM q JOIN rep USING (doc_id) JOIN lang USING (doc_id)
+"""

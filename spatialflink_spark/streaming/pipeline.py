@@ -412,3 +412,39 @@ def stream_source_mix(stream: DataFrame, rates: DataFrame) -> DataFrame:
         "rate_bp", F.expr(f"coalesce(rate_bp, {BP})")
     )
     return joined.where(F.expr(LCG_KEEP_EXPR) < F.col("rate_bp"))
+
+
+# ---- streaming repetition/quality filter ------------------------------------
+
+
+def stream_repetition_filter(
+    stream: DataFrame, min_tok: int = 15, max_rep: float = 0.08
+) -> DataFrame:
+    """Streaming face of the Gopher-style repetition rule (the token-domain
+    slice of text.quality_filter — the text-derived rules need the raw text
+    a sequence stream no longer carries): per-row n-gram repetition stats
+    from text.with_repetition — ZERO state, zero shuffles, the filter is a
+    pure projection so it composes with any trigger including continuous
+    mode. Rows keep = length rule AND repetition rule.
+    Output: doc_id, seq_no, n_grams, dup_gram_frac, top_gram_frac, keep."""
+    from spatialflink_spark.operators.text import with_repetition
+
+    # per-row compute-heavy lambda work: spread the micro-batch (replay
+    # slices arrive as ONE file = ONE task; CLAUDE.md streaming rule)
+    spread_stream = stream.repartition(
+        stream.sparkSession.sparkContext.defaultParallelism
+    )
+    rep = with_repetition(
+        spread_stream.select("doc_id", "seq_no", "n_tok", "tokens"), "tokens"
+    )
+    return rep.select(
+        "doc_id",
+        "seq_no",
+        "n_grams",
+        "dup_gram_frac",
+        "top_gram_frac",
+        F.expr(
+            f"CAST(CASE WHEN n_tok >= {min_tok} AND dup_gram_frac <= {max_rep} "
+            "THEN 1 ELSE 0 END AS INT)"
+        ).alias("keep"),
+    )

@@ -164,3 +164,31 @@ def test_boilerplate_topk_is_bounded_sort(spark):
 
     plan = boilerplate_ngrams(_docs(spark))._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_per_row_repetition_plan_has_no_shuffle_ops(spark):
+    """doc_repetition and quality_filter are per-row rewrites: their plans
+    must contain NO aggregate and NO window operator (the only allowed
+    Exchange is session.spread's repartition of the single-file scan)."""
+    from spatialflink_spark.operators.text import doc_repetition, quality_filter
+
+    for op in (doc_repetition, quality_filter):
+        plan = op(_docs(spark))._jdf.queryExecution().executedPlan().toString()
+        assert "HashAggregate" not in plan, op.__name__
+        assert "Window" not in plan, op.__name__
+        assert "SortMergeJoin" not in plan, op.__name__
+
+
+def test_quality_filter_flags_consistent(spark):
+    """keep == AND of the four rule flags, and every rule fires somewhere
+    on the fixture (no vacuous threshold)."""
+    from spatialflink_spark.operators.text import quality_filter
+
+    df = quality_filter(_docs(spark)).toPandas()
+    assert (
+        df.keep == (df.pass_len & df.pass_rep & df.pass_quality & df.pass_lang)
+    ).all()
+    for flag in ("pass_len", "pass_rep", "pass_quality"):
+        assert df[flag].min() == 0, f"{flag} never fails — vacuous threshold"
+        assert df[flag].max() == 1, f"{flag} never passes"
+    assert 0 < df.keep.sum() < len(df)

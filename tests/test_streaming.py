@@ -1328,3 +1328,55 @@ def test_stream_source_mix_keeps_unknown_sources(spark):
     rates = spark.createDataFrame([("known", 10_000)], "source string, rate_bp int")
     got = {(r.source, r.rate_bp) for r in stream_source_mix(rows, rates).collect()}
     assert got == {("known", 10_000), ("brand_new", 10_000)}
+
+
+def test_stream_repetition_filter_matches_batch(spark, replay_dir, tmp_path):
+    """Streaming repetition filter (stateless per-row Gopher rule): every
+    surviving input row emits exactly one verdict row, and the full result
+    frame equals the batch with_repetition kernel over the same sequences —
+    the zero-state face of text.quality_filter's token-domain slice."""
+    from pyspark.sql import functions as F
+
+    from spatialflink_spark.operators.text import with_repetition
+    from spatialflink_spark.streaming.pipeline import stream_repetition_filter
+
+    stream = read_sequences_stream(spark, replay_dir, C.allowed_lateness_s)
+    res = stream_repetition_filter(stream)
+    q = (
+        res.writeStream.format("memory")
+        .queryName("repfilter_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql("select * from repfilter_stream")
+        .toPandas()
+        .sort_values(["doc_id", "seq_no"])
+        .reset_index(drop=True)
+    )
+    batch = (
+        with_repetition(
+            sequences(spark, SF_SMALL).select("doc_id", "seq_no", "n_tok", "tokens"),
+            "tokens",
+        )
+        .select(
+            "doc_id",
+            "seq_no",
+            "n_grams",
+            "dup_gram_frac",
+            "top_gram_frac",
+            F.expr(
+                "CAST(CASE WHEN n_tok >= 15 AND dup_gram_frac <= 0.08 "
+                "THEN 1 ELSE 0 END AS INT)"
+            ).alias("keep"),
+        )
+        .toPandas()
+        .sort_values(["doc_id", "seq_no"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, batch)
+    # both verdicts occur — the thresholds actually split the corpus
+    assert set(got.keep.unique()) == {0, 1}
