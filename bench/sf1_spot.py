@@ -71,7 +71,18 @@ QUERIES = [
     "quality_topk_per_source",
     "shard_assign",
     "dedup_keep_best",
+    "quality_filter",
 ]
+
+# optional subset: SFS_ONLY=a,b,c runs just those queries (re-measuring a
+# targeted set without paying the full ~15-min sweep)
+_only = os.environ.get("SFS_ONLY")
+if _only:
+    _sel = [q.strip() for q in _only.split(",") if q.strip()]
+    _bad = set(_sel) - set(QUERIES)
+    if _bad:
+        raise SystemExit(f"SFS_ONLY names not in the spot list: {sorted(_bad)}")
+    QUERIES = _sel
 
 
 def amplify(out_dir: str) -> None:
