@@ -72,6 +72,7 @@ QUERIES = [
     "shard_assign",
     "dedup_keep_best",
     "quality_filter",
+    "span_dedup",
 ]
 
 # optional subset: SFS_ONLY=a,b,c runs just those queries (re-measuring a

@@ -1061,3 +1061,12 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_repetition kernel). Output: doc_id, n_words, dup_gram_frac,
     quality, pred_lang, pass_len, pass_rep, pass_quality, pass_lang, keep."""
     return text_ops.quality_filter(_docs(spark, sf_dir))
+
+
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus duplicate-SPAN removal (operators/dedup.span_dedup): every
+    occurrence of a duplicated n-token span except the globally-first one
+    is removed; per doc the surviving-token checksum grades the exact
+    reconstruction. Output: doc_id, n_tok, n_dup_occ, n_removed,
+    keep_frac, kept_checksum."""
+    return dedup_ops.span_dedup(_docs(spark, sf_dir))

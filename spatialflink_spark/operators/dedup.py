@@ -825,3 +825,119 @@ def dedup_keep_best(docs: DataFrame) -> DataFrame:
     return j.withColumn(
         "keep", (F.row_number().over(w) == 1).cast("int")
     ).select("doc_id", "component", "quality", "keep")
+
+
+# ---- duplicate-span removal (substring dedup at n-gram granularity) --------
+
+SPAN_N = 5  # span width in tokens; rolling-hash gram ids, any n
+# packed (doc_id, position) order key: doc_id * 2^20 + p. Precondition
+# p < 2^20 (docs shorter than ~1M tokens) — any context-length corpus
+# satisfies it by orders of magnitude.
+SPAN_POS_PACK = 1 << 20
+
+
+def span_gram_expr(arr: str, i: str, n: int, dialect: str) -> str:
+    """131-base rolling hash (mod HASH_MOD) of the n-token span starting at
+    1-based index `i` of `arr` — one builder for both dialects, any n
+    (unlike text.gram_id_expr's exact base-VOCAB_SIZE packing, which
+    overflows past n = 3). Token ids are nonnegative, so % == pmod in both
+    engines."""
+    if dialect == "spark":
+        return (
+            f"aggregate(slice({arr}, {i}, {n}), cast(0 as bigint), "
+            f"(a, x) -> (a*131 + x) % {HASH_MOD})"
+        )
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_slice({arr}, {i}, {i} + {n} - 1)), "
+        f"(a, x) -> (a*131 + x) % {HASH_MOD})"
+    )
+
+
+def span_dedup(docs: DataFrame, n: int = SPAN_N) -> DataFrame:
+    """Corpus-level duplicate-SPAN removal — the substring-dedup policy of
+    Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+    Better") at n-token-gram granularity, C4's repeated-span rule over
+    token sequences: every occurrence of an n-token span that appears more
+    than once in the corpus is removed EXCEPT the globally first one
+    (minimal (doc_id, position)); a doc's surviving tokens are the
+    positions covered by no removed span.
+
+    Unlike exact/near-dup doc dedup (which keeps or drops whole documents),
+    this removes intra- and inter-document repeated substrings — the dedup
+    granularity that actually shrinks memorization (reference analog:
+    grid-cell replication dedup-keep-min, KNNQuery.java:226-238, reused
+    here as keep-min-(doc_id, pos) over span occurrences).
+
+    Scale: gram explode is n_grams-per-doc rows keyed by the gram hash —
+    the one groupBy(g) + join(g) + groupBy(doc_id) chain every substring
+    dedup needs; no all-pairs anywhere, removal positions return to the
+    doc's own row as a sorted starts array and coverage/reconstruction is
+    per-row array math. Output: doc_id, n_tok, n_dup_occ, n_removed,
+    keep_frac, kept_checksum (order-sensitive checksum of the surviving
+    token sequence)."""
+    from spatialflink_spark.session import spread
+
+    toks = spread(docs).select(
+        "doc_id", F.expr(T.spark_tokenize("text")).alias("_t")
+    )
+    toks = toks.select("doc_id", "_t", F.expr("size(_t)").alias("n_tok"))
+    gram = span_gram_expr("_t", "i", n, "spark")
+    # materialize the gram arrays before the explode (CLAUDE.md invariant:
+    # generate re-evaluates an inlined producing expression well beyond
+    # once per row)
+    ga = toks.select(
+        "doc_id",
+        "_t",
+        "n_tok",
+        F.expr(
+            f"CASE WHEN n_tok >= {n} THEN "
+            f"transform(sequence(1, n_tok - {n - 1}), i -> {gram}) "
+            "ELSE array() END"
+        ).alias("_g"),
+    ).localCheckpoint(eager=False)
+    occ = ga.select("doc_id", F.posexplode("_g").alias("_p0", "g")).select(
+        "doc_id", F.expr("_p0 + 1").alias("p"), "g"
+    )
+    stats = occ.groupBy("g").agg(
+        F.expr("cast(count(1) as bigint)").alias("_c"),
+        F.expr(f"min(doc_id * {SPAN_POS_PACK} + p)").alias("_canon"),
+    )
+    dup = occ.join(stats.where("_c > 1"), "g").where(
+        F.expr(f"doc_id * {SPAN_POS_PACK} + p <> _canon")
+    )
+    starts = dup.groupBy("doc_id").agg(
+        F.expr("sort_array(collect_list(p))").alias("_starts"),
+        F.expr("cast(count(1) as bigint)").alias("n_dup_occ"),
+    )
+    j = ga.join(starts, "doc_id", "left").select(
+        "doc_id",
+        "_t",
+        "n_tok",
+        F.expr("coalesce(_starts, array())").alias("_starts"),
+        F.expr("coalesce(n_dup_occ, cast(0 as bigint))").alias("n_dup_occ"),
+    )
+    j = j.select(
+        "*",
+        F.expr(
+            f"array_distinct(flatten(transform(_starts, "
+            f"s -> sequence(s, s + {n - 1}))))"
+        ).alias("_cov"),
+    )
+    j = j.select(
+        "*",
+        F.expr("filter(_t, (x, i) -> NOT array_contains(_cov, i + 1))").alias(
+            "_kept"
+        ),
+    )
+    return j.select(
+        "doc_id",
+        F.expr("cast(n_tok as bigint)").alias("n_tok"),
+        "n_dup_occ",
+        F.expr("cast(size(_cov) as bigint)").alias("n_removed"),
+        F.expr(
+            "round(CASE WHEN n_tok = 0 THEN cast(1.0 as double) "
+            "ELSE cast(n_tok - size(_cov) as double) / n_tok END, 6)"
+        ).alias("keep_frac"),
+        F.expr(T.spark_tok_checksum("_kept")).alias("kept_checksum"),
+    )

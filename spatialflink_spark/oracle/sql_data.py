@@ -955,3 +955,55 @@ SELECT q.doc_id, q.n_words, rep.dup_gram_frac, q.quality, lang.pred_lang,
        {qf_flag_sql(QF_KEEP)} AS keep
 FROM q JOIN rep USING (doc_id) JOIN lang USING (doc_id)
 """
+
+
+def span_dedup(n: int | None = None) -> str:
+    """Twin of dedup.span_dedup — corpus duplicate-span removal. Gram ids
+    from the shared dedup.span_gram_expr builder (131-base rolling hash,
+    one source for both dialects); canonical occurrence via the packed
+    (doc_id, position) bigint key. DuckDB list_filter lambda indexes are
+    1-based where Spark's filter indexes are 0-based — the position test
+    accounts for it on each side."""
+    from spatialflink_spark.operators.dedup import (
+        SPAN_N,
+        SPAN_POS_PACK,
+        span_gram_expr,
+    )
+
+    n = SPAN_N if n is None else n
+    tok = T.duck_tokenize("text")
+    gram = span_gram_expr("_t", "i", n, "duck")
+    return f"""
+WITH t AS (SELECT doc_id, {tok} AS _t FROM documents),
+tt AS (SELECT doc_id, _t, len(_t) AS n_tok FROM t),
+g AS (SELECT doc_id, CAST(i AS BIGINT) AS p, {gram} AS g
+      FROM tt, unnest(range(1, n_tok + {2 - n})) AS u(i)
+      WHERE n_tok >= {n}),
+s AS (SELECT g, count(*) AS _c,
+             min(doc_id * {SPAN_POS_PACK} + p) AS _canon
+      FROM g GROUP BY g),
+dup AS (SELECT o.doc_id, o.p FROM g o JOIN s USING (g)
+        WHERE s._c > 1 AND o.doc_id * {SPAN_POS_PACK} + o.p <> s._canon),
+st AS (SELECT doc_id, list_sort(list(p)) AS _starts,
+              CAST(count(*) AS BIGINT) AS n_dup_occ
+       FROM dup GROUP BY doc_id),
+j AS (SELECT tt.doc_id, tt._t, tt.n_tok,
+             coalesce(st._starts, []) AS _starts,
+             coalesce(st.n_dup_occ, 0) AS n_dup_occ
+      FROM tt LEFT JOIN st USING (doc_id)),
+c AS (SELECT *, list_distinct(flatten(list_transform(_starts,
+             s -> range(s, s + {n})))) AS _cov
+      FROM j),
+k AS (SELECT *, list_filter(_t, (x, i) -> NOT list_contains(_cov, i))
+             AS _kept
+      FROM c)
+SELECT doc_id,
+       CAST(n_tok AS BIGINT) AS n_tok,
+       n_dup_occ,
+       CAST(len(_cov) AS BIGINT) AS n_removed,
+       round(CASE WHEN n_tok = 0 THEN CAST(1.0 AS DOUBLE)
+             ELSE CAST(n_tok - len(_cov) AS DOUBLE) / n_tok END, 6)
+         AS keep_frac,
+       {T.duck_tok_checksum("_kept")} AS kept_checksum
+FROM k
+"""

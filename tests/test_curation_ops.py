@@ -192,3 +192,95 @@ def test_quality_filter_flags_consistent(spark):
         assert df[flag].min() == 0, f"{flag} never fails — vacuous threshold"
         assert df[flag].max() == 1, f"{flag} never passes"
     assert 0 < df.keep.sum() < len(df)
+
+
+# ---- span_dedup (duplicate-span removal) ------------------------------------
+
+
+def _py_checksum(toks: list[int]) -> int:
+    from spatialflink_spark.config import HASH_MOD
+
+    a = 0
+    for t in toks:
+        a = (a * 131 + t) % HASH_MOD
+    return a
+
+
+def test_span_dedup_hand_fixture(spark):
+    """Hand-computed removal: inter-doc duplicated span (kept only at its
+    globally-first occurrence), intra-doc repeat (second occurrence
+    removed), short doc (no grams), untouched doc."""
+    from spatialflink_spark.operators.dedup import span_dedup
+
+    rows = [
+        # doc 0 holds the canonical "alpha beta gamma delta eps" span
+        (0, "alpha beta gamma delta eps tail0 tail1"),
+        # doc 1 repeats that span at positions 3..7 -> removed
+        (1, "x0 y0 alpha beta gamma delta eps"),
+        # doc 2: same 5-token span twice (pos 1 and pos 8); pos-8 copy removed
+        (2, "p q r s t f0 f1 p q r s t"),
+        # doc 3: shorter than the span width -> no grams, untouched
+        (3, "one two"),
+        # doc 4: all-unique tokens, untouched
+        (4, "u0 u1 u2 u3 u4 u5"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: r for r in span_dedup(df).collect()
+    }
+    assert len(got) == 5
+
+    t0 = _py_tokenize(rows[0][1])
+    assert got[0]["n_tok"] == 7 and got[0]["n_dup_occ"] == 0
+    assert got[0]["n_removed"] == 0
+    assert got[0]["kept_checksum"] == _py_checksum(t0)
+
+    t1 = _py_tokenize(rows[1][1])
+    assert got[1]["n_dup_occ"] == 1 and got[1]["n_removed"] == 5
+    assert got[1]["keep_frac"] == round(2 / 7, 6)
+    assert got[1]["kept_checksum"] == _py_checksum(t1[:2])
+
+    t2 = _py_tokenize(rows[2][1])
+    assert got[2]["n_tok"] == 12 and got[2]["n_dup_occ"] == 1
+    assert got[2]["n_removed"] == 5
+    assert got[2]["kept_checksum"] == _py_checksum(t2[:7])
+
+    assert got[3]["n_tok"] == 2 and got[3]["n_removed"] == 0
+    assert got[3]["kept_checksum"] == _py_checksum(_py_tokenize(rows[3][1]))
+    assert got[4]["n_removed"] == 0
+
+
+def test_span_dedup_overlapping_spans_union_coverage(spark):
+    """Two removed spans overlapping in one doc: covered positions are the
+    UNION (no double count)."""
+    from spatialflink_spark.operators.dedup import span_dedup
+
+    # doc 10 canonical; doc 11 contains the same 6-token run, so BOTH its
+    # 5-gram occurrences (pos 1 and pos 2) are non-canonical -> covered
+    # union is pos 1..6 of 8 tokens
+    rows = [
+        (10, "a1 a2 a3 a4 a5 a6 z0 z1"),
+        (11, "a1 a2 a3 a4 a5 a6 w0 w1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in span_dedup(df).collect()}
+    assert got[10]["n_removed"] == 0
+    assert got[11]["n_dup_occ"] == 2  # grams at pos 1 and pos 2
+    assert got[11]["n_removed"] == 6  # union of [1..5] and [2..6]
+    t11 = _py_tokenize(rows[1][1])
+    assert got[11]["kept_checksum"] == _py_checksum(t11[6:])
+
+
+def test_span_dedup_plan_no_cartesian(spark):
+    """Candidate generation is an equi-join on the gram hash — never a
+    cartesian/nested-loop product."""
+    from spatialflink_spark.operators.dedup import span_dedup
+
+    plan = (
+        span_dedup(_docs(spark))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
