@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": gate.q_dedup_keep_best,
         "quality_filter": gate.q_quality_filter,
         "span_dedup": gate.q_span_dedup,
+        "tfidf_terms": gate.q_tfidf_terms,
         # -- absent from the r04 window (last driver rows: r02/r03) --
         "decontaminate": gate.q_decontaminate,
         "source_mix": gate.q_source_mix,
@@ -68,7 +69,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_approx": gate.q_range_approx,
         "trajectory_restricted": gate.q_trajectory_restricted,
         "fence_speed_alert": gate.q_fence_speed_alert,
-        "exclude_cells": gate.q_exclude_cells,
         "staytime_cells": gate.q_staytime_cells,
         "staytime_normalized": gate.q_staytime_normalized,
         "checkin_fill": gate.q_checkin_fill,
@@ -89,14 +89,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_decon_e2e": gate.q_stream_decon_e2e,
         "stream_mix_e2e": gate.q_stream_mix_e2e,
         # ---- 50-entry window boundary. Everything below is r04-green;
-        # ---- the nine displaced by this round's eight new entries
+        # ---- the ten displaced by this round's nine new entries
         # ---- (binfmt_ingest, dedup_exact, geomcollection x3,
         # ---- pack_bins_emit, token_freq_topk, source_length_quantiles,
-        # ---- include_cells — the last a tiny broadcast filter untouched
-        # ---- since r03, judge-verified in r4) were re-verified through
-        # ---- the fresh-process driver recipe at sf0.01 this round; rotate
-        # ---- them back into the window next round ----
+        # ---- include_cells, exclude_cells — the last two tiny broadcast
+        # ---- filters untouched since r03, judge-verified in r4) were
+        # ---- re-verified through the fresh-process driver recipe at
+        # ---- sf0.01 this round; rotate them back into the window next
+        # ---- round ----
         "include_cells": gate.q_include_cells,
+        "exclude_cells": gate.q_exclude_cells,
         "binfmt_ingest": gate.q_binfmt_ingest,
         "dedup_exact": gate.q_dedup_exact,
         "geomcollection_range": gate.q_geomcollection_range,
@@ -192,6 +194,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep_best": osqld.dedup_keep_best(),
         "quality_filter": osqld.quality_filter(),
         "span_dedup": osqld.span_dedup(),
+        "tfidf_terms": osqld.tfidf_topk_terms(),
         "token_counts": osqld.token_counts(),
         "doc_fingerprint": osqld.fingerprint(),
         "pack_sequences": osql.pack_sequences(),

@@ -126,6 +126,10 @@ HEADLINE = [
     "quality_topk_per_source",
     "shard_assign",
     "dedup_keep_best",
+    # composed per-row document filter + duplicate-span removal + TF-IDF
+    "quality_filter",
+    "span_dedup",
+    "tfidf_terms",
 ]
 
 

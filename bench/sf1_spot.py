@@ -73,6 +73,7 @@ QUERIES = [
     "dedup_keep_best",
     "quality_filter",
     "span_dedup",
+    "tfidf_terms",
 ]
 
 # optional subset: SFS_ONLY=a,b,c runs just those queries (re-measuring a

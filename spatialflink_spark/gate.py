@@ -1070,3 +1070,13 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     reconstruction. Output: doc_id, n_tok, n_dup_occ, n_removed,
     keep_frac, kept_checksum."""
     return dedup_ops.span_dedup(_docs(spark, sf_dir))
+
+
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-k distinguishing terms by log-free TF-IDF
+    (operators/corpus.tfidf_topk_terms): vocab-bounded broadcast df join,
+    per-doc bounded rank window. Output: doc_id, rank, tok, tf, df,
+    score."""
+    from spatialflink_spark.operators.corpus import tfidf_topk_terms
+
+    return tfidf_topk_terms(_docs(spark, sf_dir))

@@ -129,3 +129,58 @@ def boilerplate_ngrams(
         "df",
         F.expr("round(cast(df as double) / n_docs, 6)").alias("df_frac"),
     )
+
+
+TFIDF_TOPK = 5
+
+
+def tfidf_topk_terms(docs: DataFrame, k: int = TFIDF_TOPK) -> DataFrame:
+    """Per-document top-k distinguishing terms by LOG-FREE TF-IDF
+    (score = tf * N / df): the keyword-extraction diagnostic a curation
+    pipeline uses to label sources/clusters. log() is deliberately avoided
+    (not bit-pinned across engines — same rationale as token_diversity's
+    Shannon exclusion); tf * N / df is one IEEE double division of exact
+    integers, identical in both dialects, and is order-equivalent to
+    tf * log-idf within a document for ranking purposes up to monotonicity
+    of the idf transform.
+
+    Scale: tf is the (doc_id, token)-keyed groupBy (map-side combined);
+    df aggregates tf by token — key space is the VOCABULARY, so the df
+    relation is bounded (~50k rows) and the join back is a BROADCAST at
+    any corpus size; N rides a one-row broadcast cross join. The final
+    rank window partitions by doc_id over the doc's distinct tokens —
+    bounded by document length, never a corpus-wide sort.
+    Output: doc_id, rank, tok, tf, df, score."""
+    from spatialflink_spark.functions import tokens as T
+    from spatialflink_spark.session import spread
+
+    toks = spread(docs).select(
+        "doc_id", F.expr(T.spark_tokenize("text")).alias("_t")
+    )
+    t = toks.select("doc_id", F.explode("_t").alias("tok"))
+    tf = t.groupBy("doc_id", "tok").agg(
+        F.expr("cast(count(1) as bigint)").alias("tf")
+    )
+    df = tf.groupBy("tok").agg(F.expr("cast(count(1) as bigint)").alias("df"))
+    n = docs.agg(F.expr("cast(count(1) as bigint)").alias("n_docs"))
+    s = (
+        tf.join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.expr("cast(tok as bigint)").alias("tok"),
+            "tf",
+            "df",
+            F.expr("round(cast(tf * n_docs as double) / df, 6)").alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("tok").asc()
+    )
+    return (
+        s.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "rank", "tok", "tf", "df", "score")
+    )

@@ -1007,3 +1007,28 @@ SELECT doc_id,
        {T.duck_tok_checksum("_kept")} AS kept_checksum
 FROM k
 """
+
+
+def tfidf_topk_terms(k: int | None = None) -> str:
+    """Twin of corpus.tfidf_topk_terms — log-free TF-IDF top-k per doc
+    (one IEEE double division of exact integers; ties broken by token id)."""
+    from spatialflink_spark.operators.corpus import TFIDF_TOPK
+
+    k = TFIDF_TOPK if k is None else k
+    tok = T.duck_tokenize("text")
+    return f"""
+WITH t AS (SELECT doc_id, unnest({tok}) AS tok FROM documents),
+tf AS (SELECT doc_id, CAST(tok AS BIGINT) AS tok,
+              CAST(count(*) AS BIGINT) AS tf
+       FROM t GROUP BY doc_id, tok),
+df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+s AS (SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+             round(CAST(tf.tf * n.n_docs AS DOUBLE) / df.df, 6) AS score
+      FROM tf JOIN df USING (tok) CROSS JOIN n),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS rank
+      FROM s)
+SELECT doc_id, CAST(rank AS INT) AS rank, tok, tf, df, score
+FROM r WHERE rank <= {k}
+"""

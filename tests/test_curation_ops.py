@@ -284,3 +284,54 @@ def test_span_dedup_plan_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---- tfidf_topk_terms -------------------------------------------------------
+
+
+def test_tfidf_matches_python_mirror(spark):
+    """Log-free TF-IDF top-k per doc vs a pure-Python mirror over the
+    portable tokenizer (exact score + deterministic tie order)."""
+    from spatialflink_spark.operators.corpus import TFIDF_TOPK, tfidf_topk_terms
+
+    docs = _docs(spark)
+    rows = docs.select("doc_id", "text").collect()
+    n_docs = len(rows)
+    tf: dict[tuple[int, int], int] = Counter()
+    for r in rows:
+        for t in _py_tokenize(r["text"]):
+            tf[(r["doc_id"], t)] += 1
+    df: dict[int, int] = Counter()
+    for (_, t) in tf:
+        df[t] += 1
+    expected = {}
+    by_doc: dict[int, list] = {}
+    for (d, t), c in tf.items():
+        by_doc.setdefault(d, []).append(
+            (round(c * n_docs / df[t], 6), t, c)
+        )
+    for d, terms in by_doc.items():
+        terms.sort(key=lambda x: (-x[0], x[1]))
+        for rank, (score, t, c) in enumerate(terms[:TFIDF_TOPK], 1):
+            expected[(d, rank)] = (t, c, df[t], score)
+
+    got = tfidf_topk_terms(docs).collect()
+    assert len(got) == len(expected)
+    for r in got:
+        t, c, dfv, score = expected[(r["doc_id"], r["rank"])]
+        assert (r["tok"], r["tf"], r["df"], r["score"]) == (t, c, dfv, score)
+
+
+def test_tfidf_df_join_is_broadcast(spark):
+    """The vocab-bounded df relation must come back as a broadcast join —
+    no shuffle for the idf lookup at any corpus size."""
+    from spatialflink_spark.operators.corpus import tfidf_topk_terms
+
+    plan = (
+        tfidf_topk_terms(_docs(spark))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
