@@ -130,6 +130,7 @@ HEADLINE = [
     "quality_filter",
     "span_dedup",
     "tfidf_terms",
+    "source_overlap",
 ]
 
 

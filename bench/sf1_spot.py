@@ -74,6 +74,7 @@ QUERIES = [
     "quality_filter",
     "span_dedup",
     "tfidf_terms",
+    "source_overlap",
 ]
 
 # optional subset: SFS_ONLY=a,b,c runs just those queries (re-measuring a

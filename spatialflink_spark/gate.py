@@ -1080,3 +1080,13 @@ def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spatialflink_spark.operators.corpus import tfidf_topk_terms
 
     return tfidf_topk_terms(_docs(spark, sf_dir))
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level near-dup contamination matrix
+    (operators/corpus.source_overlap_matrix): wide-fingerprint pair kernel
+    -> per-unordered-source-pair counts. Output: source_a, source_b,
+    n_pairs, n_docs."""
+    from spatialflink_spark.operators.corpus import source_overlap_matrix
+
+    return source_overlap_matrix(_docs(spark, sf_dir))

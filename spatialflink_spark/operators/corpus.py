@@ -184,3 +184,44 @@ def tfidf_topk_terms(docs: DataFrame, k: int = TFIDF_TOPK) -> DataFrame:
         .where(F.col("rank") <= k)
         .select("doc_id", "rank", "tok", "tf", "df", "score")
     )
+
+
+def source_overlap_matrix(docs: DataFrame) -> DataFrame:
+    """Source-level contamination report: near-duplicate pair counts
+    BETWEEN (and within) sources — the diagnostic that tells a curation
+    pipeline which source pairs share content (mirror sites, scraped
+    re-posts, cross-source boilerplate) before mixing rates are set.
+
+    Composes the production wide-fingerprint candidate kernel
+    (dedup.simhash_wide_dup_pairs — banded equi-join, never all-pairs),
+    joins each pair side to its source, canonicalizes the unordered source
+    pair, and aggregates. Scale: the source lookup is a doc_id-keyed join;
+    the final groupBy key space is |sources|^2 — tiny at any corpus size.
+    Output: source_a, source_b (source_a <= source_b), n_pairs, n_docs
+    (distinct documents participating in those pairs)."""
+    from spatialflink_spark.operators.dedup import simhash_wide_dup_pairs
+
+    pairs = simhash_wide_dup_pairs(docs).select("left_doc", "right_doc")
+    src = docs.select("doc_id", "source")
+    j = (
+        pairs.join(
+            src.withColumnRenamed("doc_id", "left_doc").withColumnRenamed(
+                "source", "source_l"
+            ),
+            "left_doc",
+        ).join(
+            src.withColumnRenamed("doc_id", "right_doc").withColumnRenamed(
+                "source", "source_r"
+            ),
+            "right_doc",
+        )
+    )
+    e = j.select(
+        F.expr("least(source_l, source_r)").alias("source_a"),
+        F.expr("greatest(source_l, source_r)").alias("source_b"),
+        F.explode(F.expr("array(left_doc, right_doc)")).alias("doc"),
+    )
+    return e.groupBy("source_a", "source_b").agg(
+        F.expr("cast(count(1) div 2 as bigint)").alias("n_pairs"),
+        F.expr("cast(count(distinct doc) as bigint)").alias("n_docs"),
+    )

@@ -1032,3 +1032,36 @@ r AS (SELECT *, row_number() OVER (
 SELECT doc_id, CAST(rank AS INT) AS rank, tok, tf, df, score
 FROM r WHERE rank <= {k}
 """
+
+
+def source_overlap_matrix() -> str:
+    """Twin of corpus.source_overlap_matrix — near-dup pair counts per
+    unordered source pair over the wide fingerprint (all-pairs Hamming
+    reference form of the banded engine kernel)."""
+    from spatialflink_spark.operators.dedup import SIMHASH_WIDE_HAMMING_MAX
+
+    return f"""
+WITH {_wide_sh_cte()},
+pairs AS (
+  SELECT l.doc_id AS left_doc, r.doc_id AS right_doc
+  FROM s l JOIN s r ON l.doc_id < r.doc_id
+  WHERE bit_count(CAST(xor(l.simhash, r.simhash) AS BIGINT))
+        <= {SIMHASH_WIDE_HAMMING_MAX}
+),
+sp AS (
+  SELECT p.left_doc, p.right_doc, dl.source AS source_l, dr.source AS source_r
+  FROM pairs p
+  JOIN documents dl ON p.left_doc = dl.doc_id
+  JOIN documents dr ON p.right_doc = dr.doc_id
+),
+e AS (
+  SELECT least(source_l, source_r) AS source_a,
+         greatest(source_l, source_r) AS source_b,
+         doc
+  FROM sp, unnest([left_doc, right_doc]) AS u(doc)
+)
+SELECT source_a, source_b,
+       CAST(count(*) // 2 AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT doc) AS BIGINT) AS n_docs
+FROM e GROUP BY source_a, source_b
+"""

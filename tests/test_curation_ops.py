@@ -335,3 +335,21 @@ def test_tfidf_df_join_is_broadcast(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+# ---- source_overlap_matrix --------------------------------------------------
+
+
+def test_source_overlap_consistent_with_pair_kernel(spark):
+    """Matrix cells sum to the wide-fingerprint pair count, every cell is
+    canonically ordered, and n_docs never exceeds 2*n_pairs."""
+    from spatialflink_spark.operators.corpus import source_overlap_matrix
+    from spatialflink_spark.operators.dedup import simhash_wide_dup_pairs
+
+    docs = _docs(spark)
+    m = source_overlap_matrix(docs).collect()
+    total_pairs = simhash_wide_dup_pairs(docs).count()
+    assert sum(r["n_pairs"] for r in m) == total_pairs
+    for r in m:
+        assert r["source_a"] <= r["source_b"]
+        assert 0 < r["n_docs"] <= 2 * r["n_pairs"]
