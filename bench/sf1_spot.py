@@ -75,6 +75,8 @@ QUERIES = [
     "span_dedup",
     "tfidf_terms",
     "source_overlap",
+    "source_vocab_divergence",
+    "kmeans_purity",
 ]
 
 # optional subset: SFS_ONLY=a,b,c runs just those queries (re-measuring a

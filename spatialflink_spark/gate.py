@@ -1090,3 +1090,23 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spatialflink_spark.operators.corpus import source_overlap_matrix
 
     return source_overlap_matrix(_docs(spark, sf_dir))
+
+
+def q_source_vocab_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source vocabulary divergence
+    (operators/corpus.source_vocab_divergence): exact-integer unigram TVD
+    + vocab Jaccard over the vocab-bounded unigram relation. Output:
+    source_a, source_b, n_shared, vocab_jaccard, tvd."""
+    from spatialflink_spark.operators.corpus import source_vocab_divergence
+
+    return source_vocab_divergence(_docs(spark, sf_dir))
+
+
+def q_kmeans_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster label profile of the learned k-means partition
+    (operators/similarity.kmeans_label_purity): broadcast-argmin
+    assignment, (cid, label)-bounded aggregation. Output: cid, n_vecs,
+    top_label, n_top, purity."""
+    from spatialflink_spark.operators.similarity import kmeans_label_purity
+
+    return kmeans_label_purity(_emb(spark, sf_dir))

@@ -225,3 +225,96 @@ def source_overlap_matrix(docs: DataFrame) -> DataFrame:
         F.expr("cast(count(1) div 2 as bigint)").alias("n_pairs"),
         F.expr("cast(count(distinct doc) as bigint)").alias("n_docs"),
     )
+
+
+def source_vocab_divergence(docs: DataFrame) -> DataFrame:
+    """Pairwise vocabulary divergence between sources — the domain-mixing
+    diagnostic (how lexically distinct are two sources?) a curation
+    pipeline reads before setting mix rates: total-variation distance
+    between the per-source token unigram distributions, plus the vocab
+    Jaccard overlap.
+
+    LOG-FREE on purpose (same rationale as tfidf_topk_terms / the
+    token_diversity Shannon exclusion): TVD needs only |p - q| sums. All
+    accumulation stays in EXACT integer space — per shared token the term
+    |cnt_a*tot_b - cnt_b*tot_a| (bigint), and the one-sided mass is
+    recovered as tot - sum(shared cnt) — so both engines sum identical
+    integers in any order; the only doubles are three final divisions of
+    exact integers. (At extreme corpus scale the cross term needs
+    decimal(38) — tot_a*tot_b overflows bigint past ~3e9 tokens/source;
+    documented upgrade, irrelevant at test SFs.)
+
+    Scale: the unigram relation is vocab-bounded (|sources| x |vocab|
+    rows after one map-side-combined groupBy), so the token self-join and
+    everything after it runs on a bounded relation regardless of corpus
+    size; the final output is |sources|^2 rows. Output: source_a,
+    source_b, n_shared, vocab_jaccard, tvd."""
+    from spatialflink_spark.functions import tokens as T
+    from spatialflink_spark.session import spread
+
+    t = spread(docs).select(
+        "source", F.explode(F.expr(T.spark_tokenize("text"))).alias("tok")
+    )
+    # vocab-bounded: materialize the unigram relation once — tot, both
+    # sides of the token self-join, and the pair scaffold all fan out from
+    # it, and without a barrier each would re-tokenize the whole corpus
+    cnt = (
+        t.groupBy("source", "tok")
+        .agg(F.expr("cast(count(1) as bigint)").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    tot = cnt.groupBy("source").agg(
+        F.expr("cast(sum(cnt) as bigint)").alias("tot"),
+        F.expr("cast(count(1) as bigint)").alias("vocab"),
+    )
+    f = cnt.join(F.broadcast(tot.select("source", "tot")), "source")
+    a = f.select(
+        F.col("source").alias("source_a"),
+        "tok",
+        F.col("cnt").alias("cnt_a"),
+        F.col("tot").alias("tot_a"),
+    )
+    b = f.select(
+        F.col("source").alias("source_b"),
+        "tok",
+        F.col("cnt").alias("cnt_b"),
+        F.col("tot").alias("tot_b"),
+    )
+    shared = (
+        a.join(b, "tok")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.expr("cast(count(1) as bigint)").alias("n_shared"),
+            F.expr(
+                "cast(sum(abs(cnt_a * tot_b - cnt_b * tot_a)) as bigint)"
+            ).alias("s_int"),
+            F.expr("cast(sum(cnt_a) as bigint)").alias("sh_a"),
+            F.expr("cast(sum(cnt_b) as bigint)").alias("sh_b"),
+        )
+    )
+    ta = tot.select(
+        F.col("source").alias("source_a"),
+        F.col("tot").alias("tot_a"),
+        F.col("vocab").alias("vocab_a"),
+    )
+    tb = tot.select(
+        F.col("source").alias("source_b"),
+        F.col("tot").alias("tot_b"),
+        F.col("vocab").alias("vocab_b"),
+    )
+    scaffold = ta.crossJoin(tb).where(F.col("source_a") < F.col("source_b"))
+    return scaffold.join(shared, ["source_a", "source_b"], "left").select(
+        "source_a",
+        "source_b",
+        F.expr("cast(coalesce(n_shared, 0) as bigint)").alias("n_shared"),
+        F.expr(
+            "round(cast(coalesce(n_shared, 0) as double)"
+            " / (vocab_a + vocab_b - coalesce(n_shared, 0)), 6)"
+        ).alias("vocab_jaccard"),
+        F.expr(
+            "round(0.5 * (cast(coalesce(s_int, 0) as double) / (tot_a * tot_b)"
+            " + cast(tot_a - coalesce(sh_a, 0) as double) / tot_a"
+            " + cast(tot_b - coalesce(sh_b, 0) as double) / tot_b), 6)"
+        ).alias("tvd"),
+    )

@@ -481,6 +481,56 @@ def cosine_topk_batch_kmeans(
     return _batch_topk_two_stage(scored, k)
 
 
+def kmeans_label_purity(
+    emb: DataFrame,
+    n_centroids: int = KM_CENTROIDS,
+    iters: int = KM_ITERS,
+) -> DataFrame:
+    """Per-cluster label profile of the learned k-means partition — the
+    SemDeDup-style diagnostic for embedding-space curation: how coherent is
+    each cluster against the ground-truth labels (majority label, its
+    count, purity fraction)? Used to decide whether cluster-level sampling
+    / dedup is safe and which clusters to inspect.
+
+    Composes the deterministic quantized-Lloyd assignment (kmeans_centroids
+    + packed-broadcast argmin, zero shuffle) with a (cid, label)-keyed
+    groupBy — key space n_centroids x |labels|, so everything after the
+    assignment scan is bounded regardless of corpus size. Majority ties
+    break to the smallest label. Output: cid, n_vecs, top_label, n_top,
+    purity."""
+    from pyspark.sql.window import Window
+    from spatialflink_spark.session import spread
+
+    packed = _packed_centroids(
+        kmeans_centroids(emb, n_centroids, iters)
+    ).localCheckpoint(eager=False)
+    base = spread(emb).select(
+        "vec_id", "label", F.expr(_km_quant("embedding")).alias("qv")
+    )
+    assigned = base.crossJoin(F.broadcast(packed)).select(
+        "label", F.expr(_KM_ASSIGN).alias("cid")
+    )
+    per = assigned.groupBy("cid", "label").agg(
+        F.expr("cast(count(1) as bigint)").alias("n")
+    )
+    w = Window.partitionBy("cid").orderBy(F.col("n").desc(), F.col("label").asc())
+    top = (
+        per.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "cid", F.col("label").alias("top_label"), F.col("n").alias("n_top")
+        )
+    )
+    tot = per.groupBy("cid").agg(F.expr("cast(sum(n) as bigint)").alias("n_vecs"))
+    return tot.join(top, "cid").select(
+        "cid",
+        "n_vecs",
+        "top_label",
+        "n_top",
+        F.expr("round(cast(n_top as double) / n_vecs, 6)").alias("purity"),
+    )
+
+
 def build_ivf_index(
     emb: DataFrame,
     path: str,

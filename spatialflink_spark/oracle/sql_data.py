@@ -1065,3 +1065,69 @@ SELECT source_a, source_b,
        CAST(count(DISTINCT doc) AS BIGINT) AS n_docs
 FROM e GROUP BY source_a, source_b
 """
+
+
+def source_vocab_divergence() -> str:
+    """Twin of corpus.source_vocab_divergence — pairwise unigram
+    total-variation distance + vocab Jaccard per unordered source pair.
+    Exact-integer accumulation (|cnt_a*tot_b - cnt_b*tot_a| and shared-mass
+    sums are bigint); only the three final divisions are doubles, with
+    identical operands in both dialects."""
+    tok = T.duck_tokenize("text")
+    return f"""
+WITH t AS (SELECT source, unnest({tok}) AS tok FROM documents),
+cnt AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt
+        FROM t GROUP BY source, tok),
+tot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS tot,
+               CAST(count(*) AS BIGINT) AS vocab
+        FROM cnt GROUP BY source),
+f AS (SELECT c.source, c.tok, c.cnt, tt.tot
+      FROM cnt c JOIN tot tt ON c.source = tt.source),
+sh AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS n_shared,
+         CAST(sum(abs(a.cnt * b.tot - b.cnt * a.tot)) AS BIGINT) AS s_int,
+         CAST(sum(a.cnt) AS BIGINT) AS sh_a,
+         CAST(sum(b.cnt) AS BIGINT) AS sh_b
+  FROM f a JOIN f b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY a.source, b.source
+),
+sc AS (SELECT ta.source AS source_a, ta.tot AS tot_a, ta.vocab AS vocab_a,
+              tb.source AS source_b, tb.tot AS tot_b, tb.vocab AS vocab_b
+       FROM tot ta JOIN tot tb ON ta.source < tb.source)
+SELECT sc.source_a, sc.source_b,
+       CAST(coalesce(n_shared, 0) AS BIGINT) AS n_shared,
+       round(CAST(coalesce(n_shared, 0) AS DOUBLE)
+             / (vocab_a + vocab_b - coalesce(n_shared, 0)), 6) AS vocab_jaccard,
+       round(0.5 * (CAST(coalesce(s_int, 0) AS DOUBLE) / (tot_a * tot_b)
+             + CAST(tot_a - coalesce(sh_a, 0) AS DOUBLE) / tot_a
+             + CAST(tot_b - coalesce(sh_b, 0) AS DOUBLE) / tot_b), 6) AS tvd
+FROM sc LEFT JOIN sh ON sc.source_a = sh.source_a AND sc.source_b = sh.source_b
+"""
+
+
+def kmeans_label_purity(
+    n_centroids: int | None = None, iters: int | None = None
+) -> str:
+    """Twin of similarity.kmeans_label_purity — the same unrolled
+    quantized-Lloyd assignment, then per-cluster majority label (ties to
+    the smallest label) and purity fraction."""
+    from spatialflink_spark.operators.similarity import KM_CENTROIDS, KM_ITERS
+
+    n_centroids = KM_CENTROIDS if n_centroids is None else n_centroids
+    iters = KM_ITERS if iters is None else iters
+    ctes, _ = _kmeans_ctes(n_centroids, iters)
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body},
+per AS (SELECT cid, label, CAST(count(*) AS BIGINT) AS n
+        FROM assigned GROUP BY cid, label),
+top AS (SELECT cid, label AS top_label, n AS n_top FROM (
+          SELECT *, row_number() OVER (PARTITION BY cid
+                                       ORDER BY n DESC, label ASC) AS rn
+          FROM per) WHERE rn = 1),
+tot AS (SELECT cid, CAST(sum(n) AS BIGINT) AS n_vecs FROM per GROUP BY cid)
+SELECT t.cid, t.n_vecs, p.top_label, p.n_top,
+       round(CAST(p.n_top AS DOUBLE) / t.n_vecs, 6) AS purity
+FROM tot t JOIN top p ON t.cid = p.cid
+"""

@@ -353,3 +353,46 @@ def test_source_overlap_consistent_with_pair_kernel(spark):
     for r in m:
         assert r["source_a"] <= r["source_b"]
         assert 0 < r["n_docs"] <= 2 * r["n_pairs"]
+
+
+# ---- source_vocab_divergence ------------------------------------------------
+
+
+def test_source_vocab_divergence_properties(spark):
+    """One row per unordered source pair; tvd in [0,1]; vocab_jaccard in
+    (0,1]; n_shared bounded by either side's vocabulary; and tvd agrees
+    with a pure-python recomputation on a small slice."""
+    from spatialflink_spark.operators.corpus import source_vocab_divergence
+
+    docs = _docs(spark)
+    n_src = docs.select("source").distinct().count()
+    rows = source_vocab_divergence(docs).collect()
+    assert len(rows) == n_src * (n_src - 1) // 2
+    for r in rows:
+        assert r["source_a"] < r["source_b"]
+        assert 0.0 <= r["tvd"] <= 1.0
+        assert 0.0 < r["vocab_jaccard"] <= 1.0
+
+    # python recomputation for the two lexicographically-first sources
+    a, b = sorted({d["source"] for d in docs.select("source").collect()})[:2]
+    texts = {
+        s: [t["text"] for t in docs.where(F.col("source") == s).collect()]
+        for s in (a, b)
+    }
+    from collections import Counter
+
+    ca = Counter(t for x in texts[a] for t in _py_tokenize(x))
+    cb = Counter(t for x in texts[b] for t in _py_tokenize(x))
+    ta, tb = sum(ca.values()), sum(cb.values())
+    tvd = 0.5 * sum(
+        abs(ca.get(t, 0) / ta - cb.get(t, 0) / tb) for t in set(ca) | set(cb)
+    )
+    got = next(
+        r for r in rows if r["source_a"] == a and r["source_b"] == b
+    )
+    assert abs(got["tvd"] - tvd) < 1e-5
+    shared = len(set(ca) & set(cb))
+    assert got["n_shared"] == shared
+    assert abs(
+        got["vocab_jaccard"] - shared / (len(ca) + len(cb) - shared)
+    ) < 1e-5

@@ -342,3 +342,45 @@ def test_kmeans_batch_high_recall_on_clustered_fixture(spark):
         got[r.q_id].add(r.vec_id)
     recalls = [len(exact[q] & got[q]) / len(exact[q]) for q in exact]
     assert sum(recalls) / len(recalls) >= 0.9
+
+
+def test_kmeans_purity_partitions_corpus(spark):
+    """The purity table partitions the corpus: cluster sizes sum to the
+    corpus size, every majority count is consistent (purity = n_top/n_vecs,
+    n_top <= n_vecs, and a cluster's majority count can't exceed the global
+    count of that label), and the profile matches a brute-force pandas
+    recomputation of the same deterministic assignment."""
+    from spatialflink_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    prof = {r.cid: r for r in sim.kmeans_label_purity(emb).collect()}
+    n = emb.count()
+    assert sum(r.n_vecs for r in prof.values()) == n
+    label_tot = dict(
+        emb.groupBy("label").count().rdd.map(lambda r: (r[0], r[1])).collect()
+    )
+    for r in prof.values():
+        assert 0 < r.n_top <= r.n_vecs
+        assert abs(r.purity - r.n_top / r.n_vecs) < 5e-7  # purity is round(,6)
+        assert r.n_top <= label_tot[r.top_label]
+
+    # brute-force recomputation from the packed assignment relation
+    from pyspark.sql import functions as F
+    from collections import Counter
+
+    packed = sim._packed_centroids(sim.kmeans_centroids(emb))
+    assigned = (
+        emb.select("vec_id", "label", F.expr(sim._km_quant("embedding")).alias("qv"))
+        .crossJoin(F.broadcast(packed))
+        .select("label", F.expr(sim._KM_ASSIGN).alias("cid"))
+        .collect()
+    )
+    by_cid: dict[int, Counter] = {}
+    for row in assigned:
+        by_cid.setdefault(row.cid, Counter())[row.label] += 1
+    assert set(by_cid) == set(prof)
+    for cid, c in by_cid.items():
+        top_label = min(c, key=lambda l: (-c[l], l))
+        assert prof[cid].n_vecs == sum(c.values())
+        assert prof[cid].top_label == top_label
+        assert prof[cid].n_top == c[top_label]
