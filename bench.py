@@ -133,6 +133,8 @@ HEADLINE = [
     "source_overlap",
     "source_vocab_divergence",
     "kmeans_purity",
+    "dedup_size_histogram",
+    "vocab_growth",
 ]
 
 

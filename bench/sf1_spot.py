@@ -77,6 +77,8 @@ QUERIES = [
     "source_overlap",
     "source_vocab_divergence",
     "kmeans_purity",
+    "dedup_size_histogram",
+    "vocab_growth",
 ]
 
 # optional subset: SFS_ONLY=a,b,c runs just those queries (re-measuring a

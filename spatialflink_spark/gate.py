@@ -1110,3 +1110,21 @@ def q_kmeans_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spatialflink_spark.operators.similarity import kmeans_label_purity
 
     return kmeans_label_purity(_emb(spark, sf_dir))
+
+
+def q_dedup_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup component-size audit (operators/dedup.dedup_size_histogram):
+    wide pairs -> star components -> size histogram + singleton row.
+    Output: size, n_components, n_docs."""
+    from spatialflink_spark.operators.dedup import dedup_size_histogram
+
+    return dedup_size_histogram(_docs(spark, sf_dir))
+
+
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (operators/corpus.vocab_growth): per-bucket
+    new-token counts, cumulative vocabulary in doc_id order. Output:
+    bucket, first_doc, n_docs, n_new_tokens, cum_vocab."""
+    from spatialflink_spark.operators.corpus import vocab_growth
+
+    return vocab_growth(_docs(spark, sf_dir))

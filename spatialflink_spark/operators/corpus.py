@@ -318,3 +318,51 @@ def source_vocab_divergence(docs: DataFrame) -> DataFrame:
             " + cast(tot_b - coalesce(sh_b, 0) as double) / tot_b), 6)"
         ).alias("tvd"),
     )
+
+
+VOCAB_GROWTH_BUCKET = 100
+
+
+def vocab_growth(docs: DataFrame, bucket: int = VOCAB_GROWTH_BUCKET) -> DataFrame:
+    """Vocabulary growth curve (Heaps-law diagnostic): how many NEW distinct
+    tokens each successive block of `bucket` documents contributes, and the
+    cumulative vocabulary — the saturation signal that tells a curation
+    pipeline when additional data from a source stops adding lexical
+    novelty. "First occurrence" is doc_id order (the corpus's canonical
+    ingest order), ties within a document collapse to the document.
+
+    Scale: one corpus scan -> groupBy(token) min(doc_id) (vocab-bounded,
+    map-side combined); everything after runs on <= |vocab| rows, and the
+    cumulative window orders over |vocab|/bucket buckets — never a
+    corpus-wide sort. Output: bucket, first_doc, n_docs, n_new_tokens,
+    cum_vocab."""
+    from spatialflink_spark.functions import tokens as T
+    from spatialflink_spark.session import spread
+
+    t = spread(docs).select(
+        "doc_id", F.explode(F.expr(T.spark_tokenize("text"))).alias("tok")
+    )
+    first = t.groupBy("tok").agg(F.expr("min(doc_id)").alias("first_doc"))
+    new_per = (
+        first.groupBy(F.expr(f"cast(first_doc div {bucket} as bigint)").alias("bucket"))
+        .agg(F.expr("cast(count(1) as bigint)").alias("n_new_tokens"))
+    )
+    docs_per = docs.groupBy(
+        F.expr(f"cast(doc_id div {bucket} as bigint)").alias("bucket")
+    ).agg(F.expr("cast(count(1) as bigint)").alias("n_docs"))
+    w = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs_per.join(new_per, "bucket", "left")
+        .select(
+            "bucket",
+            F.expr(f"cast(bucket * {bucket} as bigint)").alias("first_doc"),
+            "n_docs",
+            F.expr("cast(coalesce(n_new_tokens, 0) as bigint)").alias(
+                "n_new_tokens"
+            ),
+        )
+        .withColumn("cum_vocab", F.sum("n_new_tokens").over(w).cast("bigint"))
+    )

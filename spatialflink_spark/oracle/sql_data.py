@@ -1131,3 +1131,53 @@ SELECT t.cid, t.n_vecs, p.top_label, p.n_top,
        round(CAST(p.n_top AS DOUBLE) / t.n_vecs, 6) AS purity
 FROM tot t JOIN top p ON t.cid = p.cid
 """
+
+
+def dedup_size_histogram() -> str:
+    """Twin of dedup.dedup_size_histogram — component sizes from the
+    recursive-CTE closure over the wide near-dup pairs, plus the size-1 row
+    for documents untouched by any pair."""
+    return f"""
+WITH comp AS ({dedup_components_wide()}),
+sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS size
+          FROM comp GROUP BY component),
+multi AS (SELECT size, CAST(count(*) AS BIGINT) AS n_components
+          FROM sizes GROUP BY size),
+singles AS (
+  SELECT CAST(1 AS BIGINT) AS size,
+         CAST((SELECT count(*) FROM documents)
+              - (SELECT count(*) FROM comp) AS BIGINT) AS n_components
+),
+u AS (SELECT * FROM multi
+      UNION ALL SELECT * FROM singles WHERE n_components > 0)
+SELECT size, n_components, CAST(size * n_components AS BIGINT) AS n_docs
+FROM u
+"""
+
+
+def vocab_growth(bucket: int | None = None) -> str:
+    """Twin of corpus.vocab_growth — per-bucket new-token counts off the
+    vocab-bounded min-first-doc relation, integer cumulative window."""
+    from spatialflink_spark.operators.corpus import VOCAB_GROWTH_BUCKET
+
+    bucket = VOCAB_GROWTH_BUCKET if bucket is None else bucket
+    tok = T.duck_tokenize("text")
+    return f"""
+WITH t AS (SELECT doc_id, unnest({tok}) AS tok FROM documents),
+first AS (SELECT tok, min(doc_id) AS first_doc FROM t GROUP BY tok),
+new_per AS (SELECT CAST(first_doc // {bucket} AS BIGINT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_new_tokens
+            FROM first GROUP BY 1),
+docs_per AS (SELECT CAST(doc_id // {bucket} AS BIGINT) AS bucket,
+                    CAST(count(*) AS BIGINT) AS n_docs
+             FROM documents GROUP BY 1)
+SELECT d.bucket,
+       CAST(d.bucket * {bucket} AS BIGINT) AS first_doc,
+       d.n_docs,
+       CAST(coalesce(n.n_new_tokens, 0) AS BIGINT) AS n_new_tokens,
+       CAST(sum(coalesce(n.n_new_tokens, 0)) OVER (
+         ORDER BY d.bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_vocab
+FROM docs_per d LEFT JOIN new_per n ON d.bucket = n.bucket
+"""

@@ -396,3 +396,70 @@ def test_source_vocab_divergence_properties(spark):
     assert abs(
         got["vocab_jaccard"] - shared / (len(ca) + len(cb) - shared)
     ) < 1e-5
+
+
+# ---- dedup_size_histogram ---------------------------------------------------
+
+
+def test_dedup_size_histogram_partitions_corpus(spark):
+    """Histogram cells partition the corpus: n_docs sums to the document
+    count, the singleton row complements the paired docs, and multi-doc
+    cells agree with component sizes recomputed from the star kernel."""
+    from collections import Counter
+
+    from spatialflink_spark.operators.dedup import (
+        dedup_components_star,
+        dedup_size_histogram,
+        simhash_wide_dup_pairs,
+    )
+
+    docs = _docs(spark)
+    hist = {r["size"]: r for r in dedup_size_histogram(docs).collect()}
+    n = docs.count()
+    assert sum(r["n_docs"] for r in hist.values()) == n
+    for size, r in hist.items():
+        assert r["n_docs"] == size * r["n_components"]
+        assert r["n_components"] > 0
+
+    comps = dedup_components_star(simhash_wide_dup_pairs(docs)).collect()
+    by_comp = Counter(r["component"] for r in comps)
+    expect = Counter(by_comp.values())
+    for size, cnt in expect.items():
+        assert hist[size]["n_components"] == cnt
+    assert hist[1]["n_components"] == n - len(comps)
+
+
+# ---- vocab_growth -----------------------------------------------------------
+
+
+def test_vocab_growth_matches_python_scan(spark):
+    """cum_vocab is the running distinct-token count in doc_id order;
+    the final bucket's cum_vocab equals the corpus vocabulary; per-bucket
+    doc counts partition the corpus."""
+    from spatialflink_spark.operators.corpus import (
+        VOCAB_GROWTH_BUCKET,
+        vocab_growth,
+    )
+
+    docs = _docs(spark)
+    rows = sorted(vocab_growth(docs).collect(), key=lambda r: r["bucket"])
+    texts = sorted(
+        ((r["doc_id"], r["text"]) for r in docs.collect()), key=lambda x: x[0]
+    )
+    assert sum(r["n_docs"] for r in rows) == len(texts)
+
+    seen: set[int] = set()
+    per_bucket: dict[int, int] = {}
+    for doc_id, text in texts:
+        b = doc_id // VOCAB_GROWTH_BUCKET
+        for t in _py_tokenize(text):
+            if t not in seen:
+                seen.add(t)
+                per_bucket[b] = per_bucket.get(b, 0) + 1
+    cum = 0
+    for r in rows:
+        assert r["n_new_tokens"] == per_bucket.get(r["bucket"], 0)
+        cum += r["n_new_tokens"]
+        assert r["cum_vocab"] == cum
+        assert r["first_doc"] == r["bucket"] * VOCAB_GROWTH_BUCKET
+    assert cum == len(seen)
