@@ -89,6 +89,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_decon_e2e": gate.q_stream_decon_e2e,
         "stream_mix_e2e": gate.q_stream_mix_e2e,
         # ---- 50-entry window boundary. Everything below is r04-green;
+        # ---- stream_vocab_e2e is NEW this round but born below the
+        # ---- boundary (the window is full; locally verified through the
+        # ---- fresh-process driver recipe) — rotate it into the window
+        # ---- next round with the displaced entries ----
+        "stream_vocab_e2e": gate.q_stream_vocab_e2e,
         # ---- the fifteen displaced by this round's fourteen new entries
         # ---- (binfmt_ingest, dedup_exact, geomcollection x3,
         # ---- pack_bins_emit, token_freq_topk, source_length_quantiles,
@@ -235,6 +240,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_knn_e2e": osqla.stream_knn_e2e(),
         "stream_decon_e2e": osqla.stream_decon_e2e(),
         "stream_mix_e2e": osqla.stream_mix_e2e(),
+        "stream_vocab_e2e": osqla.stream_vocab_e2e(),
         "interval_containment_join": osqla.interval_containment_join(),
         "interval_range_count": osqla.interval_range_count(),
         "interval_interval_join": osqla.interval_interval_join(),

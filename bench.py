@@ -82,6 +82,7 @@ HEADLINE = [
     "stream_knn_e2e",
     "stream_decon_e2e",
     "stream_mix_e2e",
+    "stream_vocab_e2e",
     # training-data ops
     "dedup_exact",
     "decontaminate",

@@ -42,6 +42,7 @@ QUERIES = [
     "stream_decon_e2e",
     "stream_knn_e2e",
     "stream_mix_e2e",
+    "stream_vocab_e2e",
     "dedup_components_star",
     "dedup_components",
     "dedup_ngram_jaccard",

@@ -1128,3 +1128,67 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spatialflink_spark.operators.corpus import vocab_growth
 
     return vocab_growth(_docs(spark, sf_dir))
+
+
+def q_stream_vocab_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fifth end-to-end Structured Streaming path — VOCABULARY NOVELTY at
+    ingest: staged replay -> update-mode first-arrival per token (state
+    bounded by |vocab|, streaming/pipeline.stream_vocab_first) -> keyed
+    changelog sink -> MERGE-on-read snapshot (the first gate through
+    sink.read_merged) -> per-closed-window novelty counts + cumulative
+    vocabulary. Oracle = min ts_s per token over the same static table,
+    identical closed-window filter. Output: ws, n_new_tokens, cum_vocab."""
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from spatialflink_spark.sources.streams import (
+        read_sequences_stream,
+        stage_replay_files_cached,
+    )
+    from spatialflink_spark.streaming.pipeline import (
+        run_available_now,
+        stream_vocab_first,
+    )
+    from spatialflink_spark.streaming.sink import ExactlyOnceSink
+
+    root = tempfile.mkdtemp(prefix="sfs_gate_vocab_")
+    replay = stage_replay_files_cached(spark, sf_dir, n_batches=_REPLAY_SLICES)
+    sink = ExactlyOnceSink(f"{root}/out", key_cols=("tok",))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        stream = read_sequences_stream(
+            spark, replay, C.allowed_lateness_s,
+            max_files_per_trigger=_REPLAY_SLICES,
+        )
+        run_available_now(
+            stream_vocab_first(stream),
+            sink.foreach_batch(),
+            f"{root}/ckpt",
+            output_mode="update",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    snap = sink.read_merged(spark)
+    # committed-output discipline: only windows the final watermark sealed
+    # (the same `ws + tumbling <= max(ts_s) - lateness` rule the append-mode
+    # gates get from the engine itself)
+    wl = sequences_cached(spark, sf_dir).agg(
+        F.expr(f"max(ts_s) - {C.allowed_lateness_s}").alias("wlim")
+    )
+    counts = (
+        snap.select(
+            F.expr(
+                f"cast(floor(first_ts_s / {C.tumbling_s}) * {C.tumbling_s} as bigint)"
+            ).alias("ws")
+        )
+        .crossJoin(F.broadcast(wl))
+        .where(F.expr(f"ws + {C.tumbling_s} <= wlim"))
+        .groupBy("ws")
+        .agg(F.expr("cast(count(1) as bigint)").alias("n_new_tokens"))
+    )
+    w = Window.orderBy("ws").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return counts.withColumn(
+        "cum_vocab", F.sum("n_new_tokens").over(w).cast("bigint")
+    )

@@ -802,3 +802,29 @@ ranked AS (
 SELECT ws, q_id, CAST(rank AS INT) AS rank, gc_id, gc_seq, dist
 FROM ranked WHERE rank <= k
 """
+
+
+def stream_vocab_e2e() -> str:
+    """Batch twin of the streaming vocabulary-novelty gate path
+    (q_stream_vocab_e2e): min ts_s per token over the full static table,
+    first-arrival window per token, closed-window filter, novelty counts +
+    cumulative vocabulary."""
+    from spatialflink_spark.config import DEFAULT_CONFIG as C
+    from spatialflink_spark.oracle.sql import _prologue
+
+    return f"""{_prologue()}
+, wm AS (SELECT max(ts_s) - {C.allowed_lateness_s} AS wlim FROM sequences),
+t AS (SELECT unnest(tokens) AS tok, ts_s FROM sequences),
+first AS (SELECT tok, min(ts_s) AS first_ts FROM t GROUP BY tok),
+fw AS (SELECT CAST(floor(first_ts / {C.tumbling_s}) * {C.tumbling_s} AS BIGINT)
+         AS ws
+       FROM first),
+cnt AS (SELECT ws, CAST(count(*) AS BIGINT) AS n_new_tokens
+        FROM fw WHERE ws + {C.tumbling_s} <= (SELECT wlim FROM wm)
+        GROUP BY ws)
+SELECT ws, n_new_tokens,
+       CAST(sum(n_new_tokens) OVER (
+         ORDER BY ws ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS cum_vocab
+FROM cnt
+"""

@@ -448,3 +448,29 @@ def stream_repetition_filter(
             "THEN 1 ELSE 0 END AS INT)"
         ).alias("keep"),
     )
+
+
+# ---- streaming vocabulary novelty --------------------------------------------
+
+def stream_vocab_first(stream: DataFrame) -> DataFrame:
+    """Streaming vocabulary novelty at ingest — the streaming face of
+    corpus.vocab_growth's discovery stage: the running FIRST-ARRIVAL time
+    per distinct token, maintained incrementally by the state store (update
+    mode — each micro-batch emits the tokens whose minimum changed). State
+    is ONE row per distinct token ever seen, bounded by |vocab| regardless
+    of stream length — the same bound that makes the batch op's
+    min-first-doc relation scale-safe. min() is monotone under late data,
+    so a late row can only tighten a token's first arrival and the keyed
+    changelog stays correct; novelty-curve consumption (closed-window
+    counts + cumulative vocabulary) happens batch-side per merged snapshot
+    (sink.read_merged — max-batch_id-wins, the Iceberg MERGE-on-read
+    shape). Output changelog: tok, first_ts_s."""
+    # replay slices arrive as ONE file = ONE task per micro-batch; spread
+    # before the explode + partial min (CLAUDE.md streaming rule)
+    spread_stream = stream.repartition(
+        stream.sparkSession.sparkContext.defaultParallelism
+    )
+    tok = spread_stream.select(F.explode("tokens").alias("tok"), "ts_s")
+    return tok.groupBy("tok").agg(
+        F.expr("cast(min(ts_s) as bigint)").alias("first_ts_s")
+    )

@@ -1380,3 +1380,78 @@ def test_stream_repetition_filter_matches_batch(spark, replay_dir, tmp_path):
     pd.testing.assert_frame_equal(got, batch)
     # both verdicts occur — the thresholds actually split the corpus
     assert set(got.keep.unique()) == {0, 1}
+
+
+def test_stream_vocab_first_matches_batch(spark, replay_dir, tmp_path):
+    """Update-mode first-arrival per token == batch min(ts_s) per token
+    after a full drain, and state is vocabulary-bounded (one emission key
+    per distinct token)."""
+    from pyspark.sql import functions as F
+
+    from spatialflink_spark.streaming.pipeline import stream_vocab_first
+
+    stream = read_sequences_stream(spark, replay_dir, C.allowed_lateness_s)
+    q = (
+        stream_vocab_first(stream)
+        .writeStream.format("memory")
+        .queryName("vocab_first")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode emits a row per (micro-batch, changed token); the final
+    # first-arrival is the MIN across emissions (mins only tighten)
+    got = (
+        spark.sql("select * from vocab_first")
+        .groupBy("tok")
+        .agg(F.min("first_ts_s").alias("first_ts_s"))
+        .toPandas()
+    )
+    batch = (
+        sequences(spark, SF_SMALL)
+        .select(F.explode("tokens").alias("tok"), "ts_s")
+        .groupBy("tok")
+        .agg(F.expr("cast(min(ts_s) as bigint)").alias("first_ts_s"))
+        .toPandas()
+    )
+    merged = got.merge(batch, on="tok", suffixes=("_s", "_b"))
+    assert len(merged) == len(got) == len(batch)
+    assert (merged["first_ts_s_s"] == merged["first_ts_s_b"]).all()
+
+
+def test_stream_vocab_merge_on_read_multibatch(spark, replay_dir, tmp_path):
+    """Multi-batch drain (maxFilesPerTrigger=1) through the keyed changelog
+    sink: read_merged (max-batch_id-wins) must still equal the batch
+    first-arrival table — a later batch only re-emits a token if its min
+    tightened, so the LAST write per key is the global min."""
+    from pyspark.sql import functions as F
+
+    from spatialflink_spark.streaming.pipeline import (
+        run_available_now,
+        stream_vocab_first,
+    )
+
+    stream = read_sequences_stream(
+        spark, replay_dir, C.allowed_lateness_s, max_files_per_trigger=1
+    )
+    sink = ExactlyOnceSink(str(tmp_path / "out"), key_cols=("tok",))
+    run_available_now(
+        stream_vocab_first(stream),
+        sink.foreach_batch(),
+        str(tmp_path / "ckpt2"),
+        output_mode="update",
+    )
+    assert len(sink.committed_batches()) > 1, "fixture must span > 1 batch"
+    got = sink.read_merged(spark).select("tok", "first_ts_s").toPandas()
+    batch = (
+        sequences(spark, SF_SMALL)
+        .select(F.explode("tokens").alias("tok"), "ts_s")
+        .groupBy("tok")
+        .agg(F.expr("cast(min(ts_s) as bigint)").alias("first_ts_s"))
+        .toPandas()
+    )
+    merged = got.merge(batch, on="tok", suffixes=("_s", "_b"))
+    assert len(merged) == len(got) == len(batch)
+    assert (merged["first_ts_s_s"] == merged["first_ts_s_b"]).all()
