@@ -89,11 +89,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_decon_e2e": gate.q_stream_decon_e2e,
         "stream_mix_e2e": gate.q_stream_mix_e2e,
         # ---- 50-entry window boundary. Everything below is r04-green;
-        # ---- stream_vocab_e2e is NEW this round but born below the
-        # ---- boundary (the window is full; locally verified through the
-        # ---- fresh-process driver recipe) — rotate it into the window
-        # ---- next round with the displaced entries ----
+        # ---- stream_vocab_e2e and length_quality_corr are NEW this round
+        # ---- but born below the boundary (the window is full; locally
+        # ---- verified through the fresh-process driver recipe) — rotate
+        # ---- them into the window next round with the displaced entries --
         "stream_vocab_e2e": gate.q_stream_vocab_e2e,
+        "length_quality_corr": gate.q_length_quality_corr,
         # ---- the fifteen displaced by this round's fourteen new entries
         # ---- (binfmt_ingest, dedup_exact, geomcollection x3,
         # ---- pack_bins_emit, token_freq_topk, source_length_quantiles,
@@ -215,6 +216,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_purity": osqld.kmeans_label_purity(),
         "dedup_size_histogram": osqld.dedup_size_histogram(),
         "vocab_growth": osqld.vocab_growth(),
+        "length_quality_corr": osqld.length_quality_corr(),
         "token_counts": osqld.token_counts(),
         "doc_fingerprint": osqld.fingerprint(),
         "pack_sequences": osql.pack_sequences(),

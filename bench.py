@@ -136,6 +136,7 @@ HEADLINE = [
     "kmeans_purity",
     "dedup_size_histogram",
     "vocab_growth",
+    "length_quality_corr",
 ]
 
 

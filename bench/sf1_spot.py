@@ -80,6 +80,7 @@ QUERIES = [
     "kmeans_purity",
     "dedup_size_histogram",
     "vocab_growth",
+    "length_quality_corr",
 ]
 
 # optional subset: SFS_ONLY=a,b,c runs just those queries (re-measuring a

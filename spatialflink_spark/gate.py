@@ -1192,3 +1192,13 @@ def q_stream_vocab_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.withColumn(
         "cum_vocab", F.sum("n_new_tokens").over(w).cast("bigint")
     )
+
+
+def q_length_quality_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source length/quality Pearson correlation
+    (operators/corpus.length_quality_corr): exact-bigint moment sums, one
+    map-side-combined groupBy. Output: source, n_docs, mean_words,
+    mean_quality, corr_len_quality."""
+    from spatialflink_spark.operators.corpus import length_quality_corr
+
+    return length_quality_corr(_docs(spark, sf_dir))

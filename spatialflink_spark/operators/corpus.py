@@ -366,3 +366,59 @@ def vocab_growth(docs: DataFrame, bucket: int = VOCAB_GROWTH_BUCKET) -> DataFram
         )
         .withColumn("cum_vocab", F.sum("n_new_tokens").over(w).cast("bigint"))
     )
+
+
+CORR_QSCALE = 10_000
+
+
+def length_quality_corr(docs: DataFrame) -> DataFrame:
+    """Per-source Pearson correlation between document length (words) and
+    the quality heuristic — the threshold-coupling diagnostic: a source
+    where quality is mostly a length proxy needs decoupled filters, one
+    where they're independent doesn't.
+
+    Deterministic across engines WITHOUT floating sums: quality (already
+    round(,6) and bit-identical in both dialects) is quantized to an
+    integer (* CORR_QSCALE, round), then every accumulation is an exact
+    bigint sum (n, Σx, Σy, Σx², Σy², Σxy — order-free); the final Pearson
+    assembly is a handful of IEEE-pinned double ops (*, -, /, sqrt are all
+    correctly rounded) on identical operands. Zero-variance sides yield
+    NULL by integer compare, not NaN. (Bigint headroom: n·Σy² stays below
+    2^63 up to ~10M docs/source at this QSCALE; past that the sums move to
+    decimal(38) — same upgrade note as source_vocab_divergence.)
+
+    Scale: one scan + one map-side-combined groupBy(source); output is
+    |sources| rows. Output: source, n_docs, mean_words, mean_quality,
+    corr_len_quality."""
+    from spatialflink_spark.operators.text import with_quality
+    from spatialflink_spark.session import spread
+
+    q = with_quality(spread(docs).select("doc_id", "source", "text"))
+    v = q.select(
+        "source",
+        F.expr("cast(n_words as bigint)").alias("x"),
+        F.expr(f"cast(round(quality * {CORR_QSCALE}) as bigint)").alias("y"),
+    )
+    agg = v.groupBy("source").agg(
+        F.expr("cast(count(1) as bigint)").alias("n"),
+        F.expr("cast(sum(x) as bigint)").alias("sx"),
+        F.expr("cast(sum(y) as bigint)").alias("sy"),
+        F.expr("cast(sum(x * x) as bigint)").alias("sxx"),
+        F.expr("cast(sum(y * y) as bigint)").alias("syy"),
+        F.expr("cast(sum(x * y) as bigint)").alias("sxy"),
+    )
+    return agg.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.expr("round(cast(sx as double) / n, 6)").alias("mean_words"),
+        F.expr(f"round(cast(sy as double) / n / {CORR_QSCALE}, 6)").alias(
+            "mean_quality"
+        ),
+        F.expr(
+            "case when n * sxx - sx * sx = 0 or n * syy - sy * sy = 0 "
+            "then cast(null as double) else "
+            "round(cast(n * sxy - sx * sy as double) / "
+            "sqrt(cast(n * sxx - sx * sx as double) "
+            "* cast(n * syy - sy * sy as double)), 6) end"
+        ).alias("corr_len_quality"),
+    )

@@ -1181,3 +1181,36 @@ SELECT d.bucket,
          AS cum_vocab
 FROM docs_per d LEFT JOIN new_per n ON d.bucket = n.bucket
 """
+
+
+def length_quality_corr() -> str:
+    """Twin of corpus.length_quality_corr — exact-bigint moment sums over
+    the shared quality CTE, IEEE-pinned final Pearson assembly."""
+    from spatialflink_spark.operators.corpus import CORR_QSCALE
+
+    return f"""
+WITH {_quality_ctes(extra_cols="source")},
+v AS (SELECT source, CAST(n_words AS BIGINT) AS x,
+             CAST(round(quality * {CORR_QSCALE}) AS BIGINT) AS y
+      FROM q),
+agg AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM v GROUP BY source
+)
+SELECT source, n AS n_docs,
+       round(CAST(sx AS DOUBLE) / n, 6) AS mean_words,
+       round(CAST(sy AS DOUBLE) / n / {CORR_QSCALE}, 6) AS mean_quality,
+       CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+            THEN CAST(NULL AS DOUBLE) ELSE
+         round(CAST(n * sxy - sx * sy AS DOUBLE) /
+               sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+       END AS corr_len_quality
+FROM agg
+"""

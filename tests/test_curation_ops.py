@@ -463,3 +463,47 @@ def test_vocab_growth_matches_python_scan(spark):
         assert r["cum_vocab"] == cum
         assert r["first_doc"] == r["bucket"] * VOCAB_GROWTH_BUCKET
     assert cum == len(seen)
+
+
+# ---- length_quality_corr ----------------------------------------------------
+
+
+def test_length_quality_corr_matches_python(spark):
+    """Per-source Pearson r against a pure-python recomputation from the
+    same quality table (quantized identically), and r in [-1, 1]."""
+    import math
+
+    from spatialflink_spark.operators.corpus import (
+        CORR_QSCALE,
+        length_quality_corr,
+    )
+    from spatialflink_spark.operators.text import with_quality
+
+    docs = _docs(spark)
+    got = {r["source"]: r for r in length_quality_corr(docs).collect()}
+    base = with_quality(docs.select("doc_id", "source", "text")).select(
+        "source", "n_words", "quality"
+    ).collect()
+    by_src: dict[str, list[tuple[int, int]]] = {}
+    for r in base:
+        # Spark round() is HALF_UP; python round() is HALF_EVEN
+        y = int(math.floor(r["quality"] * CORR_QSCALE + 0.5))
+        by_src.setdefault(r["source"], []).append((r["n_words"], y))
+    assert set(by_src) == set(got)
+    for src, pts in by_src.items():
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        syy = sum(y * y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        r = got[src]
+        assert r["n_docs"] == n
+        assert abs(r["mean_words"] - sx / n) < 5e-7
+        vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+        if vx == 0 or vy == 0:
+            assert r["corr_len_quality"] is None
+        else:
+            want = (n * sxy - sx * sy) / math.sqrt(vx * vy)
+            assert abs(r["corr_len_quality"] - want) < 5e-7
+            assert -1.0 <= r["corr_len_quality"] <= 1.0
