@@ -1455,3 +1455,57 @@ def test_stream_vocab_merge_on_read_multibatch(spark, replay_dir, tmp_path):
     merged = got.merge(batch, on="tok", suffixes=("_s", "_b"))
     assert len(merged) == len(got) == len(batch)
     assert (merged["first_ts_s_s"] == merged["first_ts_s_b"]).all()
+
+
+def test_stream_vocab_resume_from_checkpoint(spark, replay_dir, tmp_path):
+    """Kill the update-mode vocabulary-novelty stream after its first
+    commit; resume from the same checkpoint and drain. The per-token min
+    state lives in the checkpoint, so the MERGE-on-read snapshot across the
+    kill/restart boundary must equal the batch first-arrival table —
+    exactly-once for the update-mode changelog family."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from spatialflink_spark.streaming.pipeline import (
+        run_available_now,
+        stream_vocab_first,
+    )
+
+    sink = ExactlyOnceSink(str(tmp_path / "out"), key_cols=("tok",))
+    ckpt = str(tmp_path / "ckpt")
+    stream = read_sequences_stream(spark, replay_dir, C.allowed_lateness_s)
+    q = (
+        stream_vocab_first(stream)
+        .writeStream.foreachBatch(sink.foreach_batch())
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    deadline = time.time() + 60
+    while time.time() < deadline and not sink.committed_batches():
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(30)
+    assert len(sink.committed_batches()) >= 1
+
+    stream2 = read_sequences_stream(spark, replay_dir, C.allowed_lateness_s)
+    run_available_now(
+        stream_vocab_first(stream2),
+        sink.foreach_batch(),
+        ckpt,
+        output_mode="update",
+    )
+
+    got = sink.read_merged(spark).select("tok", "first_ts_s").toPandas()
+    batch = (
+        sequences(spark, SF_SMALL)
+        .select(F.explode("tokens").alias("tok"), "ts_s")
+        .groupBy("tok")
+        .agg(F.expr("cast(min(ts_s) as bigint)").alias("first_ts_s"))
+        .toPandas()
+    )
+    merged = got.merge(batch, on="tok", suffixes=("_s", "_b"))
+    assert len(merged) == len(got) == len(batch)
+    assert (merged["first_ts_s_s"] == merged["first_ts_s_b"]).all()
