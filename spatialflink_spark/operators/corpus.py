@@ -422,3 +422,40 @@ def length_quality_corr(docs: DataFrame) -> DataFrame:
             "* cast(n * syy - sy * sy as double)), 6) end"
         ).alias("corr_len_quality"),
     )
+
+
+def source_profile_approx(seq: DataFrame) -> DataFrame:
+    """SKETCH face of the per-source profile — the single-pass form a
+    petabyte run uses where the exact ops are the small-scale verifiers
+    (the posture this module's header documents, delivered): t-digest
+    quantiles (`percentile_approx`) for the length distribution and
+    HyperLogLog++ (`approx_count_distinct`) for the per-source vocabulary,
+    one map-side-combined groupBy, mergeable state, NO exact count
+    distribution or distinct set ever materialized.
+
+    Deliberately NOT gate-graded: sketch outputs are implementation-defined
+    (accuracy-bounded, not value-pinned), so no bit-identical DuckDB twin
+    can exist — tests/test_curation_ops.py bounds it against the exact
+    source_length_quantiles + a distinct count instead.
+    Output: source, n_rows, p50, p90, p99, approx_vocab."""
+    # quantiles must weight each ROW once, so aggregate rows and exploded
+    # tokens separately: rows for the t-digest, tokens for the HLL
+    tok = seq.select("source", F.explode("tokens").alias("tok"))
+    lengths = seq.groupBy("source").agg(
+        F.expr("cast(count(1) as bigint)").alias("n_rows"),
+        F.expr("percentile_approx(n_tok, array(0.5, 0.9, 0.99), 10000)").alias("_q"),
+    )
+    vocab = tok.groupBy("source").agg(
+        F.expr("cast(approx_count_distinct(tok) as bigint)").alias("approx_vocab")
+    )
+    return (
+        lengths.join(vocab, "source")
+        .select(
+            "source",
+            "n_rows",
+            F.expr("_q[0]").alias("p50"),
+            F.expr("_q[1]").alias("p90"),
+            F.expr("_q[2]").alias("p99"),
+            "approx_vocab",
+        )
+    )

@@ -507,3 +507,43 @@ def test_length_quality_corr_matches_python(spark):
             want = (n * sxy - sx * sy) / math.sqrt(vx * vy)
             assert abs(r["corr_len_quality"] - want) < 5e-7
             assert -1.0 <= r["corr_len_quality"] <= 1.0
+
+
+# ---- source_profile_approx (sketch face) ------------------------------------
+
+
+def test_source_profile_approx_bounded_by_exact(spark):
+    """The single-pass sketch profile is accuracy-bounded by the exact
+    verifiers: approx quantiles within the length distribution's observed
+    span per source (t-digest with accuracy 10000 is exact-ish at this
+    cardinality), approx vocabulary within 5% relative error of the exact
+    distinct count."""
+    from spatialflink_spark.operators.corpus import (
+        source_length_quantiles,
+        source_profile_approx,
+    )
+    from spatialflink_spark.sources.sequences import sequences
+    from tests.conftest import SF_SMALL
+
+    seq = sequences(spark, SF_SMALL)
+    approx = {r["source"]: r for r in source_profile_approx(seq).collect()}
+    exact = {r["source"]: r for r in source_length_quantiles(seq).collect()}
+    exact_vocab = {
+        r["source"]: r["v"]
+        for r in seq.select("source", F.explode("tokens").alias("tok"))
+        .groupBy("source")
+        .agg(F.expr("count(distinct tok)").alias("v"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for src, a in approx.items():
+        e = exact[src]
+        assert a["n_rows"] == e["n_rows"]
+        # t-digest at accuracy 10000 over a few hundred rows: quantile must
+        # land within the exact [p50, p99] span with generous slack
+        for q in ("p50", "p90", "p99"):
+            assert e["p50"] * 0.5 <= a[q] <= e["p99"] * 1.5, (src, q)
+        # ordered like a quantile vector
+        assert a["p50"] <= a["p90"] <= a["p99"]
+        ev = exact_vocab[src]
+        assert abs(a["approx_vocab"] - ev) <= max(2, 0.05 * ev), (src, ev)
