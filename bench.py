@@ -137,6 +137,10 @@ HEADLINE = [
     "dedup_size_histogram",
     "vocab_growth",
     "length_quality_corr",
+    # final round-5 additions: PII scrub / LM rarity / SemDeDup
+    "pii_redact",
+    "unigram_rarity",
+    "semantic_dedup",
 ]
 
 

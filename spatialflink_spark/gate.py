@@ -1202,3 +1202,30 @@ def q_length_quality_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spatialflink_spark.operators.corpus import length_quality_corr
 
     return length_quality_corr(_docs(spark, sf_dir))
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass (operators/text.pii_redact): deterministic
+    in-plan entity injection (the csv_ingest malformed-line trick), then
+    count + redact emails / IPv4s / phones via portable RE2∩Java regexes —
+    pure per-row codegen, zero shuffles. Output: doc_id, n_emails, n_ips,
+    n_phones, n_pii, red_len, red_hash."""
+    return text_ops.pii_redact(_docs(spark, sf_dir))
+
+
+def q_unigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM rarity score (operators/corpus.unigram_rarity): log-free
+    CCNet-style unigram filtering signal — exact-integer inverse-frequency
+    sums over a vocab-bounded broadcast count join. Output: doc_id, n_tok,
+    rarity_sum, rarity_mean, n_hapax."""
+    from spatialflink_spark.operators.corpus import unigram_rarity
+
+    return unigram_rarity(_docs(spark, sf_dir))
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic near-dup pruning (operators/similarity
+    .semantic_dedup): learned k-means clusters bound the pairwise-cosine
+    stage to within-cluster equi-joins; min-id keeper rule. Output:
+    vec_id, cid, keep."""
+    return sim_ops.semantic_dedup(_emb(spark, sf_dir))

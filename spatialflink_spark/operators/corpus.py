@@ -459,3 +459,54 @@ def source_profile_approx(seq: DataFrame) -> DataFrame:
             "approx_vocab",
         )
     )
+
+
+RARITY_SCALE = 1_000_000_000
+
+
+def unigram_rarity(docs: DataFrame) -> DataFrame:
+    """Corpus-LM document rarity score — the log-free analog of CCNet-style
+    unigram-LM perplexity filtering (Wenzek et al. 2020): score each doc by
+    the mean INVERSE corpus frequency of its tokens. log(p) is deliberately
+    avoided (not bit-pinned across engines — same rationale as
+    token_diversity's Shannon exclusion); floor(RARITY_SCALE / count) is an
+    exact bigint per token, so the per-doc accumulation is an
+    order-insensitive integer sum and the only double is one final
+    division. High score = rare-token-heavy (candidate noise), low score =
+    common-token soup — the two tails a curation pipeline clips.
+
+    Scale (100 TB): the count relation is VOCAB-bounded after one map-side-
+    combined groupBy, so the join back onto the exploded token stream is a
+    BROADCAST at any corpus size; the per-doc sum is a second map-side-
+    combined groupBy keyed by doc_id. Two bounded shuffles, zero Python.
+    Output: doc_id, n_tok, rarity_sum, rarity_mean, n_hapax."""
+    from spatialflink_spark.functions import tokens as T
+    from spatialflink_spark.session import spread
+
+    toks = spread(docs).select(
+        "doc_id", F.expr(T.spark_tokenize("text")).alias("_t")
+    )
+    t = toks.select("doc_id", F.explode("_t").alias("tok"))
+    cnt = t.groupBy("tok").agg(F.expr("cast(count(1) as bigint)").alias("c"))
+    j = t.join(F.broadcast(cnt), "tok")
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.expr("cast(count(1) as bigint)").alias("n_tok"),
+            F.expr(
+                f"cast(sum(cast(floor({RARITY_SCALE} / c) as bigint)) as bigint)"
+            ).alias("rarity_sum"),
+            F.expr(
+                "cast(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) as bigint)"
+            ).alias("n_hapax"),
+        )
+        .select(
+            "doc_id",
+            "n_tok",
+            "rarity_sum",
+            F.expr(
+                "round(cast(rarity_sum as double) / n_tok, 6)"
+            ).alias("rarity_mean"),
+            "n_hapax",
+        )
+    )

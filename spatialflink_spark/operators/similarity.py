@@ -739,3 +739,67 @@ def cosine_topk_batch_ann(
         F.expr(_cos_expr("embedding", "q_emb")).alias("cos_sim"),
     )
     return _batch_topk_two_stage(scored, k)
+
+
+SEMDEDUP_THRESHOLD = DUP_COS_THRESHOLD
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = SEMDEDUP_THRESHOLD,
+    n_centroids: int = KM_CENTROIDS,
+    iters: int = KM_ITERS,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate pruning via
+    k-means clustering — pairwise cosine is computed only WITHIN a
+    cluster, and a vector is dropped when a lower-id member of its own
+    cluster is cosine-similar above `threshold` (the deterministic min-id
+    keeper rule; greedy single-pass exactly as published, not a transitive
+    closure — two dups split across cluster boundaries are deliberately
+    both kept, that is the documented recall/cost trade of the method).
+
+    Scale (100 TB): the centroid fit + assignment reuse the shuffle-free
+    broadcast-argmin kernel (kmeans_centroids); the only pairwise stage is
+    the within-cluster self-join on the cid equi-key, O(sum s_i^2) — at
+    scale n_centroids grows with the corpus so s_i stays bounded (the
+    paper runs 50k clusters for LAION-scale), and the join is a plain
+    equi-shuffle on cid, never a cross join. `assigned` is materialized
+    once (lazy localCheckpoint) because it feeds BOTH sides of the
+    self-join — without the barrier the Lloyd chain would execute twice.
+    Output: vec_id, cid, keep."""
+    from spatialflink_spark.session import spread
+
+    packed = _packed_centroids(
+        kmeans_centroids(emb, n_centroids, iters)
+    ).localCheckpoint(eager=False)
+    base = spread(emb).select(
+        "vec_id", "embedding", F.expr(_km_quant("embedding")).alias("qv")
+    )
+    assigned = (
+        base.crossJoin(F.broadcast(packed))
+        .select("vec_id", "embedding", F.expr(_KM_ASSIGN).alias("cid"))
+        .localCheckpoint(eager=False)
+    )
+    left = assigned.select(
+        F.col("cid").alias("cid"),
+        F.col("vec_id").alias("l_vec"),
+        F.col("embedding").alias("l_emb"),
+    )
+    right = assigned.select(
+        F.col("cid").alias("cid"),
+        F.col("vec_id").alias("r_vec"),
+        F.col("embedding").alias("r_emb"),
+    )
+    drops = (
+        left.join(right, "cid")
+        .where(F.col("l_vec") < F.col("r_vec"))
+        .where(F.expr(_cos_expr("l_emb", "r_emb")) >= threshold)
+        .select(F.col("r_vec").alias("vec_id"))
+        .distinct()
+        .withColumn("_drop", F.lit(True))
+    )
+    return assigned.join(drops, "vec_id", "left").select(
+        "vec_id",
+        F.col("cid").cast("int").alias("cid"),
+        F.expr("NOT coalesce(_drop, false)").alias("keep"),
+    )

@@ -337,3 +337,85 @@ def quality_filter(docs: DataFrame) -> DataFrame:
     from spatialflink_spark.session import spread
 
     return with_quality_filter(spread(docs).select("doc_id", "text")).drop("text")
+
+
+# ---------------------------------------------------------------------------
+# PII redaction — the scrubbing pass every public-corpus pipeline runs
+# (emails / phone numbers / IPv4 addresses, cf. the C4 and BigScience ROOTS
+# cleaning recipes). The synthetic corpus carries no real PII, so the gate
+# INJECTS deterministic entities in-plan (the same trick csv_ingest uses for
+# malformed lines) — the redaction kernel is exercised on text where the
+# expected counts are provable from doc_id alone.
+#
+# Regexes are written in the RE2 ∩ java.util.regex portable subset: no
+# backslash classes (character classes like [0-9] and [.] instead), no
+# anchors, no backrefs — the same pattern string runs identically in Spark
+# (Java regex) and DuckDB (RE2).
+PII_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+[a-z]"
+PII_IP_RE = "[0-9]{1,3}([.][0-9]{1,3}){3}"
+PII_PHONE_RE = "555-[0-9]{3}-[0-9]{4}"
+
+
+def pii_inject_sql(str_t: str) -> str:
+    """Deterministic PII injection: docs with doc_id % 3 == 0 get an email,
+    % 5 == 0 a phone, % 7 == 0 an IPv4 (doc 0 gets all three). `str_t` is
+    the dialect's string type name ('string' for Spark, 'varchar' for
+    DuckDB) — everything else is shared SQL."""
+    c = f"cast(doc_id as {str_t})"
+    return (
+        "concat(text,"
+        f" CASE WHEN doc_id % 3 = 0 THEN concat(' mail user', {c},"
+        " '@example.com') ELSE '' END,"
+        " CASE WHEN doc_id % 5 = 0 THEN concat(' call 555-',"
+        f" lpad(cast(doc_id % 1000 as {str_t}), 3, '0'), '-',"
+        f" lpad(cast(doc_id % 10000 as {str_t}), 4, '0')) ELSE '' END,"
+        " CASE WHEN doc_id % 7 = 0 THEN concat(' host 10.',"
+        f" cast(doc_id % 256 as {str_t}), '.', cast(doc_id % 250 as {str_t}),"
+        f" '.', cast(doc_id % 97 as {str_t})) ELSE '' END)"
+    )
+
+
+def pii_redact(docs: DataFrame) -> DataFrame:
+    """Count and redact PII entities (email -> <EMAIL>, IPv4 -> <IP>,
+    phone -> <PHONE>) over the injected text. Pure per-row regex codegen —
+    zero shuffles, trivially scale-safe; the redacted text is graded by its
+    portable rolling hash + length so the oracle never ships long strings.
+    Output: doc_id, n_emails, n_ips, n_phones, n_pii, red_len, red_hash."""
+    from spatialflink_spark.session import spread
+
+    d = spread(docs).select(
+        "doc_id", F.expr(pii_inject_sql("string")).alias("txt")
+    )
+    counted = d.select(
+        "doc_id",
+        "txt",
+        F.expr(
+            f"size(regexp_extract_all(txt, '{PII_EMAIL_RE}', 0))"
+        ).cast("bigint").alias("n_emails"),
+        F.expr(
+            f"size(regexp_extract_all(txt, '{PII_IP_RE}', 0))"
+        ).cast("bigint").alias("n_ips"),
+        F.expr(
+            f"size(regexp_extract_all(txt, '{PII_PHONE_RE}', 0))"
+        ).cast("bigint").alias("n_phones"),
+    )
+    red = counted.select(
+        "doc_id",
+        "n_emails",
+        "n_ips",
+        "n_phones",
+        F.expr(
+            f"regexp_replace(regexp_replace(regexp_replace(txt,"
+            f" '{PII_EMAIL_RE}', '<EMAIL>'), '{PII_IP_RE}', '<IP>'),"
+            f" '{PII_PHONE_RE}', '<PHONE>')"
+        ).alias("red"),
+    )
+    return red.select(
+        "doc_id",
+        "n_emails",
+        "n_ips",
+        "n_phones",
+        F.expr("n_emails + n_ips + n_phones").alias("n_pii"),
+        F.length("red").cast("bigint").alias("red_len"),
+        F.expr(T.spark_str_hash("red")).alias("red_hash"),
+    )

@@ -1214,3 +1214,94 @@ SELECT source, n AS n_docs,
        END AS corr_len_quality
 FROM agg
 """
+
+
+def pii_redact() -> str:
+    """Twin of text.pii_redact — injected entities, RE2∩Java portable
+    regexes; DuckDB needs the explicit 'g' flag where Spark's
+    regexp_replace is global by default."""
+    from spatialflink_spark.operators.text import (
+        PII_EMAIL_RE,
+        PII_IP_RE,
+        PII_PHONE_RE,
+        pii_inject_sql,
+    )
+
+    inj = pii_inject_sql("varchar")
+    return f"""
+WITH d AS (SELECT doc_id, {inj} AS txt FROM documents),
+c AS (
+  SELECT doc_id, txt,
+         CAST(len(regexp_extract_all(txt, '{PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+         CAST(len(regexp_extract_all(txt, '{PII_IP_RE}')) AS BIGINT) AS n_ips,
+         CAST(len(regexp_extract_all(txt, '{PII_PHONE_RE}')) AS BIGINT) AS n_phones
+  FROM d
+),
+r AS (
+  SELECT doc_id, n_emails, n_ips, n_phones,
+         regexp_replace(regexp_replace(regexp_replace(txt,
+           '{PII_EMAIL_RE}', '<EMAIL>', 'g'), '{PII_IP_RE}', '<IP>', 'g'),
+           '{PII_PHONE_RE}', '<PHONE>', 'g') AS red
+  FROM c
+)
+SELECT doc_id, n_emails, n_ips, n_phones,
+       n_emails + n_ips + n_phones AS n_pii,
+       CAST(length(red) AS BIGINT) AS red_len,
+       {T.duck_str_hash('red')} AS red_hash
+FROM r
+"""
+
+
+def unigram_rarity() -> str:
+    """Twin of corpus.unigram_rarity — exact-integer rarity sum, one final
+    double division (floor-before-bigint-cast per the dialect contract)."""
+    from spatialflink_spark.operators.corpus import RARITY_SCALE
+
+    tok = T.duck_tokenize("text")
+    return f"""
+WITH t AS (SELECT doc_id, unnest({tok}) AS tok FROM documents),
+cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY tok),
+j AS (SELECT t.doc_id, cnt.c FROM t JOIN cnt USING (tok)),
+a AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_tok,
+         CAST(sum(CAST(floor({RARITY_SCALE} / c) AS BIGINT)) AS BIGINT)
+           AS rarity_sum,
+         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+  FROM j GROUP BY doc_id
+)
+SELECT doc_id, n_tok, rarity_sum,
+       round(CAST(rarity_sum AS DOUBLE) / n_tok, 6) AS rarity_mean,
+       n_hapax
+FROM a
+"""
+
+
+def semantic_dedup(
+    threshold: float | None = None,
+    n_centroids: int | None = None,
+    iters: int | None = None,
+) -> str:
+    """Twin of similarity.semantic_dedup — the shared Lloyd CTE chain, then
+    the within-cluster min-id-keeper drop rule."""
+    from spatialflink_spark.operators.similarity import (
+        KM_CENTROIDS,
+        KM_ITERS,
+        SEMDEDUP_THRESHOLD,
+    )
+
+    threshold = SEMDEDUP_THRESHOLD if threshold is None else threshold
+    n_centroids = KM_CENTROIDS if n_centroids is None else n_centroids
+    iters = KM_ITERS if iters is None else iters
+    ctes, _ = _kmeans_ctes(n_centroids, iters)
+    cte_block = ",\n".join(ctes)
+    return f"""
+WITH {cte_block},
+drops AS (
+  SELECT DISTINCT r.vec_id
+  FROM assigned l JOIN assigned r ON l.cid = r.cid AND l.vec_id < r.vec_id
+  WHERE {_duck_cos('l.embedding', 'r.embedding')} >= {threshold}
+)
+SELECT a.vec_id, CAST(a.cid AS INT) AS cid, (d.vec_id IS NULL) AS keep
+FROM assigned a LEFT JOIN drops d ON a.vec_id = d.vec_id
+"""

@@ -547,3 +547,131 @@ def test_source_profile_approx_bounded_by_exact(spark):
         assert a["p50"] <= a["p90"] <= a["p99"]
         ev = exact_vocab[src]
         assert abs(a["approx_vocab"] - ev) <= max(2, 0.05 * ev), (src, ev)
+
+
+def _py_str_hash(s: str) -> int:
+    from spatialflink_spark.config import HASH_MOD
+
+    a = 0
+    for c in s:
+        a = (a * 31 + ord(c)) % HASH_MOD
+    return a
+
+
+def test_pii_redact_hand_fixture_and_completeness(spark):
+    """Hand fixture with known entities: counts match, and the redacted
+    hash equals a pure-Python re.sub mirror — which also proves the
+    redaction is COMPLETE (the mirror's output provably contains no
+    remaining match)."""
+    import re as _re
+
+    from spatialflink_spark.operators.text import (
+        PII_EMAIL_RE,
+        PII_IP_RE,
+        PII_PHONE_RE,
+        pii_redact,
+    )
+
+    rows = [
+        # doc_id 1: no injection (1 % {3,5,7} != 0), hand-written PII
+        (1, "reach bob.smith+x@mail-host.org or 10.1.2.3 or 555-123-4567 ok"),
+        # doc_id 2: clean
+        (2, "plain text with numbers 123 and dots . but no entities"),
+        # doc_id 105 = 3*5*7: all three injected by the operator itself
+        (105, "word soup body"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in pii_redact(df).collect()}
+
+    assert (out[1]["n_emails"], out[1]["n_ips"], out[1]["n_phones"]) == (1, 1, 1)
+    assert (out[2]["n_emails"], out[2]["n_ips"], out[2]["n_phones"]) == (0, 0, 0)
+    assert (out[105]["n_emails"], out[105]["n_ips"], out[105]["n_phones"]) == (
+        1, 1, 1,
+    )
+    assert out[105]["n_pii"] == 3
+
+    # python mirror of inject + redact for every row
+    for doc_id, text in rows:
+        t = text
+        if doc_id % 3 == 0:
+            t += f" mail user{doc_id}@example.com"
+        if doc_id % 5 == 0:
+            t += f" call 555-{doc_id % 1000:03d}-{doc_id % 10000:04d}"
+        if doc_id % 7 == 0:
+            t += f" host 10.{doc_id % 256}.{doc_id % 250}.{doc_id % 97}"
+        red = _re.sub(PII_EMAIL_RE, "<EMAIL>", t)
+        red = _re.sub(PII_IP_RE, "<IP>", red)
+        red = _re.sub(PII_PHONE_RE, "<PHONE>", red)
+        assert out[doc_id]["red_hash"] == _py_str_hash(red), doc_id
+        assert out[doc_id]["red_len"] == len(red), doc_id
+        # completeness: nothing PII-shaped survives in the mirror output
+        for pat in (PII_EMAIL_RE, PII_IP_RE, PII_PHONE_RE):
+            assert not _re.search(pat, red), (doc_id, pat)
+
+
+def test_unigram_rarity_matches_python(spark):
+    """rarity_sum / n_hapax vs a pure-Python mirror of the portable
+    tokenizer + corpus counts at sf0.001."""
+    import math
+
+    from spatialflink_spark.operators.corpus import RARITY_SCALE, unigram_rarity
+
+    docs = _docs(spark).select("doc_id", "text").collect()
+    toks = {r["doc_id"]: _py_tokenize(r["text"]) for r in docs}
+    cnt = Counter(t for ts in toks.values() for t in ts)
+    out = {r["doc_id"]: r for r in unigram_rarity(_docs(spark)).collect()}
+    assert set(out) == set(toks)
+    for doc_id, ts in toks.items():
+        exp_sum = sum(math.floor(RARITY_SCALE / cnt[t]) for t in ts)
+        assert out[doc_id]["n_tok"] == len(ts)
+        assert out[doc_id]["rarity_sum"] == exp_sum, doc_id
+        assert out[doc_id]["n_hapax"] == sum(1 for t in ts if cnt[t] == 1)
+
+
+def test_semantic_dedup_drop_rule_exact(spark):
+    """Given the operator's own cluster assignment, keep/drop must match
+    the published rule exactly: drop x iff some lower-id member of x's
+    cluster has round-6 cosine >= threshold (left-to-right fold mirror of
+    the engine's cosine)."""
+    from spatialflink_spark.operators.similarity import (
+        SEMDEDUP_THRESHOLD,
+        semantic_dedup,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    res = semantic_dedup(emb)
+    # the within-cluster stage must be an equi-join, never a cross product
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+    rows = res.collect()
+    assert len(rows) == len(vecs)
+
+    def cos6(a, b):
+        dot = 0.0
+        for x, y in zip(a, b):
+            dot += float(x) * float(y)
+        na = 0.0
+        for x in a:
+            na += float(x) * float(x)
+        nb = 0.0
+        for y in b:
+            nb += float(y) * float(y)
+        return round(dot / (na**0.5 * nb**0.5), 6)
+
+    by_cid: dict[int, list[int]] = {}
+    for r in rows:
+        by_cid.setdefault(r["cid"], []).append(r["vec_id"])
+    keep = {r["vec_id"]: r["keep"] for r in rows}
+    n_dropped = 0
+    for cid, members in by_cid.items():
+        members.sort()
+        for i, v in enumerate(members):
+            has_lower_dup = any(
+                cos6(vecs[u], vecs[v]) >= SEMDEDUP_THRESHOLD
+                for u in members[:i]
+            )
+            assert keep[v] == (not has_lower_dup), (cid, v)
+            n_dropped += has_lower_dup
+    assert n_dropped > 0, "fixture produced no semantic dups — vacuous"
