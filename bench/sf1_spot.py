@@ -81,6 +81,15 @@ QUERIES = [
     "dedup_size_histogram",
     "vocab_growth",
     "length_quality_corr",
+    # final round-5 additions — pii_redact/unigram_rarity verify the
+    # per-row regex and vocab-broadcast shuffles stay linear;
+    # semantic_dedup runs with the gate's FIXED n_centroids=8, so its
+    # within-cluster pair stage grows ~100x at 10x data BY CONSTRUCTION
+    # (production scales n_centroids with the corpus — the row documents
+    # the fixed-k operating point, not a plan defect)
+    "pii_redact",
+    "unigram_rarity",
+    "semantic_dedup",
 ]
 
 # optional subset: SFS_ONLY=a,b,c runs just those queries (re-measuring a
