@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": gate.q_pii_redact,
         "unigram_rarity": gate.q_unigram_rarity,
         "semantic_dedup": gate.q_semantic_dedup,
+        "bigram_lift": gate.q_bigram_lift,
         # -- NEW this round (never driver-graded): selection / repetition /
         # -- diversity / boilerplate / keep-best / shard layout --
         "doc_repetition": gate.q_doc_repetition,
@@ -75,7 +76,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": gate.q_token_counts,
         "doc_fingerprint": gate.q_fingerprint,
         "pack_sequences": gate.q_pack_sequences,
-        "media_features": gate.q_media_features,
         "range_approx": gate.q_range_approx,
         "trajectory_restricted": gate.q_trajectory_restricted,
         "fence_speed_alert": gate.q_fence_speed_alert,
@@ -103,7 +103,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- curation_pipeline / dedup_keep_best / dedup_size_histogram /
         # ---- source_overlap compose the wide-pair + star-components
         # ---- chain), and all three were re-verified through the
-        # ---- fresh-process driver recipe at sf0.01 after displacement --
+        # ---- fresh-process driver recipe at sf0.01 after displacement.
+        # ---- media_features was displaced by bigram_lift: multimodal.py
+        # ---- is unchanged since its r4 judge re-verification and the
+        # ---- entry was re-verified through the same fresh-process recipe
+        # ---- after displacement --
+        "media_features": gate.q_media_features,
         "cosine_topk_ivf_kmeans": gate.q_cosine_topk_ivf_kmeans,
         "cosine_topk_batch_kmeans": gate.q_cosine_topk_batch_kmeans,
         "dedup_components_wide": gate.q_dedup_components_wide,
@@ -234,6 +239,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": osqld.pii_redact(),
         "unigram_rarity": osqld.unigram_rarity(),
         "semantic_dedup": osqld.semantic_dedup(),
+        "bigram_lift": osqld.bigram_lift_topk(),
         "token_counts": osqld.token_counts(),
         "doc_fingerprint": osqld.fingerprint(),
         "pack_sequences": osql.pack_sequences(),

@@ -137,10 +137,11 @@ HEADLINE = [
     "dedup_size_histogram",
     "vocab_growth",
     "length_quality_corr",
-    # final round-5 additions: PII scrub / LM rarity / SemDeDup
+    # final round-5 additions: PII scrub / LM rarity / SemDeDup / lift
     "pii_redact",
     "unigram_rarity",
     "semantic_dedup",
+    "bigram_lift",
 ]
 
 

@@ -90,6 +90,9 @@ QUERIES = [
     "pii_redact",
     "unigram_rarity",
     "semantic_dedup",
+    # bigram relation is support-pruned before joins; verifies the encoded
+    # single-bigint bigram shuffle stays linear in token volume
+    "bigram_lift",
 ]
 
 # optional subset: SFS_ONLY=a,b,c runs just those queries (re-measuring a

@@ -1229,3 +1229,13 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage to within-cluster equi-joins; min-id keeper rule. Output:
     vec_id, cid, keep."""
     return sim_ops.semantic_dedup(_emb(spark, sf_dir))
+
+
+def q_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining (operators/corpus.bigram_lift_topk): top-k
+    adjacent-token bigrams by log-free lift over encoded-bigint bigram
+    counts — support-pruned, vocab-broadcast joins, TakeOrderedAndProject
+    cut. Output: rank, tok_a, tok_b, c_xy, c_x, c_y, lift."""
+    from spatialflink_spark.operators.corpus import bigram_lift_topk
+
+    return bigram_lift_topk(_docs(spark, sf_dir))

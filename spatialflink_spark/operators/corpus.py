@@ -510,3 +510,98 @@ def unigram_rarity(docs: DataFrame) -> DataFrame:
             "n_hapax",
         )
     )
+
+
+BIGRAM_MIN_SUPPORT = 5
+BIGRAM_TOPK = 20
+
+
+def bigram_lift_topk(
+    docs: DataFrame,
+    min_support: int = BIGRAM_MIN_SUPPORT,
+    k: int = BIGRAM_TOPK,
+) -> DataFrame:
+    """Collocation mining: top-k adjacent token bigrams by LIFT
+    (m * c_xy / (c_x * c_y), the log-free monotone equivalent of PMI —
+    log() excluded as not bit-pinned across engines, same rationale as
+    tfidf_topk_terms). Complements boilerplate_ngrams (document-frequency
+    heavy hitters) with association STRENGTH — the phrase-detection signal
+    a tokenizer-merge or stopword audit reads.
+
+    Bigrams are encoded as ONE bigint key (a * VOCAB_SIZE + b) so the
+    count shuffle carries a primitive key, decoded only for the final k
+    rows. Scale (100 TB): the bigram groupBy is map-side combined and its
+    key space is bounded by min(|V|^2, corpus bigram volume); the
+    min_support filter prunes the relation BEFORE the unigram joins; the
+    unigram count relation is vocab-bounded (broadcast both joins); m and
+    the final cut is TakeOrderedAndProject. m * c_xy needs decimal(38)
+    past ~3e9 bigrams x top-pair counts (same documented upgrade as
+    source_vocab_divergence's cross term).
+    Output: rank, tok_a, tok_b, c_xy, c_x, c_y, lift."""
+    from spatialflink_spark.config import VOCAB_SIZE
+    from spatialflink_spark.functions import tokens as T
+    from spatialflink_spark.session import spread
+
+    toks = spread(docs).select(
+        "doc_id", F.expr(T.spark_tokenize("text")).alias("_t")
+    )
+    # MATERIALIZE before the explode (CLAUDE.md invariant — generate
+    # re-evaluates an inlined producing expression well beyond once/row)
+    bg = (
+        toks.select(
+            F.expr(
+                "CASE WHEN size(_t) >= 2 THEN transform(sequence(1, size(_t) - 1),"
+                f" i -> cast(element_at(_t, i) as bigint) * {VOCAB_SIZE}"
+                " + element_at(_t, i + 1))"
+                " ELSE array() END"
+            ).alias("_bg")
+        )
+        .localCheckpoint(eager=False)
+        .select(F.explode("_bg").alias("bg"))
+    )
+    cxy = bg.groupBy("bg").agg(F.expr("cast(count(1) as bigint)").alias("c_xy"))
+    m = cxy.agg(F.expr("cast(sum(c_xy) as bigint)").alias("m"))
+    # unigram counts from the SAME token relation (vocab-bounded)
+    uni = (
+        toks.select(F.explode("_t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.expr("cast(count(1) as bigint)").alias("c"))
+    )
+    sup = cxy.where(F.col("c_xy") >= min_support).select(
+        "bg",
+        "c_xy",
+        F.expr(f"cast(bg div {VOCAB_SIZE} as int)").alias("tok_a"),
+        F.expr(f"cast(bg % {VOCAB_SIZE} as int)").alias("tok_b"),
+    )
+    scored = (
+        sup.join(
+            F.broadcast(uni.select(F.col("tok").alias("tok_a"),
+                                   F.col("c").alias("c_x"))),
+            "tok_a",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("tok").alias("tok_b"),
+                                   F.col("c").alias("c_y"))),
+            "tok_b",
+        )
+        .crossJoin(F.broadcast(m))
+        .select(
+            "tok_a",
+            "tok_b",
+            "c_xy",
+            "c_x",
+            "c_y",
+            F.expr(
+                "round(cast(m * c_xy as double) / (c_x * c_y), 6)"
+            ).alias("lift"),
+        )
+    )
+    top = scored.orderBy(
+        F.col("lift").desc(), F.col("tok_a").asc(), F.col("tok_b").asc()
+    ).limit(k)
+    return top.withColumn(
+        "rank",
+        F.expr(
+            "row_number() OVER (ORDER BY lift DESC, tok_a ASC, tok_b ASC)"
+        ).cast("int"),
+    ).select("rank", "tok_a", "tok_b", "c_xy", "c_x", "c_y", "lift")

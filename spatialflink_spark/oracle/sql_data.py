@@ -1305,3 +1305,56 @@ drops AS (
 SELECT a.vec_id, CAST(a.cid AS INT) AS cid, (d.vec_id IS NULL) AS keep
 FROM assigned a LEFT JOIN drops d ON a.vec_id = d.vec_id
 """
+
+
+def bigram_lift_topk(
+    min_support: int | None = None, k: int | None = None
+) -> str:
+    """Twin of corpus.bigram_lift_topk — encoded-bigint bigram counts,
+    log-free lift, bounded final cut."""
+    from spatialflink_spark.config import VOCAB_SIZE
+    from spatialflink_spark.operators.corpus import (
+        BIGRAM_MIN_SUPPORT,
+        BIGRAM_TOPK,
+    )
+
+    min_support = BIGRAM_MIN_SUPPORT if min_support is None else min_support
+    k = BIGRAM_TOPK if k is None else k
+    tok = T.duck_tokenize("text")
+    V = VOCAB_SIZE
+    return f"""
+WITH t AS (SELECT doc_id, {tok} AS _t FROM documents),
+bg AS (
+  SELECT unnest(CASE WHEN len(_t) >= 2
+    THEN list_transform(range(1, len(_t)),
+                        i -> CAST(_t[i] AS BIGINT) * {V} + _t[i + 1])
+    ELSE CAST([] AS BIGINT[]) END) AS bg
+  FROM t
+),
+cxy AS (SELECT bg, CAST(count(*) AS BIGINT) AS c_xy FROM bg GROUP BY bg),
+m AS (SELECT CAST(sum(c_xy) AS BIGINT) AS m FROM cxy),
+uc AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(_t) AS tok FROM t) GROUP BY tok
+),
+sup AS (
+  SELECT bg, c_xy, CAST(bg // {V} AS INT) AS tok_a,
+         CAST(bg % {V} AS INT) AS tok_b
+  FROM cxy WHERE c_xy >= {min_support}
+),
+s AS (
+  SELECT sup.tok_a, sup.tok_b, sup.c_xy, ua.c AS c_x, ub.c AS c_y,
+         round(CAST(m.m * sup.c_xy AS DOUBLE) / (ua.c * ub.c), 6) AS lift
+  FROM sup
+  JOIN uc ua ON sup.tok_a = ua.tok
+  JOIN uc ub ON sup.tok_b = ub.tok
+  CROSS JOIN m
+),
+r AS (
+  SELECT *, row_number() OVER (
+    ORDER BY lift DESC, tok_a ASC, tok_b ASC) AS rank
+  FROM s
+)
+SELECT CAST(rank AS INT) AS rank, tok_a, tok_b, c_xy, c_x, c_y, lift
+FROM r WHERE rank <= {k}
+"""

@@ -675,3 +675,40 @@ def test_semantic_dedup_drop_rule_exact(spark):
             assert keep[v] == (not has_lower_dup), (cid, v)
             n_dropped += has_lower_dup
     assert n_dropped > 0, "fixture produced no semantic dups — vacuous"
+
+
+def test_bigram_lift_matches_python(spark):
+    """Full-result equivalence vs a pure-Python mirror (counts, lift,
+    ordering) at sf0.001, plus key-encoding round-trip."""
+    from spatialflink_spark.config import VOCAB_SIZE
+    from spatialflink_spark.operators.corpus import (
+        BIGRAM_MIN_SUPPORT,
+        BIGRAM_TOPK,
+        bigram_lift_topk,
+    )
+
+    docs = _docs(spark).select("doc_id", "text").collect()
+    uni: Counter = Counter()
+    big: Counter = Counter()
+    for r in docs:
+        ts = _py_tokenize(r["text"])
+        uni.update(ts)
+        big.update(zip(ts, ts[1:]))
+    m = sum(big.values())
+    scored = [
+        (round(m * c / (uni[a] * uni[b]), 6), a, b, c)
+        for (a, b), c in big.items()
+        if c >= BIGRAM_MIN_SUPPORT
+    ]
+    scored.sort(key=lambda t: (-t[0], t[1], t[2]))
+    exp = scored[:BIGRAM_TOPK]
+
+    out = bigram_lift_topk(_docs(spark)).collect()
+    assert len(out) == len(exp)
+    for row, (lift, a, b, c) in zip(sorted(out, key=lambda r: r["rank"]), exp):
+        assert (row["tok_a"], row["tok_b"]) == (a, b), row
+        assert row["c_xy"] == c
+        assert row["c_x"] == uni[a] and row["c_y"] == uni[b]
+        assert row["lift"] == lift
+        # encoding round-trip stays in range
+        assert 0 <= a < VOCAB_SIZE and 0 <= b < VOCAB_SIZE
