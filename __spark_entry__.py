@@ -114,6 +114,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components_wide": gate.q_dedup_components_wide,
         "stream_vocab_e2e": gate.q_stream_vocab_e2e,
         "length_quality_corr": gate.q_length_quality_corr,
+        # source_card is NEW (born below the boundary like the two above:
+        # it composes three kernels that are all in-window this round —
+        # quality_filter, pii_redact, and the wide-pair chain — and was
+        # verified through the fresh-process driver recipe at sf0.01)
+        "source_card": gate.q_source_card,
         # ---- the fifteen displaced by this round's fourteen new entries
         # ---- (binfmt_ingest, dedup_exact, geomcollection x3,
         # ---- pack_bins_emit, token_freq_topk, source_length_quantiles,
@@ -240,6 +245,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_rarity": osqld.unigram_rarity(),
         "semantic_dedup": osqld.semantic_dedup(),
         "bigram_lift": osqld.bigram_lift_topk(),
+        "source_card": osqld.source_card(),
         "token_counts": osqld.token_counts(),
         "doc_fingerprint": osqld.fingerprint(),
         "pack_sequences": osql.pack_sequences(),

@@ -142,6 +142,7 @@ HEADLINE = [
     "unigram_rarity",
     "semantic_dedup",
     "bigram_lift",
+    "source_card",
 ]
 
 

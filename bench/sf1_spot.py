@@ -93,6 +93,9 @@ QUERIES = [
     # bigram relation is support-pruned before joins; verifies the encoded
     # single-bigint bigram shuffle stays linear in token volume
     "bigram_lift",
+    # composes the verdict pass + wide-pair kernel + regex pass; tracks
+    # their combined scaling
+    "source_card",
 ]
 
 # optional subset: SFS_ONLY=a,b,c runs just those queries (re-measuring a

@@ -1239,3 +1239,14 @@ def q_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spatialflink_spark.operators.corpus import bigram_lift_topk
 
     return bigram_lift_topk(_docs(spark, sf_dir))
+
+
+def q_source_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card (operators/corpus.source_card): quality
+    keep rate + wide near-dup contamination + PII incidence composed from
+    the engine's own kernels; |sources|-row output, broadcast assembly.
+    Output: source, n_docs, n_words, keep_rate, neardup_docs,
+    neardup_frac, pii_docs, pii_frac."""
+    from spatialflink_spark.operators.corpus import source_card
+
+    return source_card(_docs(spark, sf_dir))

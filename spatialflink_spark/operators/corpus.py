@@ -605,3 +605,87 @@ def bigram_lift_topk(
             "row_number() OVER (ORDER BY lift DESC, tok_a ASC, tok_b ASC)"
         ).cast("int"),
     ).select("rank", "tok_a", "tok_b", "c_xy", "c_x", "c_y", "lift")
+
+
+def source_card(docs: DataFrame) -> DataFrame:
+    """Per-source DATASET CARD — the one-row-per-source summary a corpus
+    release ships (cf. datasheets/data-cards practice): document and word
+    volume, quality-filter keep rate, near-duplicate contamination, and
+    PII incidence, composed from the engine's own kernels
+    (text.with_quality_filter verdicts, dedup.simhash_wide_dup_pairs wide
+    fingerprints, text.pii_redact counts) so the card can never drift from
+    what the pipeline actually computes.
+
+    Scale (100 TB): each kernel keeps its own bounded shape (per-row
+    verdict pass; banded fingerprint equi-join; per-row regex); everything
+    after them is |sources|-keyed aggregation, and the final assembly
+    joins |sources|-row relations (broadcast). Exact integer sums, three
+    final double divisions.
+    Output: source, n_docs, n_words, keep_rate, neardup_docs,
+    neardup_frac, pii_docs, pii_frac."""
+    from spatialflink_spark.operators import dedup as dedup_ops
+    from spatialflink_spark.operators.text import pii_redact, with_quality_filter
+    from spatialflink_spark.session import spread
+
+    d = spread(docs).select("doc_id", "source", "text")
+    src = d.select("doc_id", "source")
+
+    qf = with_quality_filter(d.select("doc_id", "text")).select(
+        "doc_id", "n_words", "keep"
+    )
+    base = (
+        qf.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.expr("cast(count(1) as bigint)").alias("n_docs"),
+            F.expr("cast(sum(n_words) as bigint)").alias("n_words"),
+            # keep is an INT flag (qf_flag_sql casts the CASE to int)
+            F.expr("cast(sum(keep) as bigint)").alias("n_keep"),
+        )
+    )
+
+    wp = dedup_ops.simhash_wide_dup_pairs(d)
+    nd = (
+        wp.select(F.col("left_doc").alias("doc_id"))
+        .union(wp.select(F.col("right_doc").alias("doc_id")))
+        .distinct()
+    )
+    nds = (
+        nd.join(src, "doc_id")
+        .groupBy("source")
+        .agg(F.expr("cast(count(1) as bigint)").alias("neardup_docs"))
+    )
+
+    ps = (
+        pii_redact(d.select("doc_id", "text"))
+        .join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.expr(
+                "cast(sum(CASE WHEN n_pii > 0 THEN 1 ELSE 0 END) as bigint)"
+            ).alias("pii_docs")
+        )
+    )
+
+    return (
+        base.join(F.broadcast(nds), "source", "left")
+        .join(F.broadcast(ps), "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_words",
+            F.expr("round(cast(n_keep as double) / n_docs, 6)").alias(
+                "keep_rate"
+            ),
+            F.expr("cast(coalesce(neardup_docs, 0) as bigint)").alias(
+                "neardup_docs"
+            ),
+            F.expr(
+                "round(cast(coalesce(neardup_docs, 0) as double) / n_docs, 6)"
+            ).alias("neardup_frac"),
+            "pii_docs",
+            F.expr("round(cast(pii_docs as double) / n_docs, 6)").alias(
+                "pii_frac"
+            ),
+        )
+    )

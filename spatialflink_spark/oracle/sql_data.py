@@ -1358,3 +1358,50 @@ r AS (
 SELECT CAST(rank AS INT) AS rank, tok_a, tok_b, c_xy, c_x, c_y, lift
 FROM r WHERE rank <= {k}
 """
+
+
+def source_card() -> str:
+    """Twin of corpus.source_card — composes the quality_filter, pii_redact
+    and wide-pair STATEMENTS as CTE bodies (nested WITH scopes, the
+    dedup_components_wide composition pattern) so the card oracle reuses
+    the already-verified kernel twins verbatim."""
+    return f"""
+WITH
+qf AS ({quality_filter()}),
+pii AS ({pii_redact()}),
+wp AS ({simhash_wide_dup_pairs()}),
+nd AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT left_doc AS doc_id FROM wp
+    UNION ALL SELECT right_doc AS doc_id FROM wp
+  )
+),
+base AS (
+  SELECT d.source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(q.n_words) AS BIGINT) AS n_words,
+         CAST(sum(q.keep) AS BIGINT) AS n_keep
+  FROM qf q JOIN documents d USING (doc_id)
+  GROUP BY d.source
+),
+nds AS (
+  SELECT d.source, CAST(count(*) AS BIGINT) AS neardup_docs
+  FROM nd JOIN documents d USING (doc_id) GROUP BY d.source
+),
+ps AS (
+  SELECT d.source,
+         CAST(sum(CASE WHEN p.n_pii > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS pii_docs
+  FROM pii p JOIN documents d USING (doc_id) GROUP BY d.source
+)
+SELECT b.source, b.n_docs, b.n_words,
+       round(CAST(b.n_keep AS DOUBLE) / b.n_docs, 6) AS keep_rate,
+       CAST(coalesce(n.neardup_docs, 0) AS BIGINT) AS neardup_docs,
+       round(CAST(coalesce(n.neardup_docs, 0) AS DOUBLE) / b.n_docs, 6)
+         AS neardup_frac,
+       p.pii_docs,
+       round(CAST(p.pii_docs AS DOUBLE) / b.n_docs, 6) AS pii_frac
+FROM base b
+LEFT JOIN nds n ON b.source = n.source
+JOIN ps p ON b.source = p.source
+"""

@@ -712,3 +712,46 @@ def test_bigram_lift_matches_python(spark):
         assert row["lift"] == lift
         # encoding round-trip stays in range
         assert 0 <= a < VOCAB_SIZE and 0 <= b < VOCAB_SIZE
+
+
+def test_source_card_consistent_with_kernels(spark):
+    """The card must agree with its three source kernels run standalone:
+    total docs partition the corpus, keep_rate == quality_filter keep
+    fraction, neardup_docs == wide-pair id union per source, pii_docs ==
+    pii_redact incidence per source."""
+    from spatialflink_spark.operators.corpus import source_card
+    from spatialflink_spark.operators.dedup import simhash_wide_dup_pairs
+    from spatialflink_spark.operators.text import pii_redact, quality_filter
+
+    docs = _docs(spark)
+    card = {r["source"]: r for r in source_card(docs).collect()}
+    n_total = docs.count()
+    assert sum(r["n_docs"] for r in card.values()) == n_total
+
+    src = {r["doc_id"]: r["source"] for r in docs.select("doc_id", "source").collect()}
+
+    keep = {r["doc_id"]: r["keep"] for r in quality_filter(docs).collect()}
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0])
+    for d, s in src.items():
+        agg[s][0] += 1
+        agg[s][1] += keep[d]
+    for s, (n, k) in agg.items():
+        assert card[s]["n_docs"] == n
+        assert card[s]["keep_rate"] == round(k / n, 6), s
+
+    wp = simhash_wide_dup_pairs(docs).collect()
+    nd_ids = {r["left_doc"] for r in wp} | {r["right_doc"] for r in wp}
+    nd_by_src = defaultdict(int)
+    for d in nd_ids:
+        nd_by_src[src[d]] += 1
+    for s, r in card.items():
+        assert r["neardup_docs"] == nd_by_src.get(s, 0), s
+
+    pii = {r["doc_id"]: r["n_pii"] for r in pii_redact(docs).collect()}
+    pii_by_src = defaultdict(int)
+    for d, n in pii.items():
+        pii_by_src[src[d]] += 1 if n > 0 else 0
+    for s, r in card.items():
+        assert r["pii_docs"] == pii_by_src.get(s, 0), s
