@@ -114,11 +114,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components_wide": gate.q_dedup_components_wide,
         "stream_vocab_e2e": gate.q_stream_vocab_e2e,
         "length_quality_corr": gate.q_length_quality_corr,
-        # source_card is NEW (born below the boundary like the two above:
-        # it composes three kernels that are all in-window this round —
-        # quality_filter, pii_redact, and the wide-pair chain — and was
+        # source_card / dsir_importance are NEW (born below the boundary
+        # like the two above: the window is full; source_card composes
+        # three kernels that are all in-window this round, and both were
         # verified through the fresh-process driver recipe at sf0.01)
         "source_card": gate.q_source_card,
+        "dsir_importance": gate.q_dsir_importance,
         # ---- the fifteen displaced by this round's fourteen new entries
         # ---- (binfmt_ingest, dedup_exact, geomcollection x3,
         # ---- pack_bins_emit, token_freq_topk, source_length_quantiles,
@@ -246,6 +247,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": osqld.semantic_dedup(),
         "bigram_lift": osqld.bigram_lift_topk(),
         "source_card": osqld.source_card(),
+        "dsir_importance": osqld.dsir_importance(),
         "token_counts": osqld.token_counts(),
         "doc_fingerprint": osqld.fingerprint(),
         "pack_sequences": osql.pack_sequences(),

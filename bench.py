@@ -143,6 +143,7 @@ HEADLINE = [
     "semantic_dedup",
     "bigram_lift",
     "source_card",
+    "dsir_importance",
 ]
 
 

@@ -96,6 +96,9 @@ QUERIES = [
     # composes the verdict pass + wide-pair kernel + regex pass; tracks
     # their combined scaling
     "source_card",
+    # bucket-bounded broadcast ratio joins; verifies the hashed-feature
+    # shuffles stay linear
+    "dsir_importance",
 ]
 
 # optional subset: SFS_ONLY=a,b,c runs just those queries (re-measuring a

@@ -1250,3 +1250,13 @@ def q_source_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spatialflink_spark.operators.corpus import source_card
 
     return source_card(_docs(spark, sf_dir))
+
+
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weighting (operators/corpus.dsir_importance):
+    hashed-bigram target/raw frequency ratios against the doc_id % 13
+    probe slice — bucket-bounded broadcast joins, exact-integer per-doc
+    sums. Output: doc_id, is_target, n_feat, imp_sum, imp_mean."""
+    from spatialflink_spark.operators.corpus import dsir_importance
+
+    return dsir_importance(_docs(spark, sf_dir))

@@ -689,3 +689,93 @@ def source_card(docs: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+DSIR_BUCKETS = 10_007
+DSIR_SCALE = 1_000_000
+
+
+def dsir_importance(
+    docs: DataFrame, target_pred: str = "doc_id % 13 = 0"
+) -> DataFrame:
+    """DSIR-style importance signal for data selection (Xie et al. 2023,
+    Data Selection with Importance Resampling): score each document by how
+    much its hashed-BIGRAM feature distribution looks like a target slice
+    (here the deterministic `doc_id % 13 = 0` probe, the same eval-set
+    stand-in decontaminate uses) versus the raw corpus. Log-free variant:
+    per feature the Laplace-smoothed frequency ratio
+    floor(SCALE·(c_t+1)·R1 / ((c_r+1)·T1)) is an exact bigint, so the
+    per-doc accumulation is an order-insensitive integer sum and the
+    score is its mean — a monotone per-feature transform of the published
+    product-of-ratios weight (log() is not bit-pinned across engines; for
+    tail selection the mean-ratio ranking serves the same resampling
+    role, and the variant is documented, not hidden).
+
+    Scale (100 TB): the feature space is HASHED to DSIR_BUCKETS buckets
+    (the paper's own trick), so both count relations and the totals are
+    bucket-bounded — every join is a broadcast at any corpus size; the
+    only corpus-scale shuffles are the two bounded count groupBys and the
+    per-doc sum. The SCALE·c_t·R1 product needs decimal(38) past ~1e13
+    raw features (same documented upgrade as source_vocab_divergence).
+    Output: doc_id, is_target, n_feat, imp_sum, imp_mean."""
+    from spatialflink_spark.config import VOCAB_SIZE
+    from spatialflink_spark.functions import tokens as T
+    from spatialflink_spark.session import spread
+
+    toks = spread(docs).select(
+        "doc_id", F.expr(T.spark_tokenize("text")).alias("_t")
+    )
+    feats = (
+        toks.select(
+            "doc_id",
+            F.expr(
+                "CASE WHEN size(_t) >= 2 THEN transform(sequence(1, size(_t) - 1),"
+                f" i -> (cast(element_at(_t, i) as bigint) * {VOCAB_SIZE}"
+                f" + element_at(_t, i + 1)) % {DSIR_BUCKETS})"
+                " ELSE array() END"
+            ).alias("_f"),
+        )
+        .localCheckpoint(eager=False)
+        .select("doc_id", F.explode("_f").alias("f"))
+    )
+    tgt = feats.where(F.expr(target_pred)).groupBy("f").agg(
+        F.expr("cast(count(1) as bigint)").alias("c_t")
+    )
+    raw = feats.groupBy("f").agg(
+        F.expr("cast(count(1) as bigint)").alias("c_r")
+    )
+    tot = tgt.agg(F.expr("cast(sum(c_t) as bigint)").alias("t_tot")).crossJoin(
+        raw.agg(F.expr("cast(sum(c_r) as bigint)").alias("r_tot"))
+    )
+    j = (
+        feats.join(F.broadcast(tgt), "f", "left")
+        .join(F.broadcast(raw), "f")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.expr(
+                f"cast(floor(cast({DSIR_SCALE} * (coalesce(c_t, 0) + 1)"
+                f" * (r_tot + {DSIR_BUCKETS}) as double)"
+                f" / (cast((c_r + 1) as double) * (t_tot + {DSIR_BUCKETS})))"
+                " as bigint)"
+            ).alias("w"),
+        )
+    )
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.expr("cast(count(1) as bigint)").alias("n_feat"),
+            F.expr("cast(sum(w) as bigint)").alias("imp_sum"),
+        )
+        .select(
+            "doc_id",
+            F.expr("CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END")
+            .cast("int")
+            .alias("is_target"),
+            "n_feat",
+            "imp_sum",
+            F.expr("round(cast(imp_sum as double) / n_feat, 6)").alias(
+                "imp_mean"
+            ),
+        )
+    )

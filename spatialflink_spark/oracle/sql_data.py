@@ -1405,3 +1405,48 @@ FROM base b
 LEFT JOIN nds n ON b.source = n.source
 JOIN ps p ON b.source = p.source
 """
+
+
+def dsir_importance() -> str:
+    """Twin of corpus.dsir_importance — hashed-bigram bucket counts,
+    Laplace-smoothed frequency ratio per feature (same cast structure as
+    the engine expression so both sides perform identical IEEE ops)."""
+    from spatialflink_spark.config import VOCAB_SIZE
+    from spatialflink_spark.operators.corpus import DSIR_BUCKETS, DSIR_SCALE
+
+    tok = T.duck_tokenize("text")
+    V, B, S = VOCAB_SIZE, DSIR_BUCKETS, DSIR_SCALE
+    return f"""
+WITH t AS (SELECT doc_id, {tok} AS _t FROM documents),
+fx AS (
+  SELECT doc_id, unnest(CASE WHEN len(_t) >= 2
+    THEN list_transform(range(1, len(_t)),
+         i -> (CAST(_t[i] AS BIGINT) * {V} + _t[i + 1]) % {B})
+    ELSE CAST([] AS BIGINT[]) END) AS f
+  FROM t
+),
+tgt AS (SELECT f, CAST(count(*) AS BIGINT) AS c_t
+        FROM fx WHERE doc_id % 13 = 0 GROUP BY f),
+raw AS (SELECT f, CAST(count(*) AS BIGINT) AS c_r FROM fx GROUP BY f),
+tot AS (SELECT (SELECT CAST(sum(c_t) AS BIGINT) FROM tgt) AS t_tot,
+               (SELECT CAST(sum(c_r) AS BIGINT) FROM raw) AS r_tot),
+j AS (
+  SELECT ff.doc_id,
+         CAST(floor(
+           CAST({S} * (coalesce(tg.c_t, 0) + 1) * (tot.r_tot + {B}) AS DOUBLE)
+           / (CAST((rw.c_r + 1) AS DOUBLE) * (tot.t_tot + {B}))
+         ) AS BIGINT) AS w
+  FROM fx ff
+  LEFT JOIN tgt tg ON ff.f = tg.f
+  JOIN raw rw ON ff.f = rw.f
+  CROSS JOIN tot
+),
+a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feat,
+             CAST(sum(w) AS BIGINT) AS imp_sum
+      FROM j GROUP BY doc_id)
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END AS INT) AS is_target,
+       n_feat, imp_sum,
+       round(CAST(imp_sum AS DOUBLE) / n_feat, 6) AS imp_mean
+FROM a
+"""

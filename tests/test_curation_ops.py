@@ -755,3 +755,51 @@ def test_source_card_consistent_with_kernels(spark):
         pii_by_src[src[d]] += 1 if n > 0 else 0
     for s, r in card.items():
         assert r["pii_docs"] == pii_by_src.get(s, 0), s
+
+
+def test_dsir_importance_matches_python_and_separates(spark):
+    """Exact python mirror of the hashed-bigram ratio sums at sf0.001,
+    plus the behavioral property the op exists for: target-slice docs
+    must score higher on average than raw docs."""
+    import math
+
+    from spatialflink_spark.config import VOCAB_SIZE
+    from spatialflink_spark.operators.corpus import (
+        DSIR_BUCKETS,
+        DSIR_SCALE,
+        dsir_importance,
+    )
+
+    docs = _docs(spark).select("doc_id", "text").collect()
+    feats = {}
+    for r in docs:
+        ts = _py_tokenize(r["text"])
+        feats[r["doc_id"]] = [
+            (a * VOCAB_SIZE + b) % DSIR_BUCKETS for a, b in zip(ts, ts[1:])
+        ]
+    tgt: Counter = Counter()
+    raw: Counter = Counter()
+    for d, fs in feats.items():
+        raw.update(fs)
+        if d % 13 == 0:
+            tgt.update(fs)
+    t_tot, r_tot = sum(tgt.values()), sum(raw.values())
+    out = {r["doc_id"]: r for r in dsir_importance(_docs(spark)).collect()}
+    assert set(out) == {d for d, fs in feats.items() if fs}
+    for d, fs in feats.items():
+        if not fs:
+            continue
+        exp = sum(
+            math.floor(
+                (DSIR_SCALE * (tgt.get(f, 0) + 1) * (r_tot + DSIR_BUCKETS))
+                / ((raw[f] + 1) * (t_tot + DSIR_BUCKETS))
+            )
+            for f in fs
+        )
+        assert out[d]["imp_sum"] == exp, d
+        assert out[d]["n_feat"] == len(fs)
+        assert out[d]["is_target"] == (1 if d % 13 == 0 else 0)
+
+    t_means = [r["imp_mean"] for r in out.values() if r["is_target"] == 1]
+    r_means = [r["imp_mean"] for r in out.values() if r["is_target"] == 0]
+    assert sum(t_means) / len(t_means) > sum(r_means) / len(r_means)
