@@ -450,3 +450,40 @@ def test_kmeans_family_no_cartesian_broadcast_centroids(spark):
         s = plans.simple_plan(op(emb))
         assert "CartesianProduct" not in s
         assert "Broadcast" in s, s
+
+
+def test_unigram_rarity_count_join_is_broadcast(spark):
+    """The vocab-bounded count relation must join back as a broadcast —
+    a shuffle join here would shuffle the full exploded token stream."""
+    from spatialflink_spark.operators.corpus import unigram_rarity
+
+    df = unigram_rarity(load_documents(spark, SF_SMALL))
+    assert plans.has_broadcast_join(df), plans.simple_plan(df)
+    assert plans.has_partial_aggregate(df)
+    assert "CartesianProduct" not in plans.simple_plan(df)
+
+
+def test_bigram_lift_joins_broadcast_no_cartesian(spark):
+    """Support-pruned bigram relation joins the two unigram count tables
+    and the one-row total as broadcasts; the final cut must be a bounded
+    TakeOrderedAndProject, never a global sort."""
+    from spatialflink_spark.operators.corpus import bigram_lift_topk
+
+    df = bigram_lift_topk(load_documents(spark, SF_SMALL))
+    p = plans.simple_plan(df)
+    assert plans.has_broadcast_join(df), p
+    assert "CartesianProduct" not in p
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_dsir_count_joins_broadcast(spark):
+    """Both bucket-bounded count relations and the totals row must
+    broadcast — the exploded feature stream never shuffles for the join."""
+    from spatialflink_spark.operators.corpus import dsir_importance
+
+    df = dsir_importance(load_documents(spark, SF_SMALL))
+    p = plans.simple_plan(df)
+    assert plans.has_broadcast_join(df), p
+    assert "CartesianProduct" not in p
+    # per-doc sum keeps its map-side partial
+    assert plans.has_partial_aggregate(df)
