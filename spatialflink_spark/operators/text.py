@@ -351,7 +351,7 @@ def quality_filter(docs: DataFrame) -> DataFrame:
 # backslash classes (character classes like [0-9] and [.] instead), no
 # anchors, no backrefs — the same pattern string runs identically in Spark
 # (Java regex) and DuckDB (RE2).
-PII_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+[a-z]"
+PII_EMAIL_RE = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+[a-z]"  # (?i): Java/RE2/python alike
 PII_IP_RE = "[0-9]{1,3}([.][0-9]{1,3}){3}"
 PII_PHONE_RE = "555-[0-9]{3}-[0-9]{4}"
 

@@ -575,6 +575,8 @@ def test_pii_redact_hand_fixture_and_completeness(spark):
     rows = [
         # doc_id 1: no injection (1 % {3,5,7} != 0), hand-written PII
         (1, "reach bob.smith+x@mail-host.org or 10.1.2.3 or 555-123-4567 ok"),
+        # doc_id 4: uppercase email — (?i) must still catch it
+        (4, "ping Bob.X@Example.COM today"),
         # doc_id 2: clean
         (2, "plain text with numbers 123 and dots . but no entities"),
         # doc_id 105 = 3*5*7: all three injected by the operator itself
@@ -585,6 +587,7 @@ def test_pii_redact_hand_fixture_and_completeness(spark):
 
     assert (out[1]["n_emails"], out[1]["n_ips"], out[1]["n_phones"]) == (1, 1, 1)
     assert (out[2]["n_emails"], out[2]["n_ips"], out[2]["n_phones"]) == (0, 0, 0)
+    assert out[4]["n_emails"] == 1  # case-insensitive match
     assert (out[105]["n_emails"], out[105]["n_ips"], out[105]["n_phones"]) == (
         1, 1, 1,
     )
