@@ -54,7 +54,7 @@ class ExactlyOnceSink:
         return {
             int(f.split(".")[0])
             for f in os.listdir(self.ledger_dir)
-            if f.endswith(".json")
+            if f.endswith(".json") and not f.startswith("compact_")
         }
 
     def _ledger_path(self, batch_id: int) -> str:
@@ -114,24 +114,111 @@ class ExactlyOnceSink:
     def foreach_batch(self):
         return lambda df, bid: self.write_batch(df, bid)
 
+    # -- compaction (Iceberg rewrite_data_files analog) ---------------------
+    def compact_watermark(self) -> int | None:
+        """Highest committed compaction watermark W: the newest
+        `compact=<W>` segment folds every batch <= W."""
+        ws = [
+            int(f[len("compact_"):].split(".")[0])
+            for f in os.listdir(self.ledger_dir)
+            if f.startswith("compact_") and f.endswith(".json")
+        ]
+        return max(ws) if ws else None
+
+    def _segments(self) -> list[tuple[int, str]]:
+        """(effective_batch_id, path) pairs forming the current snapshot:
+        the newest compacted segment (standing in for every batch <= W at
+        effective id W — its rows are already latest-per-key) plus the
+        committed batch dirs above the watermark."""
+        w = self.compact_watermark()
+        batches = sorted(self.committed_batches())
+        segs: list[tuple[int, str]] = []
+        if w is not None:
+            segs.append((w, os.path.join(self.data_dir, f"compact={w}")))
+            batches = [b for b in batches if b > w]
+        segs += [
+            (b, os.path.join(self.data_dir, f"batch_id={b}")) for b in batches
+        ]
+        return segs
+
+    def compact(self, spark: SparkSession) -> dict:
+        """Fold the merge-on-read snapshot into ONE compacted segment and
+        drop the superseded per-batch data dirs — the Iceberg
+        rewrite_data_files/compaction maintenance op. Without it an
+        update-mode changelog's read cost grows linearly with batch count
+        (one dir + one union branch per micro-batch forever); after it,
+        read_merged unions 1 + (batches since W) segments.
+
+        Same crash-safety protocol as write_batch: the compacted segment
+        is VISIBLE ONLY once `_ledger/compact_<W>.json` commits (atomic
+        os.replace) — a crash between data write and commit leaves an
+        invisible dir that the next compact overwrites; a crash between
+        commit and vacuum leaves stale batch dirs that readers already
+        ignore (b > W filter). Batch LEDGER entries are never deleted:
+        lineage history survives and write_batch's replay-skip keeps
+        working unchanged. Idempotent no-op when nothing new to fold."""
+        import shutil
+
+        w_old = self.compact_watermark()
+        batches = sorted(self.committed_batches())
+        if not batches and w_old is None:
+            raise ValueError(f"no committed batches under {self.root}")
+        w = max(batches) if batches else w_old
+        if w_old is not None and w <= w_old:
+            return {"compact_watermark": w_old, "noop": True}
+        out = os.path.join(self.data_dir, f"compact={w}")
+        self.read_merged(spark).write.mode("overwrite").parquet(out)
+        n = spark.read.parquet(out).count()
+        entry = {
+            "compact_watermark": w,
+            "rows": n,
+            "folded_batches": [b for b in batches if b <= w],
+            "folded_compact": w_old,
+            "committed_at": time.time(),
+        }
+        path = os.path.join(self.ledger_dir, f"compact_{w}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(entry, f)
+        os.replace(tmp, path)  # atomic visibility point
+        # vacuum: data superseded by this segment (ledgers retained)
+        for b in batches:
+            if b <= w:
+                shutil.rmtree(
+                    os.path.join(self.data_dir, f"batch_id={b}"),
+                    ignore_errors=True,
+                )
+        if w_old is not None:
+            shutil.rmtree(
+                os.path.join(self.data_dir, f"compact={w_old}"),
+                ignore_errors=True,
+            )
+        return entry
+
+    def compaction_lineage(self) -> list[dict]:
+        out = []
+        for f in sorted(os.listdir(self.ledger_dir)):
+            if f.startswith("compact_") and f.endswith(".json"):
+                with open(os.path.join(self.ledger_dir, f)) as fh:
+                    out.append(json.load(fh))
+        return out
+
     # -- read side ----------------------------------------------------------
     def read_committed(self, spark: SparkSession) -> DataFrame:
-        batches = sorted(self.committed_batches())
-        if not batches:
+        segs = self._segments()
+        if not segs:
             raise ValueError(f"no committed batches under {self.root}")
-        paths = [os.path.join(self.data_dir, f"batch_id={b}") for b in batches]
-        return spark.read.parquet(*paths)
+        return spark.read.parquet(*[p for _, p in segs])
 
     def read_merged(self, spark: SparkSession) -> DataFrame:
         """MERGE-on-read: latest write per key (max batch_id wins) — the
         exact read semantics of an Iceberg `MERGE INTO ... ON key` target fed
         by update-mode output. Append-mode pipelines never write a key twice,
-        so for them read_merged == read_committed."""
+        so for them read_merged == read_committed. Reads the compacted
+        segment (if any) plus post-watermark batches — see compact()."""
         df = None
-        for b in sorted(self.committed_batches()):
-            part = spark.read.parquet(
-                os.path.join(self.data_dir, f"batch_id={b}")
-            ).withColumn("_bid", F.lit(b))
+        for bid, path in self._segments():
+            part = spark.read.parquet(path).withColumn("_bid", F.lit(bid))
             df = part if df is None else df.unionByName(part)
         if df is None:
             raise ValueError(f"no committed batches under {self.root}")

@@ -1509,3 +1509,93 @@ def test_stream_vocab_resume_from_checkpoint(spark, replay_dir, tmp_path):
     merged = got.merge(batch, on="tok", suffixes=("_s", "_b"))
     assert len(merged) == len(got) == len(batch)
     assert (merged["first_ts_s_s"] == merged["first_ts_s_b"]).all()
+
+
+def _mk_batch(spark, bid: int, keys: list[int]):
+    return spark.createDataFrame(
+        [(k, bid * 10 + k) for k in keys], ["k", "v"]
+    )
+
+
+def test_sink_compaction_equivalence_and_vacuum(spark, tmp_path):
+    """compact() must preserve read_merged/read_committed EXACTLY while
+    dropping the superseded per-batch dirs; replay-skip and a second
+    compaction keep working; an idle compaction is a no-op."""
+    from spatialflink_spark.streaming.sink import ExactlyOnceSink
+
+    a = ExactlyOnceSink(str(tmp_path / "a"), key_cols=("k",))
+    b = ExactlyOnceSink(str(tmp_path / "b"), key_cols=("k",))
+    # update-mode style: overlapping keys, later batch wins per key
+    plan = {0: [0, 1, 2], 1: [1, 3], 2: [2, 4, 5], 3: [0, 5, 6]}
+    for bid in (0, 1, 2):
+        a.write_batch(_mk_batch(spark, bid, plan[bid]), bid)
+        b.write_batch(_mk_batch(spark, bid, plan[bid]), bid)
+
+    entry = a.compact(spark)
+    assert entry["compact_watermark"] == 2
+    assert entry["folded_batches"] == [0, 1, 2]
+    # vacuum removed the folded batch dirs; ledgers retained
+    for bid in (0, 1, 2):
+        assert not os.path.exists(str(tmp_path / "a" / "data" / f"batch_id={bid}"))
+    assert a.committed_batches() == {0, 1, 2}
+    assert os.path.exists(str(tmp_path / "a" / "data" / "compact=2"))
+
+    # post-compaction writes land as normal batches
+    a.write_batch(_mk_batch(spark, 3, plan[3]), 3)
+    b.write_batch(_mk_batch(spark, 3, plan[3]), 3)
+
+    def merged(s):
+        return (
+            s.read_merged(spark)
+            .toPandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+
+    pd.testing.assert_frame_equal(merged(a), merged(b))
+    # replay of an already-committed, vacuumed batch must still skip
+    a.write_batch(_mk_batch(spark, 1, plan[1]), 1)
+    assert not os.path.exists(str(tmp_path / "a" / "data" / "batch_id=1"))
+    pd.testing.assert_frame_equal(merged(a), merged(b))
+
+    # second compaction folds the old segment + batch 3, drops both
+    entry2 = a.compact(spark)
+    assert entry2["compact_watermark"] == 3 and entry2["folded_compact"] == 2
+    assert not os.path.exists(str(tmp_path / "a" / "data" / "compact=2"))
+    assert not os.path.exists(str(tmp_path / "a" / "data" / "batch_id=3"))
+    pd.testing.assert_frame_equal(merged(a), merged(b))
+    # nothing new: no-op
+    assert a.compact(spark).get("noop") is True
+    # read_committed sees exactly the snapshot rows too
+    assert a.read_committed(spark).count() == len(merged(b))
+    assert [e["compact_watermark"] for e in a.compaction_lineage()] == [2, 3]
+
+
+def test_sink_compaction_crash_before_commit_is_invisible(spark, tmp_path):
+    """A compacted data dir WITHOUT its ledger entry (crash between data
+    write and commit) must not change what readers see, and the next
+    compact() must overwrite it cleanly."""
+    from spatialflink_spark.streaming.sink import ExactlyOnceSink
+
+    s = ExactlyOnceSink(str(tmp_path / "s"), key_cols=("k",))
+    for bid, keys in {0: [0, 1], 1: [1, 2]}.items():
+        s.write_batch(_mk_batch(spark, bid, keys), bid)
+    before = (
+        s.read_merged(spark).toPandas().sort_values("k").reset_index(drop=True)
+    )
+    # simulate the crash: data written, ledger never committed
+    garbage = _mk_batch(spark, 99, [7, 8, 9])
+    garbage.write.mode("overwrite").parquet(
+        str(tmp_path / "s" / "data" / "compact=1")
+    )
+    after = (
+        s.read_merged(spark).toPandas().sort_values("k").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(before, after)
+    # recovery: a real compact overwrites the orphan and commits
+    entry = s.compact(spark)
+    assert entry["compact_watermark"] == 1
+    final = (
+        s.read_merged(spark).toPandas().sort_values("k").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(before, final)
