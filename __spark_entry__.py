@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # verified through the fresh-process driver recipe at sf0.01)
         "source_card": gate.q_source_card,
         "dsir_importance": gate.q_dsir_importance,
+        "pq_topk_adc": gate.q_pq_topk_adc,
         # ---- the fifteen displaced by this round's fourteen new entries
         # ---- (binfmt_ingest, dedup_exact, geomcollection x3,
         # ---- pack_bins_emit, token_freq_topk, source_length_quantiles,
@@ -248,6 +249,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_lift": osqld.bigram_lift_topk(),
         "source_card": osqld.source_card(),
         "dsir_importance": osqld.dsir_importance(),
+        "pq_topk_adc": osqld.pq_topk_adc(),
         "token_counts": osqld.token_counts(),
         "doc_fingerprint": osqld.fingerprint(),
         "pack_sequences": osql.pack_sequences(),

@@ -144,6 +144,7 @@ HEADLINE = [
     "bigram_lift",
     "source_card",
     "dsir_importance",
+    "pq_topk_adc",
 ]
 
 

@@ -99,6 +99,8 @@ QUERIES = [
     # bucket-bounded broadcast ratio joins; verifies the hashed-feature
     # shuffles stay linear
     "dsir_importance",
+    # per-row encode + broadcast table lookups; Lloyd fit dominates
+    "pq_topk_adc",
 ]
 
 # optional subset: SFS_ONLY=a,b,c runs just those queries (re-measuring a

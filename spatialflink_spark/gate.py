@@ -1260,3 +1260,10 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spatialflink_spark.operators.corpus import dsir_importance
 
     return dsir_importance(_docs(spark, sf_dir))
+
+
+def q_pq_topk_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (operators/similarity.pq_topk_adc):
+    per-subspace quantized-Lloyd codebooks, 3-bit codes, dense broadcast
+    distance table, exact-bigint ADC sums. Output: rank, vec_id, adc."""
+    return sim_ops.pq_topk_adc(_emb(spark, sf_dir))

@@ -803,3 +803,128 @@ def semantic_dedup(
         F.col("cid").cast("int").alias("cid"),
         F.expr("NOT coalesce(_drop, false)").alias("keep"),
     )
+
+
+# ---- Product Quantization (Jégou et al. 2011) -----------------------------
+
+PQ_M = 4          # subspaces (64-dim vectors -> 4 x 16-dim slices)
+PQ_K = 8          # centroids per subspace -> 3-bit codes, m*k = 32 table rows
+PQ_ITERS = KM_ITERS
+
+
+def pq_codebooks(
+    emb: DataFrame, m: int = PQ_M, k: int = PQ_K, iters: int = PQ_ITERS
+) -> DataFrame:
+    """Per-subspace PQ codebooks: (j, cid, cq) — the deterministic
+    quantized-integer Lloyd kernel (kmeans_centroids) run independently on
+    each of the m dimension slices. Output rows: m * k."""
+    d = len(emb.select("embedding").first()["embedding"])
+    assert d % m == 0, (d, m)
+    sub = d // m
+    parts = []
+    for j in range(m):
+        sliced = emb.select(
+            "vec_id",
+            F.expr(f"slice(embedding, {j * sub + 1}, {sub})").alias(
+                "embedding"
+            ),
+        )
+        parts.append(
+            kmeans_centroids(sliced, k, iters).select(
+                F.lit(j).cast("int").alias("j"), "cid", "cq"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _pq_packed(cb: DataFrame) -> DataFrame:
+    """One row: _cb array<struct<j,cid,cq>> sorted by (j, cid) — the
+    broadcastable packed codebook."""
+    return cb.agg(
+        F.expr("array_sort(collect_list(struct(j, cid, cq)))").alias("_cb")
+    )
+
+
+def _pq_code_expr(m: int, sub: int) -> str:
+    """codes array<int>: per subspace, argmin centroid by (sq-L2, cid) over
+    the packed codebook — pure per-row codegen, same shuffle-free shape as
+    _KM_ASSIGN."""
+    dist = (
+        f"aggregate(zip_with(slice(qv, j * {sub} + 1, {sub}), c.cq,"
+        " (a, b) -> (a - b) * (a - b)), cast(0 as bigint), (s, v) -> s + v)"
+    )
+    return (
+        f"transform(sequence(0, {m - 1}), j -> "
+        f"array_min(transform(filter(_cb, c -> c.j = j), "
+        f"c -> struct({dist} as d, c.cid as cid))).cid)"
+    )
+
+
+def pq_topk_adc(
+    emb: DataFrame,
+    k: int = DEFAULT_K,
+    m: int = PQ_M,
+    n_cent: int = PQ_K,
+    iters: int = PQ_ITERS,
+) -> DataFrame:
+    """PQ top-k via Asymmetric Distance Computation: vectors are stored as
+    m small codes (here 4 x 3 bits vs 64 floats — the vector-compression
+    half of the classic IVF+PQ pairing); the query builds ONE m*n_cent
+    distance table and every candidate's distance is m table lookups.
+
+    Everything after quantization is EXACT INTEGER math (squared-L2 in the
+    KM_QSCALE fixed-point domain): codes, the ADC table, and the summed
+    distances are bigints, so both dialects agree bit-for-bit with no
+    rounding contract at all. Scale (100 TB): the codebook (m*n_cent rows)
+    and the distance table (m*n_cent entries, DENSIFIED into one flat
+    array — the nullable-index-inside-transform NPE trap from CLAUDE.md
+    does not apply to a dense j*n_cent+code layout) ride one broadcast
+    row; encoding and scoring are pure per-row codegen; the only
+    corpus-scale operation is the TakeOrderedAndProject final cut. ADC is
+    an approximation of true distance (that is the PQ trade) — the recall
+    test pins it against the exact quantized-L2 ranking.
+    Output: rank, vec_id, adc."""
+    from spatialflink_spark.session import spread
+
+    d = len(emb.select("embedding").first()["embedding"])
+    sub = d // m
+    packed = _pq_packed(pq_codebooks(emb, m, n_cent, iters)).localCheckpoint(
+        eager=False
+    )
+    base = spread(emb).select(
+        "vec_id", F.expr(_km_quant("embedding")).alias("qv")
+    )
+    # query row -> dense ADC table: dt[j * n_cent + cid] = sqL2(q_j, c_jcid)
+    dist = (
+        f"aggregate(zip_with(slice(qv, c.j * {sub} + 1, {sub}), c.cq,"
+        " (a, b) -> (a - b) * (a - b)), cast(0 as bigint), (s, v) -> s + v)"
+    )
+    qrow = (
+        base.where(F.col("vec_id") == QUERY_VEC_ID)
+        .crossJoin(F.broadcast(packed))
+        .select(
+            # _cb is sorted by (j, cid), so transform preserves the dense
+            # j * n_cent + cid order by construction
+            F.expr(f"transform(_cb, c -> {dist})").alias("dt")
+        )
+    )
+    coded = (
+        base.where(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(packed))
+        .select("vec_id", F.expr(_pq_code_expr(m, sub)).alias("codes"))
+    )
+    scored = coded.crossJoin(F.broadcast(qrow)).select(
+        "vec_id",
+        F.expr(
+            f"aggregate(sequence(0, {m - 1}), cast(0 as bigint), (s, j) -> "
+            f"s + element_at(dt, j * {n_cent} + element_at(codes, j + 1) + 1))"
+        ).alias("adc"),
+    )
+    top = scored.orderBy(F.col("adc").asc(), F.col("vec_id").asc()).limit(k)
+    return top.withColumn(
+        "rank",
+        F.expr("row_number() OVER (ORDER BY adc ASC, vec_id ASC)").cast("int"),
+    ).select("rank", "vec_id", "adc")

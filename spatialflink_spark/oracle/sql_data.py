@@ -1450,3 +1450,109 @@ SELECT doc_id,
        round(CAST(imp_sum AS DOUBLE) / n_feat, 6) AS imp_mean
 FROM a
 """
+
+
+def _pq_sub_ctes(j: int, sub: int, k: int, iters: int) -> tuple[list[str], str]:
+    """Per-subspace Lloyd chain over the j-th dimension slice — the
+    _kmeans_ctes shape with p{j}-namespaced CTE names and a sliced q0.
+    Quantize-then-slice == slice-then-quantize (elementwise round), so
+    this matches the engine's shared full-vector quantization."""
+    from spatialflink_spark.operators.similarity import KM_QSCALE
+
+    p = f"p{j}"
+    lo, hi = j * sub + 1, (j + 1) * sub
+    dist = _km_duck_dist
+    ctes = [
+        f"""{p}q0 AS (
+  SELECT vec_id,
+         list_transform(embedding[{lo}:{hi}],
+                        x -> CAST(round(CAST(x AS DOUBLE) * {KM_QSCALE}) AS BIGINT)) AS qv
+  FROM embeddings
+)""",
+        f"{p}c0 AS (SELECT CAST(vec_id AS INT) AS cid, qv AS cq "
+        f"FROM {p}q0 WHERE vec_id < {k})",
+    ]
+    for i in range(1, iters + 1):
+        prev = f"{p}c{i - 1}"
+        ctes.append(f"""{p}a{i} AS (
+  SELECT vec_id, qv, cid FROM (
+    SELECT v.vec_id, v.qv, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {dist('v.qv', 'c.cq')}, c.cid) AS rn
+    FROM {p}q0 v CROSS JOIN {prev} c
+  ) WHERE rn = 1
+)""")
+        ctes.append(f"""{p}u{i} AS (
+  SELECT cid, list(mv ORDER BY pos) AS new_cq FROM (
+    SELECT cid, pos, CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS mv
+    FROM (SELECT cid, unnest(range(1, len(qv) + 1)) AS pos, unnest(qv) AS v FROM {p}a{i})
+    GROUP BY cid, pos
+  ) GROUP BY cid
+)""")
+        ctes.append(
+            f"{p}c{i} AS (SELECT c.cid, coalesce(u.new_cq, c.cq) AS cq "
+            f"FROM {prev} c LEFT JOIN {p}u{i} u ON c.cid = u.cid)"
+        )
+    return ctes, f"{p}c{iters}"
+
+
+def pq_topk_adc(
+    k: int | None = None,
+    m: int | None = None,
+    n_cent: int | None = None,
+    iters: int | None = None,
+    dim: int = 64,
+) -> str:
+    """Twin of similarity.pq_topk_adc — per-subspace Lloyd chains, codes by
+    argmin, dense ADC table join, exact-bigint distance sums (no rounding
+    contract: everything after quantization is integer)."""
+    from spatialflink_spark.operators.similarity import (
+        DEFAULT_K,
+        PQ_ITERS,
+        PQ_K,
+        PQ_M,
+        QUERY_VEC_ID,
+    )
+
+    k = DEFAULT_K if k is None else k
+    m = PQ_M if m is None else m
+    n_cent = PQ_K if n_cent is None else n_cent
+    iters = PQ_ITERS if iters is None else iters
+    sub = dim // m
+    dist = _km_duck_dist
+    all_ctes: list[str] = []
+    code_sel, dt_sel = [], []
+    for j in range(m):
+        ctes, final = _pq_sub_ctes(j, sub, n_cent, iters)
+        all_ctes += ctes
+        code_sel.append(f"""
+  SELECT vec_id, {j} AS j, cid AS code FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {dist('v.qv', 'c.cq')}, c.cid) AS rn
+    FROM p{j}q0 v CROSS JOIN {final} c
+    WHERE v.vec_id <> {QUERY_VEC_ID}
+  ) WHERE rn = 1""")
+        dt_sel.append(f"""
+  SELECT {j} AS j, c.cid, {dist('q.qv', 'c.cq')} AS d
+  FROM p{j}q0 q CROSS JOIN {final} c
+  WHERE q.vec_id = {QUERY_VEC_ID}""")
+    cte_block = ",\n".join(all_ctes)
+    codes = " UNION ALL ".join(code_sel)
+    dtable = " UNION ALL ".join(dt_sel)
+    return f"""
+WITH {cte_block},
+codes AS ({codes}),
+dtable AS ({dtable}),
+adc AS (
+  SELECT c.vec_id, CAST(sum(d.d) AS BIGINT) AS adc
+  FROM codes c JOIN dtable d ON c.j = d.j AND c.code = d.cid
+  GROUP BY c.vec_id
+),
+r AS (
+  SELECT vec_id, adc,
+         row_number() OVER (ORDER BY adc ASC, vec_id ASC) AS rank
+  FROM adc
+)
+SELECT CAST(rank AS INT) AS rank, vec_id, adc FROM r WHERE rank <= {k}
+"""

@@ -384,3 +384,105 @@ def test_kmeans_purity_partitions_corpus(spark):
         assert prof[cid].n_vecs == sum(c.values())
         assert prof[cid].top_label == top_label
         assert prof[cid].n_top == c[top_label]
+
+
+def test_pq_adc_matches_python_mirror_and_floor(spark):
+    """PQ ADC is exact integer math end-to-end: a numpy mirror of the full
+    chain (shared quantization, per-subspace Lloyd from the same init,
+    codes, table, sums) must reproduce every (rank, vec_id, adc) row —
+    plus the random-fixture adversarial recall floor vs exact quantized
+    L2 (random vectors are PQ's worst case: 12-bit codes, no cluster
+    structure; clustered regime asserted below)."""
+    import numpy as np
+
+    from spatialflink_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    rows = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    q = {v: np.round(e * sim.KM_QSCALE).astype(np.int64) for v, e in rows.items()}
+    m, kc, iters, sub = sim.PQ_M, sim.PQ_K, sim.PQ_ITERS, 64 // sim.PQ_M
+
+    def lloyd(slc):
+        cent = {c: slc[c].copy() for c in range(kc)}
+        for _ in range(iters):
+            assign = {}
+            for v, x in slc.items():
+                d = sorted(
+                    (int(((x - cq) ** 2).sum()), c) for c, cq in cent.items()
+                )
+                assign[v] = d[0][1]
+            for c in range(kc):
+                mem = [slc[v] for v, a in assign.items() if a == c]
+                if mem:
+                    cent[c] = np.floor(
+                        np.sum(mem, axis=0).astype(np.float64) / len(mem)
+                    ).astype(np.int64)
+        return cent
+
+    cents = []
+    for j in range(m):
+        cents.append(lloyd({v: x[j * sub : (j + 1) * sub] for v, x in q.items()}))
+    qvec = q[sim.QUERY_VEC_ID]
+    dtab = {
+        (j, c): int(((qvec[j * sub : (j + 1) * sub] - cq) ** 2).sum())
+        for j in range(m)
+        for c, cq in cents[j].items()
+    }
+    adc = {}
+    for v, x in q.items():
+        if v == sim.QUERY_VEC_ID:
+            continue
+        s = 0
+        for j in range(m):
+            d = sorted(
+                (int(((x[j * sub : (j + 1) * sub] - cq) ** 2).sum()), c)
+                for c, cq in cents[j].items()
+            )
+            s += dtab[(j, d[0][1])]
+        adc[v] = s
+    exp = sorted(adc.items(), key=lambda kv: (kv[1], kv[0]))[: sim.DEFAULT_K]
+
+    got = sim.pq_topk_adc(emb).collect()
+    assert [(r.vec_id, r.adc) for r in sorted(got, key=lambda r: r.rank)] == exp
+
+    # adversarial floor: recall vs exact quantized-L2 top-k on random data
+    ex = {
+        v
+        for v, _ in sorted(
+            ((v, int(((x - qvec) ** 2).sum())) for v, x in q.items() if v != 0),
+            key=lambda kv: (kv[1], kv[0]),
+        )[: sim.DEFAULT_K]
+    }
+    recall = len(ex & {r.vec_id for r in got}) / len(ex)
+    assert recall >= 0.1, recall
+
+
+def test_pq_adc_cluster_precision_on_clustered_fixture(spark):
+    """The regime PQ exists for: real cluster structure. On the planted
+    fixture every member of the query's cluster collapses to (nearly) the
+    same code tuple, so PQ identifies the CLUSTER exactly but cannot rank
+    within it (ties break by vec_id — that is the documented granularity
+    of 12-bit codes, the compression trade). The meaningful assertion is
+    cluster-membership PRECISION of the ADC top-k, not element recall:
+    every returned candidate must come from the query's own cluster."""
+    import numpy as np
+
+    from spatialflink_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(7)
+    n, dim, k_clusters = 800, 64, 8
+    rows = []
+    for vid in range(n):
+        c = vid % k_clusters
+        v = np.zeros(dim, dtype=np.float64)
+        v[8 * c : 8 * c + 8] = 1.0 + 0.15 * rng.standard_normal(8)
+        v += 0.05 * rng.standard_normal(dim)
+        rows.append((vid, [float(x) for x in v], c))
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    got = [r.vec_id for r in sim.pq_topk_adc(emb).collect()]
+    assert len(got) == sim.DEFAULT_K
+    # query is vec_id 0 -> cluster 0 (vid % 8 == 0)
+    precision = sum(1 for v in got if v % k_clusters == 0) / len(got)
+    assert precision == 1.0, (precision, got)
