@@ -928,3 +928,121 @@ def pq_topk_adc(
         "rank",
         F.expr("row_number() OVER (ORDER BY adc ASC, vec_id ASC)").cast("int"),
     ).select("rank", "vec_id", "adc")
+
+
+def build_ivfpq_index(
+    emb: DataFrame,
+    path: str,
+    n_centroids: int = KM_CENTROIDS,
+    iters: int = KM_ITERS,
+    m: int = PQ_M,
+    pq_k: int = PQ_K,
+) -> None:
+    """Persist the classic IVF+PQ index (Jégou et al.) — coarse inverted
+    file for I/O pruning + PQ codes for in-memory compression:
+
+    - <path>/centroids: coarse (cid, cq) quantized k-means table
+    - <path>/codebooks: per-subspace PQ codebooks (j, cid, cq)
+    - <path>/corpus:    (vec_id, label, codes) PARTITIONED BY cid — a
+      probe reads only the probed clusters' files, and each row carries
+      m small codes instead of the embedding (here 4 x 3-bit vs 64
+      floats; at 100 TB that is the difference between an index that
+      fits executor memory and one that does not)
+    - <path>/qv:        (vec_id, qv) sidecar, used ONLY for the sandbox's
+      query-by-vec_id convention (one-row lookup); a production server
+      receives the query vector as an argument and this sidecar would
+      not exist — the SEARCH scan touches only the codes corpus
+
+    Codes encode RAW vectors (not residuals), so a FULL-probe search is
+    bit-identical to pq_topk_adc — the equivalence oracle the tests pin.
+    Residual encoding (code the vector minus its coarse centroid) is the
+    production refinement; it changes accuracy, not the plan shape."""
+    coarse = kmeans_centroids(emb, n_centroids, iters).localCheckpoint(
+        eager=False
+    )
+    coarse.write.mode("overwrite").parquet(f"{path}/centroids")
+    cb = pq_codebooks(emb, m, pq_k, iters).localCheckpoint(eager=False)
+    cb.write.mode("overwrite").parquet(f"{path}/codebooks")
+    from spatialflink_spark.session import spread
+
+    d = len(emb.select("embedding").first()["embedding"])
+    sub = d // m
+    base = spread(emb).select(
+        "vec_id", "label", F.expr(_km_quant("embedding")).alias("qv")
+    )
+    base = base.localCheckpoint(eager=False)  # feeds corpus AND qv sidecar
+    assigned = (
+        base.crossJoin(F.broadcast(_packed_centroids(coarse)))
+        .crossJoin(F.broadcast(_pq_packed(cb)))
+        .select(
+            "vec_id",
+            "label",
+            F.expr(_pq_code_expr(m, sub)).alias("codes"),
+            F.expr(_KM_ASSIGN).alias("cid"),
+        )
+    )
+    assigned.write.mode("overwrite").partitionBy("cid").parquet(
+        f"{path}/corpus"
+    )
+    base.select("vec_id", "qv").write.mode("overwrite").parquet(f"{path}/qv")
+
+
+def search_ivfpq_index(
+    spark,
+    path: str,
+    k: int = DEFAULT_K,
+    n_probe: int = KM_PROBE,
+    m: int = PQ_M,
+    pq_k: int = PQ_K,
+) -> DataFrame:
+    """SEARCH over a persisted IVF+PQ index: probe cids are ranked
+    DRIVER-SIDE over the tiny coarse table (python bigints — exact), the
+    ADC distance table is built DRIVER-SIDE from the persisted codebooks
+    (exact integers again) and inlined as one literal array, and the only
+    corpus-wide work is the pruned scan of the probed cid partitions plus
+    m array lookups per row. Full probe == pq_topk_adc exactly."""
+    corpus = spark.read.parquet(f"{path}/corpus")
+    qrows = (
+        spark.read.parquet(f"{path}/qv")
+        .where(F.col("vec_id") == QUERY_VEC_ID)
+        .select("qv")
+        .collect()
+    )
+    if not qrows:
+        raise ValueError(
+            f"search_ivfpq_index: query vec_id {QUERY_VEC_ID} not in {path}"
+        )
+    qv = [int(v) for v in qrows[0]["qv"]]
+    sub = len(qv) // m
+    cents = spark.read.parquet(f"{path}/centroids").collect()
+    ranked = sorted(
+        (sum((a - b) * (a - b) for a, b in zip(qv, row["cq"])), int(row["cid"]))
+        for row in cents
+    )
+    probed_cids = [cid for _, cid in ranked[:n_probe]]
+    cb = spark.read.parquet(f"{path}/codebooks").collect()
+    dt = [0] * (m * pq_k)
+    for row in cb:
+        j, cid = int(row["j"]), int(row["cid"])
+        qs = qv[j * sub : (j + 1) * sub]
+        dt[j * pq_k + cid] = sum(
+            (a - b) * (a - b) for a, b in zip(qs, row["cq"])
+        )
+    dt_lit = ", ".join(f"cast({v} as bigint)" for v in dt)
+    cand = (
+        corpus.where(F.col("cid").isin(probed_cids))
+        .where(F.col("vec_id") != QUERY_VEC_ID)
+        .select(
+            "vec_id",
+            F.expr(
+                f"aggregate(sequence(0, {m - 1}), cast(0 as bigint), (s, j) -> "
+                f"s + element_at(array({dt_lit}), "
+                f"j * {pq_k} + element_at(codes, j + 1) + 1))"
+            ).alias("adc"),
+        )
+    )
+    top = cand.orderBy(F.col("adc").asc(), F.col("vec_id").asc()).limit(k)
+    return top.withColumn(
+        "rank",
+        F.expr("row_number() OVER (ORDER BY adc ASC, vec_id ASC)").cast("int"),
+    ).select("rank", "vec_id", "adc")

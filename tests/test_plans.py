@@ -487,3 +487,39 @@ def test_dsir_count_joins_broadcast(spark):
     assert "CartesianProduct" not in p
     # per-doc sum keeps its map-side partial
     assert plans.has_partial_aggregate(df)
+
+
+def test_ivfpq_index_full_probe_equals_pq_and_prunes(spark, tmp_path):
+    """The persisted IVF+PQ index: (a) FULL-probe search must equal
+    pq_topk_adc bit-for-bit (raw-vector codes, same codebooks, same
+    exact-integer ADC); (b) a partial probe must reach the corpus scan as
+    a cid PARTITION filter (only probed clusters' files are read); (c)
+    the stored row carries codes, never the embedding."""
+    import re
+
+    from spatialflink_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    path = str(tmp_path / "ivfpq")
+    sim.build_ivfpq_index(emb, path)
+
+    full = [
+        (r.rank, r.vec_id, r.adc)
+        for r in sim.search_ivfpq_index(
+            spark, path, n_probe=sim.KM_CENTROIDS
+        ).collect()
+    ]
+    plain = [
+        (r.rank, r.vec_id, r.adc) for r in sim.pq_topk_adc(emb).collect()
+    ]
+    assert full == plain and len(full) == sim.DEFAULT_K
+
+    p = plans.formatted_plan(sim.search_ivfpq_index(spark, path))
+    pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", p)
+    assert any("cid" in f and "IN" in f for f in pf), p
+
+    corpus_cols = spark.read.parquet(f"{path}/corpus").columns
+    assert "codes" in corpus_cols
+    # compression is the point: neither the floats nor the quantized
+    # vectors ride in the scanned corpus — codes only
+    assert "embedding" not in corpus_cols and "qv" not in corpus_cols
