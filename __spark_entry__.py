@@ -114,10 +114,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components_wide": gate.q_dedup_components_wide,
         "stream_vocab_e2e": gate.q_stream_vocab_e2e,
         "length_quality_corr": gate.q_length_quality_corr,
-        # source_card / dsir_importance are NEW (born below the boundary
-        # like the two above: the window is full; source_card composes
-        # three kernels that are all in-window this round, and both were
-        # verified through the fresh-process driver recipe at sf0.01)
+        # source_card / dsir_importance / pq_topk_adc are NEW (born below
+        # the boundary like the two above: the window is full; source_card
+        # composes three kernels that are all in-window this round, and
+        # all three were verified through the fresh-process driver recipe
+        # at sf0.01 — rotate them into the r06 window)
         "source_card": gate.q_source_card,
         "dsir_importance": gate.q_dsir_importance,
         "pq_topk_adc": gate.q_pq_topk_adc,
