@@ -122,6 +122,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_card": gate.q_source_card,
         "dsir_importance": gate.q_dsir_importance,
         "pq_topk_adc": gate.q_pq_topk_adc,
+        # bm25_topk / rrf_fusion / ccnet_buckets are NEW (born below the
+        # boundary for the same reason; verified through the fresh-process
+        # driver recipe at sf0.01 — rotate them into the r06 window)
+        "bm25_topk": gate.q_bm25_topk,
+        "rrf_fusion": gate.q_rrf_fusion,
+        "ccnet_buckets": gate.q_ccnet_buckets,
         # ---- the fifteen displaced by this round's fourteen new entries
         # ---- (binfmt_ingest, dedup_exact, geomcollection x3,
         # ---- pack_bins_emit, token_freq_topk, source_length_quantiles,
@@ -251,6 +257,9 @@ def oracle_sql() -> dict[str, str]:
         "source_card": osqld.source_card(),
         "dsir_importance": osqld.dsir_importance(),
         "pq_topk_adc": osqld.pq_topk_adc(),
+        "bm25_topk": osqld.bm25_topk(),
+        "rrf_fusion": osqld.rrf_fusion(),
+        "ccnet_buckets": osqld.ccnet_buckets(),
         "token_counts": osqld.token_counts(),
         "doc_fingerprint": osqld.fingerprint(),
         "pack_sequences": osql.pack_sequences(),

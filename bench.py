@@ -145,6 +145,10 @@ HEADLINE = [
     "source_card",
     "dsir_importance",
     "pq_topk_adc",
+    # lexical + hybrid retrieval and the CCNet corpus split
+    "bm25_topk",
+    "rrf_fusion",
+    "ccnet_buckets",
 ]
 
 

@@ -1267,3 +1267,33 @@ def q_pq_topk_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-subspace quantized-Lloyd codebooks, 3-bit codes, dense broadcast
     distance table, exact-bigint ADC sums. Output: rank, vec_id, adc."""
     return sim_ops.pq_topk_adc(_emb(spark, sf_dir))
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical retrieval (operators/retrieval.bm25_topk): exact top-k
+    log-free all-integer BM25 per query document over an inverted token
+    index — vocab-bounded df broadcast, broadcast query-term table, one
+    candidate-score shuffle. Output: q_id, rank, doc_id, bm25."""
+    from spatialflink_spark.operators.retrieval import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir))
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (operators/retrieval.rrf_fusion): exact-integer
+    reciprocal-rank fusion of the BM25 list with the exact-cosine batch
+    list over the shared query-id space. Output: q_id, rank, doc_id,
+    rrf, r_lex, r_sem."""
+    from spatialflink_spark.operators.retrieval import rrf_fusion
+
+    return rrf_fusion(_docs(spark, sf_dir), _emb(spark, sf_dir))
+
+
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail split (operators/corpus.ccnet_buckets):
+    tertile cuts of the unigram-rarity distribution on a bounded integer
+    grid, per-(source, bucket) volume + mean rarity. Output: source,
+    bucket, n_docs, n_tok_total, rarity_mean."""
+    from spatialflink_spark.operators.corpus import ccnet_buckets
+
+    return ccnet_buckets(_docs(spark, sf_dir))

@@ -779,3 +779,66 @@ def dsir_importance(
             ),
         )
     )
+
+
+CCNET_GRID = 100_000  # rarity-mean units per grid cell -> <= 10,001 cells
+
+
+def ccnet_buckets(docs: DataFrame) -> DataFrame:
+    """CCNet-style head/middle/tail corpus split (Wenzek et al. 2020): cut
+    the per-document unigram-rarity distribution at its tertiles and report
+    the per-(source, bucket) volume and mean rarity. `head` = the most
+    common-token (lowest-rarity / best-"perplexity") third, `tail` = the
+    rarest third — the three slices CCNet samples at different rates.
+
+    Tertile cuts are computed on a BOUNDED rarity grid, not the raw score:
+    gkey = rarity_sum div (n_tok * CCNET_GRID) maps the [0, RARITY_SCALE]
+    mean-rarity range onto <= 10,001 integer cells, so the cut-point
+    cumsum runs over a grid-bounded distribution (the same exact-type-1
+    posture as source_length_quantiles) no matter the corpus size —
+    never a per-row sort, never a corpus-sized window. Cuts are the
+    smallest grid cell whose cumulative count reaches 1/3 (2/3) of docs;
+    all arithmetic integer until the one final rounded mean.
+
+    Scale (100 TB): unigram_rarity's two bounded shuffles + one doc_id
+    join to recover source + one grid groupBy (<= 10,001 rows, map-side
+    combined) + broadcast cut row + one (source, bucket) groupBy.
+    Output: source, bucket, n_docs, n_tok_total, rarity_mean."""
+    g = unigram_rarity(docs).select(
+        "doc_id",
+        "n_tok",
+        "rarity_sum",
+        F.expr(f"cast(rarity_sum div (n_tok * {CCNET_GRID}) as bigint)").alias(
+            "gkey"
+        ),
+    )
+    dist = g.groupBy("gkey").agg(F.expr("cast(count(1) as bigint)").alias("_c"))
+    wcum = Window.orderBy("gkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = dist.withColumn("_cum", F.sum("_c").over(wcum))
+    tot = dist.agg(F.expr("cast(sum(_c) as bigint)").alias("n"))
+    cuts = (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.min(F.when(F.expr("3 * _cum >= n"), F.col("gkey"))).alias("cut1"),
+            F.min(F.when(F.expr("3 * _cum >= 2 * n"), F.col("gkey"))).alias(
+                "cut2"
+            ),
+        )
+    )
+    b = g.crossJoin(F.broadcast(cuts)).withColumn(
+        "bucket",
+        F.expr(
+            "CASE WHEN gkey <= cut1 THEN 'head' "
+            "WHEN gkey <= cut2 THEN 'middle' ELSE 'tail' END"
+        ),
+    )
+    j = b.join(docs.select("doc_id", "source"), "doc_id")
+    return j.groupBy("source", "bucket").agg(
+        F.expr("cast(count(1) as bigint)").alias("n_docs"),
+        F.expr("cast(sum(n_tok) as bigint)").alias("n_tok_total"),
+        F.expr("round(cast(sum(rarity_sum) as double) / sum(n_tok), 6)").alias(
+            "rarity_mean"
+        ),
+    )

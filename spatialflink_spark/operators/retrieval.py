@@ -1,0 +1,176 @@
+"""Lexical + hybrid retrieval over the documents table — the text-side
+counterpart of operators/similarity.py's embedding retrieval family and the
+other half of what a training-data curation pipeline runs (hard-negative
+mining, eval-set contamination lookups, seed-document expansion).
+
+Reference analog: the query-set kNN shape (knn/KNNQuery.java:49 takes a
+query set against the full stream; PointPointTKNNQuery.java:181-380 ranks
+per query id) — re-expressed over an inverted token index instead of a
+spatial grid, per SURVEY.md §2.7's top-k family.
+
+Design notes (the repo's dialect contract):
+- BM25 is computed LOG-FREE and ALL-INTEGER. Classic BM25 is
+  sum_t log((N - df + 0.5)/(df + 0.5)) * tf*(k1+1)/(tf + k1*(1 - b + b*dl/avgdl)).
+  log() is excluded (not bit-pinned across engines — the same rationale as
+  tfidf_topk_terms / bigram_lift_topk in operators/corpus.py), so the idf
+  factor keeps the Robertson ratio un-logged, and every per-term
+  contribution is the product of two exact integer floors:
+      idf_i = S1 * (2N - 2df + 1) div (2df + 1)           -- x2 clears 0.5
+      tfn_i = S2 * 22 * tf * L div (10*tf*L + 3*L + 9*dl*N)
+  where k1 = 1.2 and b = 0.75 are folded into the integer constants
+  (multiply numerator and denominator by 10*L; avgdl = L/N stays exact as
+  the L/N pair). The per-(query, doc) score is an order-insensitive BIGINT
+  sum of those products — bit-identical in Spark (`div`) and DuckDB (`//`).
+- Overflow headroom: S2 * 22 * tf * L must fit int64 — holds through
+  ~4e14/tf_max total corpus tokens at S2 = 1000; past that the documented
+  upgrade is decimal(38,0) on the tfn numerator (same note as
+  bigram_lift_topk's cross term).
+
+Scale notes (100 TB):
+- The postings relation (doc_id, tok, tf) is ONE map-side-combined groupBy
+  of the exploded token stream; dl rides a window over the same partitioning
+  (no second scan, no join). df is vocab-bounded -> broadcast; the query
+  term table is |queries| x |distinct terms per doc| -> broadcast; N and L
+  ride a one-row broadcast crossJoin. The only corpus-sized shuffles are
+  the postings groupBy and the per-(q_id, doc_id) score sum.
+- The final cut is a per-query row_number window: each partition holds one
+  query's candidates (bounded by the posting lists its terms touch), the
+  same posture as _batch_topk_two_stage's stage-2 in similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# query table: every 41st doc — the SAME selector as the embedding-side
+# query_table (similarity.py QUERY_MOD), so lexical and semantic rank lists
+# share query ids and rrf_fusion can join them.
+BM25_QUERY_MOD = 41
+BM25_K = 10
+BM25_S1 = 10_000  # idf scale
+BM25_S2 = 1_000  # tf-norm scale (bounded by 2.2 * S2 per term)
+
+RRF_K0 = 60  # the standard RRF dampening constant
+RRF_SCALE = 1_000_000  # rrf_i = SCALE div (K0 + rank): exact integer
+RRF_DEPTH = 20  # how deep each ranker's list goes before fusion
+
+
+def _bm25_contrib_sql(s1: int, s2: int) -> str:
+    """Per-term BM25 contribution over columns tf, dl, df, n_docs, l_tot —
+    two exact integer floors multiplied (see module docstring)."""
+    idf = f"(cast({s1} as bigint) * (2 * n_docs - 2 * df + 1) div (2 * df + 1))"
+    tfn = (
+        f"(cast({s2} as bigint) * 22 * tf * l_tot "
+        f"div (10 * tf * l_tot + 3 * l_tot + 9 * dl * n_docs))"
+    )
+    return f"({idf} * {tfn})"
+
+
+def bm25_topk(
+    docs: DataFrame, k: int = BM25_K, query_mod: int = BM25_QUERY_MOD
+) -> DataFrame:
+    """Exact top-k BM25 retrieval of corpus documents per query document
+    (the query's distinct tokens form a bag-of-words query; self-matches
+    excluded, every other document is a candidate through the inverted
+    index). Scores are exact BIGINTs (log-free integerized BM25, module
+    docstring). Output: q_id, rank, doc_id, bm25."""
+    from spatialflink_spark.functions import tokens as T
+    from spatialflink_spark.session import spread
+
+    toks = (
+        spread(docs)
+        .select("doc_id", F.expr(T.spark_tokenize("text")).alias("_t"))
+        # materialize before the explodes (CLAUDE.md invariant: generate
+        # re-evaluates an inlined producing expression well beyond once/row)
+        .localCheckpoint(eager=False)
+    )
+    t = toks.select("doc_id", F.explode("_t").alias("tok"))
+    postings = t.groupBy("doc_id", "tok").agg(
+        F.expr("cast(count(1) as bigint)").alias("tf")
+    )
+    # doc length over the SAME relation — window, not a join back
+    postings = postings.withColumn(
+        "dl", F.sum("tf").over(Window.partitionBy("doc_id")).cast("bigint")
+    )
+    dfreq = postings.groupBy("tok").agg(
+        F.expr("cast(count(1) as bigint)").alias("df")
+    )
+    scal = postings.agg(
+        F.expr("cast(count(distinct doc_id) as bigint)").alias("n_docs"),
+        F.expr("cast(sum(tf) as bigint)").alias("l_tot"),
+    )
+    qterms = (
+        toks.where(F.col("doc_id") % query_mod == 0)
+        .select(F.col("doc_id").alias("q_id"), F.explode("_t").alias("tok"))
+        .distinct()
+    )
+    cand = (
+        postings.join(F.broadcast(qterms), "tok")
+        .where(F.col("doc_id") != F.col("q_id"))
+        .join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(scal))
+    )
+    scored = cand.groupBy("q_id", "doc_id").agg(
+        F.expr(f"cast(sum({_bm25_contrib_sql(BM25_S1, BM25_S2)}) as bigint)").alias(
+            "bm25"
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("bm25").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("q_id", "rank", "doc_id", "bm25")
+    )
+
+
+def rrf_fusion(
+    docs: DataFrame,
+    emb: DataFrame,
+    k: int = BM25_K,
+    depth: int = RRF_DEPTH,
+    query_mod: int = BM25_QUERY_MOD,
+) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion (Cormack et al. 2009):
+    fuse the lexical BM25 rank list with the semantic exact-cosine rank
+    list for the SAME query ids (doc_id and vec_id share the id space in
+    the test tables; the embedding of document d is the row vec_id = d).
+
+    rrf = SCALE div (K0 + r_lex) + SCALE div (K0 + r_sem), a missing side
+    contributing 0 — exact integer arithmetic, so the fused ranking is
+    bit-pinned. r_lex / r_sem are reported with 0 = absent from that
+    ranker's depth-deep list.
+
+    Scale: both inputs are already top-`depth` per query (|queries| x depth
+    rows each), so the fusion join and final window are bounded by the
+    query count — negligible next to the rankers themselves.
+    Output: q_id, rank, doc_id, rrf, r_lex, r_sem."""
+    from spatialflink_spark.operators.similarity import cosine_topk_batch
+
+    lex = bm25_topk(docs, k=depth, query_mod=query_mod).select(
+        "q_id", "doc_id", F.col("rank").alias("r_lex")
+    )
+    sem = cosine_topk_batch(emb, k=depth, query_mod=query_mod).select(
+        "q_id", F.col("vec_id").alias("doc_id"), F.col("rank").alias("r_sem")
+    )
+    fused = lex.join(sem, ["q_id", "doc_id"], "full_outer").select(
+        "q_id",
+        "doc_id",
+        F.expr(
+            f"cast(CASE WHEN r_lex IS NULL THEN 0 "
+            f"ELSE {RRF_SCALE} div ({RRF_K0} + r_lex) END "
+            f"+ CASE WHEN r_sem IS NULL THEN 0 "
+            f"ELSE {RRF_SCALE} div ({RRF_K0} + r_sem) END as bigint)"
+        ).alias("rrf"),
+        F.expr("cast(coalesce(r_lex, 0) as int)").alias("r_lex"),
+        F.expr("cast(coalesce(r_sem, 0) as int)").alias("r_sem"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("q_id", "rank", "doc_id", "rrf", "r_lex", "r_sem")
+    )

@@ -1556,3 +1556,149 @@ r AS (
 )
 SELECT CAST(rank AS INT) AS rank, vec_id, adc FROM r WHERE rank <= {k}
 """
+
+
+def bm25_topk(k: int | None = None, query_mod: int | None = None) -> str:
+    """Twin of retrieval.bm25_topk — the log-free all-integer BM25: every
+    per-term contribution is a product of two integer floor divisions
+    (`//` here, `div` in Spark; operands positive, so floor == truncate),
+    summed as exact BIGINTs."""
+    from spatialflink_spark.operators.retrieval import (
+        BM25_K,
+        BM25_QUERY_MOD,
+        BM25_S1,
+        BM25_S2,
+    )
+
+    k = BM25_K if k is None else k
+    query_mod = BM25_QUERY_MOD if query_mod is None else query_mod
+    tok = T.duck_tokenize("text")
+    return f"""
+WITH tk AS (SELECT doc_id, {tok} AS _t FROM documents),
+t AS (SELECT doc_id, unnest(_t) AS tok FROM tk),
+postings AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY doc_id, tok
+),
+pdl AS (
+  SELECT doc_id, tok, tf,
+         CAST(sum(tf) OVER (PARTITION BY doc_id) AS BIGINT) AS dl
+  FROM postings
+),
+dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM postings GROUP BY tok),
+scal AS (
+  SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(sum(tf) AS BIGINT) AS l_tot
+  FROM postings
+),
+qterms AS (
+  SELECT DISTINCT q_id, tok FROM (
+    SELECT doc_id AS q_id, unnest(_t) AS tok FROM tk
+    WHERE doc_id % {query_mod} = 0
+  )
+),
+scored AS (
+  SELECT q.q_id, p.doc_id,
+         CAST(sum(
+           (CAST({BM25_S1} AS BIGINT) * (2 * s.n_docs - 2 * d.df + 1)
+              // (2 * d.df + 1))
+           * (CAST({BM25_S2} AS BIGINT) * 22 * p.tf * s.l_tot
+              // (10 * p.tf * s.l_tot + 3 * s.l_tot + 9 * p.dl * s.n_docs))
+         ) AS BIGINT) AS bm25
+  FROM pdl p
+  JOIN qterms q USING (tok)
+  JOIN dfreq d USING (tok)
+  CROSS JOIN scal s
+  WHERE p.doc_id <> q.q_id
+  GROUP BY q.q_id, p.doc_id
+),
+ranked AS (
+  SELECT q_id, doc_id, bm25,
+         CAST(row_number() OVER (
+           PARTITION BY q_id ORDER BY bm25 DESC, doc_id ASC
+         ) AS INT) AS rank
+  FROM scored
+)
+SELECT q_id, rank, doc_id, bm25 FROM ranked WHERE rank <= {k}
+"""
+
+
+def rrf_fusion(k: int | None = None) -> str:
+    """Twin of retrieval.rrf_fusion — the lexical and semantic rank lists
+    composed as nested-WITH CTE bodies (inner scopes shadow, the
+    source_card pattern), fused by exact-integer reciprocal ranks."""
+    from spatialflink_spark.operators.retrieval import (
+        BM25_K,
+        BM25_QUERY_MOD,
+        RRF_DEPTH,
+        RRF_K0,
+        RRF_SCALE,
+    )
+
+    k = BM25_K if k is None else k
+    lexsql = bm25_topk(k=RRF_DEPTH)
+    semsql = cosine_topk_batch(k=RRF_DEPTH, query_mod=BM25_QUERY_MOD)
+    return f"""
+WITH lex AS ({lexsql}),
+sem AS ({semsql}),
+fused AS (
+  SELECT coalesce(l.q_id, s.q_id) AS q_id,
+         coalesce(l.doc_id, s.vec_id) AS doc_id,
+         CAST(CASE WHEN l.rank IS NULL THEN 0
+                   ELSE {RRF_SCALE} // ({RRF_K0} + l.rank) END
+            + CASE WHEN s.rank IS NULL THEN 0
+                   ELSE {RRF_SCALE} // ({RRF_K0} + s.rank) END AS BIGINT) AS rrf,
+         CAST(coalesce(l.rank, 0) AS INT) AS r_lex,
+         CAST(coalesce(s.rank, 0) AS INT) AS r_sem
+  FROM lex l FULL OUTER JOIN sem s
+    ON l.q_id = s.q_id AND l.doc_id = s.vec_id
+),
+rr AS (
+  SELECT q_id, doc_id, rrf, r_lex, r_sem,
+         CAST(row_number() OVER (
+           PARTITION BY q_id ORDER BY rrf DESC, doc_id ASC
+         ) AS INT) AS rank
+  FROM fused
+)
+SELECT q_id, rank, doc_id, rrf, r_lex, r_sem FROM rr WHERE rank <= {k}
+"""
+
+
+def ccnet_buckets() -> str:
+    """Twin of corpus.ccnet_buckets — the unigram_rarity statement as a
+    nested-WITH CTE body, tertile cuts on the bounded rarity grid."""
+    from spatialflink_spark.operators.corpus import CCNET_GRID
+
+    return f"""
+WITH r AS ({unigram_rarity()}),
+g AS (
+  SELECT doc_id, n_tok, rarity_sum,
+         CAST(rarity_sum // (n_tok * {CCNET_GRID}) AS BIGINT) AS gkey
+  FROM r
+),
+dist AS (SELECT gkey, CAST(count(*) AS BIGINT) AS _c FROM g GROUP BY gkey),
+cum AS (
+  SELECT gkey,
+         CAST(sum(_c) OVER (
+           ORDER BY gkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS _cum
+  FROM dist
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM g),
+cuts AS (
+  SELECT min(CASE WHEN 3 * _cum >= n THEN gkey END) AS cut1,
+         min(CASE WHEN 3 * _cum >= 2 * n THEN gkey END) AS cut2
+  FROM cum CROSS JOIN tot
+),
+b AS (
+  SELECT g.doc_id, g.n_tok, g.rarity_sum,
+         CASE WHEN g.gkey <= c.cut1 THEN 'head'
+              WHEN g.gkey <= c.cut2 THEN 'middle' ELSE 'tail' END AS bucket
+  FROM g CROSS JOIN cuts c
+)
+SELECT d.source, b.bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(b.n_tok) AS BIGINT) AS n_tok_total,
+       round(CAST(sum(b.rarity_sum) AS DOUBLE) / sum(b.n_tok), 6) AS rarity_mean
+FROM b JOIN documents d USING (doc_id)
+GROUP BY d.source, b.bucket
+"""

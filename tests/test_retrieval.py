@@ -1,0 +1,198 @@
+"""Property / mirror tests for the lexical + hybrid retrieval family
+(operators/retrieval.py) and the CCNet corpus split (corpus.ccnet_buckets)
+beyond the auto-derived oracle parity in test_oracle_parity.py:
+
+- bm25_topk vs an independent pure-Python BM25 over the portable tokenizer
+- rank-list shape invariants (dense ranks, self-exclusion, query selector)
+- rrf_fusion internal consistency against its two component rankers
+- ccnet_buckets vs a pure-pandas tertile mirror
+- plan shape: broadcast df/query-term joins, partitioned windows
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from spatialflink_spark import plans
+from spatialflink_spark.config import VOCAB_SIZE
+from spatialflink_spark.operators.retrieval import (
+    BM25_K,
+    BM25_QUERY_MOD,
+    BM25_S1,
+    BM25_S2,
+    RRF_DEPTH,
+    RRF_K0,
+    RRF_SCALE,
+    bm25_topk,
+    rrf_fusion,
+)
+from tests.conftest import SF_SMALL
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+
+
+def _py_tokenize(text: str) -> list[int]:
+    words = [w for w in re.split(r"[^a-z0-9]+", text.lower()) if w]
+    out = []
+    for w in words:
+        a = 0
+        for c in w:
+            a = (a * 31 + ord(c)) % VOCAB_SIZE
+        out.append(a)
+    return out
+
+
+def test_bm25_matches_pure_python(spark):
+    """Full independent mirror: integerized BM25 computed in plain Python
+    from the raw parquet must reproduce every (q_id, rank, doc_id, bm25)."""
+    rows = _docs(spark).select("doc_id", "text").collect()
+    tf = {}  # doc_id -> Counter(tok)
+    for r in rows:
+        tf[r.doc_id] = Counter(_py_tokenize(r.text))
+    tf = {d: c for d, c in tf.items() if c}  # postings exclude token-less docs
+    dl = {d: sum(c.values()) for d, c in tf.items()}
+    df_ = Counter()
+    for c in tf.values():
+        df_.update(c.keys())
+    n, l_tot = len(tf), sum(dl.values())
+
+    want = []
+    for q in sorted(d for d in tf if d % BM25_QUERY_MOD == 0):
+        scores = {}
+        for d, c in tf.items():
+            if d == q:
+                continue
+            s = 0
+            for t in tf[q]:
+                if t in c:
+                    idf = BM25_S1 * (2 * n - 2 * df_[t] + 1) // (2 * df_[t] + 1)
+                    tfn = (
+                        BM25_S2 * 22 * c[t] * l_tot
+                        // (10 * c[t] * l_tot + 3 * l_tot + 9 * dl[d] * n)
+                    )
+                    s += idf * tfn
+            if s > 0:
+                scores[d] = s
+        top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:BM25_K]
+        want += [(q, i + 1, d, s) for i, (d, s) in enumerate(top)]
+
+    got = [
+        (r.q_id, r.rank, r.doc_id, r.bm25)
+        for r in bm25_topk(_docs(spark)).orderBy("q_id", "rank").collect()
+    ]
+    assert got == want
+
+
+def test_bm25_rank_shape(spark):
+    out = bm25_topk(_docs(spark)).collect()
+    by_q = {}
+    for r in out:
+        assert r.doc_id != r.q_id
+        assert r.q_id % BM25_QUERY_MOD == 0
+        assert r.bm25 > 0
+        by_q.setdefault(r.q_id, []).append(r.rank)
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
+        assert len(ranks) <= BM25_K
+
+
+def test_rrf_consistent_with_components(spark):
+    """rrf must be exactly the integer fusion of the two component rank
+    lists at RRF_DEPTH, and a doc ranked 1 by both rankers must fuse to
+    rank 1 for its query."""
+    from spatialflink_spark.operators.similarity import cosine_topk_batch
+
+    lex = {
+        (r.q_id, r.doc_id): r.rank
+        for r in bm25_topk(_docs(spark), k=RRF_DEPTH).collect()
+    }
+    sem = {
+        (r.q_id, r.vec_id): r.rank
+        for r in cosine_topk_batch(
+            _emb(spark), k=RRF_DEPTH, query_mod=BM25_QUERY_MOD
+        ).collect()
+    }
+    fused = rrf_fusion(_docs(spark), _emb(spark)).collect()
+    assert fused
+    for r in fused:
+        rl = lex.get((r.q_id, r.doc_id), 0)
+        rs = sem.get((r.q_id, r.doc_id), 0)
+        assert (r.r_lex, r.r_sem) == (rl, rs)
+        expect = (RRF_SCALE // (RRF_K0 + rl) if rl else 0) + (
+            RRF_SCALE // (RRF_K0 + rs) if rs else 0
+        )
+        assert r.rrf == expect
+    double_winners = {
+        q for (q, d), k in lex.items() if k == 1 and sem.get((q, d)) == 1
+    }
+    top1 = {r.q_id: r.doc_id for r in fused if r.rank == 1}
+    for q in double_winners:
+        winner = next(d for (qq, d), k in lex.items() if qq == q and k == 1)
+        assert top1[q] == winner
+
+
+def test_ccnet_buckets_matches_pandas_mirror(spark):
+    """Exact pure-pandas tertile mirror over the engine's own rarity rows."""
+    from spatialflink_spark.operators.corpus import (
+        CCNET_GRID,
+        ccnet_buckets,
+        unigram_rarity,
+    )
+
+    r = unigram_rarity(_docs(spark)).toPandas()
+    src = {
+        row.doc_id: row.source
+        for row in _docs(spark).select("doc_id", "source").collect()
+    }
+    r["gkey"] = r.rarity_sum // (r.n_tok * CCNET_GRID)
+    n = len(r)
+    csum, cut1, cut2 = 0, None, None
+    for gk, cnt in sorted(Counter(r.gkey).items()):
+        csum += cnt
+        if cut1 is None and 3 * csum >= n:
+            cut1 = gk
+        if cut2 is None and 3 * csum >= 2 * n:
+            cut2 = gk
+    r["bucket"] = [
+        "head" if g <= cut1 else ("middle" if g <= cut2 else "tail")
+        for g in r.gkey
+    ]
+    r["source"] = [src[d] for d in r.doc_id]
+    want = {
+        (s, b): (len(g), int(g.n_tok.sum()),
+                 round(float(g.rarity_sum.sum()) / float(g.n_tok.sum()), 6))
+        for (s, b), g in r.groupby(["source", "bucket"])
+    }
+    got = {
+        (row.source, row.bucket): (row.n_docs, row.n_tok_total, row.rarity_mean)
+        for row in ccnet_buckets(_docs(spark)).collect()
+    }
+    assert got == want
+    # tertile property: head and head+middle reach their thirds
+    heads = sum(v[0] for (s, b), v in got.items() if b == "head")
+    hm = heads + sum(v[0] for (s, b), v in got.items() if b == "middle")
+    assert 3 * heads >= n and 3 * hm >= 2 * n
+
+
+def test_bm25_plan_broadcasts_and_partitions(spark):
+    """df / query-term / scalar relations join as broadcasts (the postings
+    stream never shuffles for them), aggs keep map-side partials, and the
+    final rank window is partitioned by q_id — never global."""
+    df = bm25_topk(_docs(spark))
+    p = plans.simple_plan(df)
+    assert plans.has_broadcast_join(df), p
+    assert "CartesianProduct" not in p
+    assert plans.has_partial_aggregate(df)
+    specs = plans.window_specs(df)
+    # two windows: per-doc dl (partitioned by doc_id) and the per-query
+    # rank (partitioned by q_id) — neither may run global
+    assert specs and all(("q_id" in s or "doc_id" in s) for s in specs), specs
