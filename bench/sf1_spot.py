@@ -101,6 +101,15 @@ QUERIES = [
     "dsir_importance",
     # per-row encode + broadcast table lookups; Lloyd fit dominates
     "pq_topk_adc",
+    # closing round-5 retrieval/bucket additions — bm25's candidate volume
+    # is |Q| x matched-posting-list length; the amplifier's per-copy word
+    # prefix keeps each copy's query terms matching only that copy's
+    # postings, so the candidate volume scales ~10x linearly here (unlike
+    # cosine_topk_batch, where every query scores every vector);
+    # ccnet_buckets verifies the grid-bounded tertile stays linear
+    "bm25_topk",
+    "rrf_fusion",
+    "ccnet_buckets",
 ]
 
 # optional subset: SFS_ONLY=a,b,c runs just those queries (re-measuring a
