@@ -68,14 +68,12 @@ def _bm25_contrib_sql(s1: int, s2: int) -> str:
     return f"({idf} * {tfn})"
 
 
-def bm25_topk(
-    docs: DataFrame, k: int = BM25_K, query_mod: int = BM25_QUERY_MOD
-) -> DataFrame:
-    """Exact top-k BM25 retrieval of corpus documents per query document
-    (the query's distinct tokens form a bag-of-words query; self-matches
-    excluded, every other document is a candidate through the inverted
-    index). Scores are exact BIGINTs (log-free integerized BM25, module
-    docstring). Output: q_id, rank, doc_id, bm25."""
+def _postings(docs: DataFrame):
+    """Shared inverted-index derivation: returns (toks, postings, dfreq,
+    scal) where postings = (doc_id, tok, tf, dl), dfreq = (tok, df) is
+    vocab-bounded, and scal is the one-row (n_docs, l_tot) corpus stats
+    relation. Used by both the inline bm25_topk and build_bm25_index so
+    the index can never drift from the inline op."""
     from spatialflink_spark.functions import tokens as T
     from spatialflink_spark.session import spread
 
@@ -101,6 +99,18 @@ def bm25_topk(
         F.expr("cast(count(distinct doc_id) as bigint)").alias("n_docs"),
         F.expr("cast(sum(tf) as bigint)").alias("l_tot"),
     )
+    return toks, postings, dfreq, scal
+
+
+def bm25_topk(
+    docs: DataFrame, k: int = BM25_K, query_mod: int = BM25_QUERY_MOD
+) -> DataFrame:
+    """Exact top-k BM25 retrieval of corpus documents per query document
+    (the query's distinct tokens form a bag-of-words query; self-matches
+    excluded, every other document is a candidate through the inverted
+    index). Scores are exact BIGINTs (log-free integerized BM25, module
+    docstring). Output: q_id, rank, doc_id, bm25."""
+    toks, postings, dfreq, scal = _postings(docs)
     qterms = (
         toks.where(F.col("doc_id") % query_mod == 0)
         .select(F.col("doc_id").alias("q_id"), F.explode("_t").alias("tok"))
@@ -174,3 +184,82 @@ def rrf_fusion(
         .where(F.col("rank") <= k)
         .select("q_id", "rank", "doc_id", "rrf", "r_lex", "r_sem")
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted inverted index — the BUILD-once/SEARCH-many face of bm25_topk,
+# mirroring similarity.build_ivf_index (reference analog: the grid index
+# built once per stream config and reused by every query,
+# UniformGrid.java:74-85). At 100 TB a retrieval service never re-derives
+# postings per query: it builds the index in one batch pass and serves
+# term lookups against a token-bucketed layout.
+# ---------------------------------------------------------------------------
+
+N_TBUCKETS = 64  # postings partition key: tok % N_TBUCKETS
+
+
+def build_bm25_index(docs: DataFrame, path: str, n_buckets: int = N_TBUCKETS) -> None:
+    """Persist the BM25 inverted index:
+
+    - <path>/postings: (tok, doc_id, tf, dl, df) PARTITIONED BY
+      tbucket = tok % n_buckets — df denormalized onto each posting so a
+      search needs no join beyond the one-row stats broadcast.
+    - <path>/stats: one row (n_docs, l_tot, n_buckets).
+
+    The partitionBy('tbucket') layout is the point at scale: a search for
+    |T| terms reads ONLY the <= |T| buckets those terms hash to
+    (Hive-style partition pruning at the scan, asserted in tests), not the
+    whole postings relation. Built from the SAME _postings derivation as
+    the inline op, so index and inline results cannot drift."""
+    _, postings, dfreq, scal = _postings(docs)
+    full = (
+        postings.join(F.broadcast(dfreq), "tok")
+        .withColumn("tbucket", F.expr(f"cast(tok % {n_buckets} as int)"))
+    )
+    full.write.mode("overwrite").partitionBy("tbucket").parquet(f"{path}/postings")
+    scal.withColumn("n_buckets", F.lit(n_buckets).cast("int")).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/stats")
+
+
+def search_bm25_index(
+    spark,
+    path: str,
+    terms: list[int],
+    k: int = BM25_K,
+    exclude_doc_id: int | None = None,
+) -> DataFrame:
+    """SEARCH half over a persisted index: score the bag-of-words `terms`
+    against the postings, reading ONLY the token buckets the terms hash to
+    (tbucket IN (...) is a partition filter — unprobed buckets' files are
+    never opened; tok IN (...) then prunes within the bucket, and both
+    predicates push down to the parquet scan). Same integer BM25 as
+    bm25_topk — answer-identical for the same term set (pinned by an
+    equivalence test). For query-TABLE workloads join a term relation
+    instead of inlining literals; this entry point serves the
+    single-query/service shape. Output: rank, doc_id, bm25."""
+    stats = spark.read.parquet(f"{path}/stats")
+    srow = stats.collect()[0]
+    n_buckets = int(srow["n_buckets"])
+    tset = sorted({int(t) for t in terms})
+    if not tset:
+        raise ValueError("search_bm25_index: empty term set")
+    buckets = sorted({t % n_buckets for t in tset})
+    scan = (
+        spark.read.parquet(f"{path}/postings")
+        .where(F.col("tbucket").isin(buckets))
+        .where(F.col("tok").isin(tset))
+    )
+    if exclude_doc_id is not None:
+        scan = scan.where(F.col("doc_id") != exclude_doc_id)
+    cand = scan.crossJoin(F.broadcast(stats.select("n_docs", "l_tot")))
+    scored = cand.groupBy("doc_id").agg(
+        F.expr(f"cast(sum({_bm25_contrib_sql(BM25_S1, BM25_S2)}) as bigint)").alias(
+            "bm25"
+        )
+    )
+    top = scored.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(k)
+    return top.withColumn(
+        "rank",
+        F.expr("row_number() OVER (ORDER BY bm25 DESC, doc_id ASC)").cast("int"),
+    ).select("rank", "doc_id", "bm25")

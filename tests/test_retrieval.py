@@ -196,3 +196,51 @@ def test_bm25_plan_broadcasts_and_partitions(spark):
     # two windows: per-doc dl (partitioned by doc_id) and the per-query
     # rank (partitioned by q_id) — neither may run global
     assert specs and all(("q_id" in s or "doc_id" in s) for s in specs), specs
+
+
+def test_bm25_index_search_equals_inline(spark, tmp_path):
+    """Searching the persisted index with a query doc's distinct terms
+    (self excluded) must reproduce bm25_topk's rows for that q_id —
+    index and inline op share _postings, so any drift is a bug."""
+    from spatialflink_spark.operators.retrieval import (
+        build_bm25_index,
+        search_bm25_index,
+    )
+
+    path = str(tmp_path / "bm25")
+    build_bm25_index(_docs(spark), path)
+    inline = {}
+    for r in bm25_topk(_docs(spark)).orderBy("q_id", "rank").collect():
+        inline.setdefault(r.q_id, []).append((r.rank, r.doc_id, r.bm25))
+    q = 0
+    terms = set(_py_tokenize(
+        _docs(spark).where(F.col("doc_id") == q).collect()[0].text
+    ))
+    got = [
+        (r.rank, r.doc_id, r.bm25)
+        for r in search_bm25_index(
+            spark, path, sorted(terms), exclude_doc_id=q
+        ).orderBy("rank").collect()
+    ]
+    assert got == inline[q]
+
+
+def test_bm25_index_search_prunes_partitions(spark, tmp_path):
+    """The search must reach the postings scan as a PARTITION filter on
+    tbucket (Hive-style pruning over partitionBy('tbucket')) — a search
+    for |T| terms opens only the buckets those terms hash to."""
+    import re as _re
+
+    from spatialflink_spark.operators.retrieval import (
+        build_bm25_index,
+        search_bm25_index,
+    )
+
+    path = str(tmp_path / "bm25p")
+    build_bm25_index(_docs(spark), path)
+    df = search_bm25_index(spark, path, [5, 7, 11])
+    p = plans.formatted_plan(df)
+    pf = _re.findall(r"PartitionFilters: \[([^\]]*)\]", p)
+    assert any("tbucket" in f and "IN" in f for f in pf), p
+    # and the term predicate itself pushes to the scan
+    assert "PushedFilters" in p and "tok" in p, p
