@@ -149,6 +149,7 @@ HEADLINE = [
     "bm25_topk",
     "rrf_fusion",
     "ccnet_buckets",
+    "hard_negatives",
 ]
 
 

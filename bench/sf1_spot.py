@@ -110,6 +110,8 @@ QUERIES = [
     "bm25_topk",
     "rrf_fusion",
     "ccnet_buckets",
+    # anti-join of the two bounded rank lists; tracks the rankers' scaling
+    "hard_negatives",
 ]
 
 # optional subset: SFS_ONLY=a,b,c runs just those queries (re-measuring a

@@ -1297,3 +1297,13 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spatialflink_spark.operators.corpus import ccnet_buckets
 
     return ccnet_buckets(_docs(spark, sf_dir))
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators/retrieval.hard_negatives): BM25
+    candidates anti-joined against the semantic top list per query —
+    the DPR/ANCE contrastive-negative recipe over bounded rank lists.
+    Output: q_id, rank, doc_id, bm25, r_lex."""
+    from spatialflink_spark.operators.retrieval import hard_negatives
+
+    return hard_negatives(_docs(spark, sf_dir), _emb(spark, sf_dir))

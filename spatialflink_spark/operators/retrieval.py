@@ -263,3 +263,39 @@ def search_bm25_index(
         "rank",
         F.expr("row_number() OVER (ORDER BY bm25 DESC, doc_id ASC)").cast("int"),
     ).select("rank", "doc_id", "bm25")
+
+
+HARDNEG_K = 10
+
+
+def hard_negatives(
+    docs: DataFrame,
+    emb: DataFrame,
+    k: int = HARDNEG_K,
+    depth: int = RRF_DEPTH,
+    query_mod: int = BM25_QUERY_MOD,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (the DPR/ANCE recipe:
+    BM25-retrieved candidates that the semantic ranker does NOT consider
+    close are the hardest negatives — lexically confusable, semantically
+    distant). For each query: the depth-deep BM25 list anti-joined against
+    the depth-deep exact-cosine list, keeping BM25 order, cut to k.
+
+    Scale: both inputs are already per-query top-`depth` (bounded), so the
+    anti-join and re-rank window are |queries| x depth — negligible next
+    to the rankers. Output: q_id, rank, doc_id, bm25, r_lex."""
+    from spatialflink_spark.operators.similarity import cosine_topk_batch
+
+    lex = bm25_topk(docs, k=depth, query_mod=query_mod).select(
+        "q_id", "doc_id", F.col("rank").alias("r_lex"), "bm25"
+    )
+    sem = cosine_topk_batch(emb, k=depth, query_mod=query_mod).select(
+        "q_id", F.col("vec_id").alias("doc_id")
+    )
+    neg = lex.join(sem, ["q_id", "doc_id"], "left_anti")
+    w = Window.partitionBy("q_id").orderBy(F.col("r_lex").asc())
+    return (
+        neg.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("q_id", "rank", "doc_id", "bm25", "r_lex")
+    )

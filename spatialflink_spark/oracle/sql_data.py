@@ -1702,3 +1702,34 @@ SELECT d.source, b.bucket,
 FROM b JOIN documents d USING (doc_id)
 GROUP BY d.source, b.bucket
 """
+
+
+def hard_negatives(k: int | None = None) -> str:
+    """Twin of retrieval.hard_negatives — both rank lists as nested-WITH
+    CTE bodies, anti join via LEFT JOIN ... IS NULL, BM25-order re-rank."""
+    from spatialflink_spark.operators.retrieval import (
+        BM25_QUERY_MOD,
+        HARDNEG_K,
+        RRF_DEPTH,
+    )
+
+    k = HARDNEG_K if k is None else k
+    lexsql = bm25_topk(k=RRF_DEPTH)
+    semsql = cosine_topk_batch(k=RRF_DEPTH, query_mod=BM25_QUERY_MOD)
+    return f"""
+WITH lex AS ({lexsql}),
+sem AS ({semsql}),
+neg AS (
+  SELECT l.q_id, l.doc_id, l.bm25, l.rank AS r_lex
+  FROM lex l LEFT JOIN sem s ON l.q_id = s.q_id AND l.doc_id = s.vec_id
+  WHERE s.q_id IS NULL
+),
+rr AS (
+  SELECT q_id, doc_id, bm25, r_lex,
+         CAST(row_number() OVER (
+           PARTITION BY q_id ORDER BY r_lex ASC
+         ) AS INT) AS rank
+  FROM neg
+)
+SELECT q_id, rank, doc_id, bm25, r_lex FROM rr WHERE rank <= {k}
+"""

@@ -244,3 +244,41 @@ def test_bm25_index_search_prunes_partitions(spark, tmp_path):
     assert any("tbucket" in f and "IN" in f for f in pf), p
     # and the term predicate itself pushes to the scan
     assert "PushedFilters" in p and "tok" in p, p
+
+
+def test_hard_negatives_disjoint_and_ordered(spark):
+    """Negatives must be exactly the BM25 list minus the semantic list,
+    in BM25 order with dense ranks."""
+    from spatialflink_spark.operators.similarity import cosine_topk_batch
+
+    from spatialflink_spark.operators.retrieval import hard_negatives
+
+    lex = {
+        (r.q_id, r.doc_id): (r.rank, r.bm25)
+        for r in bm25_topk(_docs(spark), k=RRF_DEPTH).collect()
+    }
+    sem = {
+        (r.q_id, r.vec_id)
+        for r in cosine_topk_batch(
+            _emb(spark), k=RRF_DEPTH, query_mod=BM25_QUERY_MOD
+        ).collect()
+    }
+    got = hard_negatives(_docs(spark), _emb(spark)).collect()
+    assert got
+    by_q = {}
+    for r in got:
+        assert (r.q_id, r.doc_id) in lex and (r.q_id, r.doc_id) not in sem
+        assert (r.r_lex, r.bm25) == lex[(r.q_id, r.doc_id)]
+        by_q.setdefault(r.q_id, []).append((r.rank, r.r_lex))
+    for q, pairs in by_q.items():
+        pairs.sort()
+        assert [p[0] for p in pairs] == list(range(1, len(pairs) + 1)), q
+        assert [p[1] for p in pairs] == sorted(p[1] for p in pairs), q
+    # completeness: every lex entry outside sem with few-enough lex rank
+    # appears (the cut is on the re-rank, so the first k survivors per q)
+    for q in {qq for qq, _ in lex}:
+        survivors = sorted(
+            rl for (qq, d), (rl, _) in lex.items()
+            if qq == q and (qq, d) not in sem
+        )[:10]
+        assert sorted(p[1] for p in by_q.get(q, [])) == survivors, q
