@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_fusion": gate.q_rrf_fusion,
         "ccnet_buckets": gate.q_ccnet_buckets,
         "hard_negatives": gate.q_hard_negatives,
+        "ann_recall": gate.q_ann_recall,
         # ---- the fifteen displaced by this round's fourteen new entries
         # ---- (binfmt_ingest, dedup_exact, geomcollection x3,
         # ---- pack_bins_emit, token_freq_topk, source_length_quantiles,
@@ -262,6 +263,7 @@ def oracle_sql() -> dict[str, str]:
         "rrf_fusion": osqld.rrf_fusion(),
         "ccnet_buckets": osqld.ccnet_buckets(),
         "hard_negatives": osqld.hard_negatives(),
+        "ann_recall": osqld.ann_recall(),
         "token_counts": osqld.token_counts(),
         "doc_fingerprint": osqld.fingerprint(),
         "pack_sequences": osql.pack_sequences(),

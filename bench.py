@@ -150,6 +150,7 @@ HEADLINE = [
     "rrf_fusion",
     "ccnet_buckets",
     "hard_negatives",
+    "ann_recall",
 ]
 
 

@@ -1307,3 +1307,10 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spatialflink_spark.operators.retrieval import hard_negatives
 
     return hard_negatives(_docs(spark, sf_dir), _emb(spark, sf_dir))
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN calibration report (operators/similarity.batch_ann_recall):
+    per-query recall@k of the multi-probe batch ANN vs the exact batch
+    ranker. Output: q_id, n_exact, n_hit, recall."""
+    return sim_ops.batch_ann_recall(_emb(spark, sf_dir))

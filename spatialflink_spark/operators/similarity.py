@@ -1046,3 +1046,29 @@ def search_ivfpq_index(
         "rank",
         F.expr("row_number() OVER (ORDER BY adc ASC, vec_id ASC)").cast("int"),
     ).select("rank", "vec_id", "adc")
+
+
+def batch_ann_recall(emb: DataFrame, k: int = DEFAULT_K) -> DataFrame:
+    """Per-query recall@k of the multi-probe batch ANN against the exact
+    batch ranker — the calibration signal an ANN deployment monitors when
+    tuning (bits, hamming): recall = |ANN top-k ∩ exact top-k| / k.
+    Composes the two existing batch ops; both inputs are bounded
+    (|queries| x k rows), so the hit join and per-query counts are
+    negligible next to the rankers themselves. All-integer counts, one
+    final rounded division. Output: q_id, n_exact, n_hit, recall."""
+    exact = cosine_topk_batch(emb, k=k).select("q_id", "vec_id")
+    ann = cosine_topk_batch_ann(emb, k=k).select("q_id", "vec_id")
+    hits = exact.join(ann, ["q_id", "vec_id"]).groupBy("q_id").agg(
+        F.expr("cast(count(1) as bigint)").alias("_h")
+    )
+    base = exact.groupBy("q_id").agg(
+        F.expr("cast(count(1) as bigint)").alias("n_exact")
+    )
+    return base.join(hits, "q_id", "left").select(
+        "q_id",
+        "n_exact",
+        F.expr("cast(coalesce(_h, 0) as bigint)").alias("n_hit"),
+        F.expr(
+            "round(cast(coalesce(_h, 0) as double) / n_exact, 6)"
+        ).alias("recall"),
+    )

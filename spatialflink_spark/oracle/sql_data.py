@@ -1733,3 +1733,23 @@ rr AS (
 )
 SELECT q_id, rank, doc_id, bm25, r_lex FROM rr WHERE rank <= {k}
 """
+
+
+def ann_recall(k: int | None = None) -> str:
+    """Twin of similarity.batch_ann_recall — both batch rankers as
+    nested-WITH CTE bodies, integer hit counts, one rounded division."""
+    k = DEFAULT_K if k is None else k
+    return f"""
+WITH ex AS ({cosine_topk_batch(k=k)}),
+an AS ({cosine_topk_batch_ann(k=k)}),
+h AS (
+  SELECT ex.q_id, CAST(count(*) AS BIGINT) AS _h
+  FROM ex JOIN an ON ex.q_id = an.q_id AND ex.vec_id = an.vec_id
+  GROUP BY ex.q_id
+),
+b AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_exact FROM ex GROUP BY q_id)
+SELECT b.q_id, b.n_exact,
+       CAST(coalesce(h._h, 0) AS BIGINT) AS n_hit,
+       round(CAST(coalesce(h._h, 0) AS DOUBLE) / b.n_exact, 6) AS recall
+FROM b LEFT JOIN h ON b.q_id = h.q_id
+"""
