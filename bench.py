@@ -151,6 +151,7 @@ HEADLINE = [
     "ccnet_buckets",
     "hard_negatives",
     "ann_recall",
+    "temperature_mix",
 ]
 
 

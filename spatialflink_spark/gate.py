@@ -1314,3 +1314,13 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-query recall@k of the multi-probe batch ANN vs the exact batch
     ranker. Output: q_id, n_exact, n_hit, recall."""
     return sim_ops.batch_ann_recall(_emb(spark, sf_dir))
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature source sampling (operators/mixing.temperature_mix_sample):
+    tau=0.5 rebalancing — keep rate ∝ 1/sqrt(source token mass), smallest
+    source keeps 100%, deterministic LCG sampling. Output: source,
+    rate_bp, n_kept, tok_kept."""
+    from spatialflink_spark.operators.mixing import temperature_mix_sample
+
+    return temperature_mix_sample(_docs(spark, sf_dir))

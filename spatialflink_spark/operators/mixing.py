@@ -121,3 +121,60 @@ def source_mix_sample(docs: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_kept"),
         F.sum(F.col("n_w").cast("bigint")).alias("tok_kept"),
     )
+
+
+# tau = 0.5 temperature sampling: keep_s ∝ 1/sqrt(tok_s) so kept token mass
+# ∝ sqrt(tok_s) — i.e. the sampled share q_s ∝ p_s^0.5, the multilingual
+# rebalancing rule of mT5/XLM-R. rate_bp = floor(sqrt(SCALE * min/toks)):
+# the DIV runs first so the sqrt argument is <= SCALE = 1e8 (exact in a
+# double), sqrt is IEEE-correctly-rounded in both engines (the same
+# pinning length_quality_corr relies on), and the smallest source keeps
+# 100%. SCALE * min_toks needs decimal(38) past ~9e10 tokens in the
+# smallest source — same documented upgrade as quota_rates' numerator.
+TEMP_SCALE = 100_000_000
+
+
+def temperature_rates(t: DataFrame) -> DataFrame:
+    """(source, rate_bp) for tau=0.5 temperature sampling over a per-row
+    mass table t(source, n_w). Zero-mass sources keep everything (zero
+    mass costs no quota — and ANSI would otherwise DIVIDE_BY_ZERO)."""
+    per_src = t.groupBy("source").agg(
+        F.sum(F.col("n_w").cast("bigint")).alias("src_toks")
+    )
+    mn = per_src.where(F.col("src_toks") > 0).agg(
+        F.min("src_toks").alias("min_toks")
+    )
+    return per_src.crossJoin(F.broadcast(mn)).select(
+        "source",
+        F.expr(
+            f"cast(case when src_toks = 0 then {BP} else "
+            f"least({BP}, cast(floor(sqrt(cast("
+            f"({TEMP_SCALE} * min_toks) div src_toks as double))) as int)) "
+            "end as int)"
+        ).alias("rate_bp"),
+    )
+
+
+def temperature_mix_sample(docs: DataFrame) -> DataFrame:
+    """Per-source kept-document stats after tau=0.5 temperature sampling —
+    the same deterministic LCG keep-filter as source_mix_sample, rates
+    from temperature_rates. Output: source, rate_bp, n_kept, tok_kept."""
+    from spatialflink_spark.session import spread
+
+    t = (
+        spread(docs)
+        .select(
+            "doc_id",
+            "source",
+            F.expr(f"size({T.spark_words('text')})").alias("n_w"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    rates = temperature_rates(t)
+    kept = t.join(F.broadcast(rates), "source").where(
+        F.expr(LCG_KEEP_EXPR) < F.col("rate_bp")
+    )
+    return kept.groupBy("source", "rate_bp").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(F.col("n_w").cast("bigint")).alias("tok_kept"),
+    )

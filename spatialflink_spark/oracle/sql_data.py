@@ -1753,3 +1753,36 @@ SELECT b.q_id, b.n_exact,
        round(CAST(coalesce(h._h, 0) AS DOUBLE) / b.n_exact, 6) AS recall
 FROM b LEFT JOIN h ON b.q_id = h.q_id
 """
+
+
+def temperature_mix() -> str:
+    """Twin of mixing.temperature_mix_sample — integer div before the
+    IEEE-pinned sqrt, same LCG keep-filter as source_mix."""
+    from spatialflink_spark.operators.mixing import BP, TEMP_SCALE
+
+    return f"""
+WITH t AS (
+  SELECT doc_id, source, CAST(len({_W}) AS BIGINT) AS n_w FROM documents
+),
+per_src AS (
+  SELECT source, CAST(sum(n_w) AS BIGINT) AS src_toks FROM t GROUP BY source
+),
+mn AS (
+  SELECT CAST(min(src_toks) AS BIGINT) AS min_toks
+  FROM per_src WHERE src_toks > 0
+),
+rates AS (
+  SELECT source,
+         CAST(CASE WHEN src_toks = 0 THEN {BP} ELSE
+           least({BP}, CAST(floor(sqrt(CAST(
+             ({TEMP_SCALE} * min_toks) // src_toks AS DOUBLE))) AS INT))
+         END AS INT) AS rate_bp
+  FROM per_src CROSS JOIN mn
+)
+SELECT t.source, r.rate_bp, count(*) AS n_kept,
+       CAST(sum(t.n_w) AS BIGINT) AS tok_kept
+FROM t JOIN rates r USING (source)
+WHERE (((t.doc_id % 2147483648) * 1103515245 + 12345) % 2147483648) % {BP}
+      < r.rate_bp
+GROUP BY t.source, r.rate_bp
+"""

@@ -282,3 +282,38 @@ def test_hard_negatives_disjoint_and_ordered(spark):
             if qq == q and (qq, d) not in sem
         )[:10]
         assert sorted(p[1] for p in by_q.get(q, [])) == survivors, q
+
+
+def test_temperature_mix_sqrt_rebalance(spark):
+    """tau=0.5 semantics: the smallest source keeps 100% (rate 10000),
+    rates are non-increasing in source token mass, and each rate equals
+    the pure-python floor(sqrt(SCALE * min // toks))."""
+    import math
+
+    from spatialflink_spark.operators.mixing import (
+        BP,
+        TEMP_SCALE,
+        temperature_mix_sample,
+    )
+
+    words = {
+        r.source: r.n_w
+        for r in _docs(spark)
+        .selectExpr(
+            "source",
+            "size(filter(split(lower(text), '[^a-z0-9]+'), w -> w <> '')) AS n_w",
+        )
+        .groupBy("source")
+        .agg(F.expr("cast(sum(n_w) as bigint)").alias("n_w"))
+        .collect()
+    }
+    mn = min(v for v in words.values() if v > 0)
+    got = {r.source: r.rate_bp for r in temperature_mix_sample(_docs(spark)).collect()}
+    assert got
+    for s, rate in got.items():
+        toks = words[s]
+        want = BP if toks == 0 else min(
+            BP, math.floor(math.sqrt((TEMP_SCALE * mn) // toks))
+        )
+        assert rate == want, (s, rate, want)
+    assert max(got.values()) == BP  # the smallest source keeps everything
