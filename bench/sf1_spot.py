@@ -112,6 +112,10 @@ QUERIES = [
     "ccnet_buckets",
     # anti-join of the two bounded rank lists; tracks the rankers' scaling
     "hard_negatives",
+    # recall join over two bounded rank lists; tracks the batch rankers
+    "ann_recall",
+    # one mass agg + broadcast rate join + LCG filter — linear by shape
+    "temperature_mix",
 ]
 
 # optional subset: SFS_ONLY=a,b,c runs just those queries (re-measuring a
