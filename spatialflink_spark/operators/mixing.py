@@ -178,3 +178,15 @@ def temperature_mix_sample(docs: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_kept"),
         F.sum(F.col("n_w").cast("bigint")).alias("tok_kept"),
     )
+
+
+def temperature_rates_snapshot(seq_snapshot: DataFrame) -> DataFrame:
+    """(source, rate_bp) for a STREAMING temperature-mixing face: tau=0.5
+    rates over a static (or periodically refreshed) snapshot of the
+    sequence stream, token mass = n_tok — the temperature analog of
+    mix_rates_snapshot, pluggable into the same stream-static broadcast
+    join the mixing pipeline uses (streaming/pipeline.py). The caller
+    materializes the tiny result before broadcasting it onto the live
+    stream."""
+    t = seq_snapshot.select("source", F.col("n_tok").alias("n_w"))
+    return temperature_rates(t)

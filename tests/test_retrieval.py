@@ -317,3 +317,25 @@ def test_temperature_mix_sqrt_rebalance(spark):
         )
         assert rate == want, (s, rate, want)
     assert max(got.values()) == BP  # the smallest source keeps everything
+
+
+def test_temperature_rates_snapshot_matches_batch(spark):
+    """The streaming-face rate table over a sequence snapshot must agree
+    with the batch kernel fed the same masses."""
+    from spatialflink_spark.operators.mixing import (
+        temperature_rates,
+        temperature_rates_snapshot,
+    )
+    from spatialflink_spark.sources.sequences import sequences
+
+    snap = sequences(spark, SF_SMALL)
+    got = {
+        r.source: r.rate_bp for r in temperature_rates_snapshot(snap).collect()
+    }
+    want = {
+        r.source: r.rate_bp
+        for r in temperature_rates(
+            snap.select("source", F.col("n_tok").alias("n_w"))
+        ).collect()
+    }
+    assert got == want and got
