@@ -804,13 +804,21 @@ def ccnet_buckets(docs: DataFrame) -> DataFrame:
     join to recover source + one grid groupBy (<= 10,001 rows, map-side
     combined) + broadcast cut row + one (source, bucket) groupBy.
     Output: source, bucket, n_docs, n_tok_total, rarity_mean."""
-    g = unigram_rarity(docs).select(
-        "doc_id",
-        "n_tok",
-        "rarity_sum",
-        F.expr(f"cast(rarity_sum div (n_tok * {CCNET_GRID}) as bigint)").alias(
-            "gkey"
-        ),
+    # MATERIALIZE the rarity rows before the fan-out: g feeds both the
+    # cut derivation (dist -> cum -> cuts) and the bucket join, and the
+    # un-checkpointed form re-evaluated the whole rarity kernel at every
+    # consumer (measured 12 Generate / 14 scan nodes in the plan)
+    g = (
+        unigram_rarity(docs)
+        .select(
+            "doc_id",
+            "n_tok",
+            "rarity_sum",
+            F.expr(
+                f"cast(rarity_sum div (n_tok * {CCNET_GRID}) as bigint)"
+            ).alias("gkey"),
+        )
+        .localCheckpoint(eager=False)
     )
     dist = g.groupBy("gkey").agg(F.expr("cast(count(1) as bigint)").alias("_c"))
     wcum = Window.orderBy("gkey").rowsBetween(
