@@ -88,10 +88,14 @@ def _postings(docs: DataFrame):
     postings = t.groupBy("doc_id", "tok").agg(
         F.expr("cast(count(1) as bigint)").alias("tf")
     )
-    # doc length over the SAME relation — window, not a join back
+    # doc length over the SAME relation — window, not a join back.
+    # MATERIALIZE: postings feeds three consumers (dfreq, scal, the
+    # candidate join) — un-checkpointed, each re-ran the explode+groupBy
+    # (8 Generate nodes in the plan). At cluster scale this is a
+    # write-once intermediate table, the minhash_lsh_pairs posture.
     postings = postings.withColumn(
         "dl", F.sum("tf").over(Window.partitionBy("doc_id")).cast("bigint")
-    )
+    ).localCheckpoint(eager=False)
     dfreq = postings.groupBy("tok").agg(
         F.expr("cast(count(1) as bigint)").alias("df")
     )
