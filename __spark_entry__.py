@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": gate.q_hard_negatives,
         "ann_recall": gate.q_ann_recall,
         "temperature_mix": gate.q_temperature_mix,
+        "stream_tmix_e2e": gate.q_stream_tmix_e2e,
         # ---- the fifteen displaced by this round's fourteen new entries
         # ---- (binfmt_ingest, dedup_exact, geomcollection x3,
         # ---- pack_bins_emit, token_freq_topk, source_length_quantiles,
@@ -266,6 +267,7 @@ def oracle_sql() -> dict[str, str]:
         "hard_negatives": osqld.hard_negatives(),
         "ann_recall": osqld.ann_recall(),
         "temperature_mix": osqld.temperature_mix(),
+        "stream_tmix_e2e": osqla.stream_tmix_e2e(),
         "token_counts": osqld.token_counts(),
         "doc_fingerprint": osqld.fingerprint(),
         "pack_sequences": osql.pack_sequences(),

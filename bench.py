@@ -152,6 +152,7 @@ HEADLINE = [
     "hard_negatives",
     "ann_recall",
     "temperature_mix",
+    "stream_tmix_e2e",
 ]
 
 

@@ -116,6 +116,8 @@ QUERIES = [
     "ann_recall",
     # one mass agg + broadcast rate join + LCG filter — linear by shape
     "temperature_mix",
+    # sixth streaming path: same stateless broadcast filter as stream_mix
+    "stream_tmix_e2e",
 ]
 
 # optional subset: SFS_ONLY=a,b,c runs just those queries (re-measuring a

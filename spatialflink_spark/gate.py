@@ -1324,3 +1324,68 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spatialflink_spark.operators.mixing import temperature_mix_sample
 
     return temperature_mix_sample(_docs(spark, sf_dir))
+
+
+def q_stream_tmix_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sixth end-to-end Structured Streaming path — streaming TEMPERATURE
+    mixing: the q_stream_mix_e2e pipeline verbatim with the tau=0.5 rate
+    kernel (mixing.temperature_rates_snapshot) plugged into the same
+    stateless broadcast keep-filter (streaming/pipeline.stream_source_mix
+    is rate-table-agnostic by design). Oracle = identical integer-div-
+    before-sqrt arithmetic in batch over watermark-closed windows.
+    Output: ws, source, rate_bp, n_kept, tok_kept."""
+    import tempfile
+
+    from spatialflink_spark.operators.mixing import temperature_rates_snapshot
+    from spatialflink_spark.sources.streams import (
+        read_sequences_stream,
+        stage_replay_files_cached,
+    )
+    from spatialflink_spark.streaming.pipeline import (
+        run_available_now,
+        stream_source_mix,
+    )
+    from spatialflink_spark.streaming.sink import ExactlyOnceSink
+
+    root = tempfile.mkdtemp(prefix="sfs_gate_tmix_")
+    replay = stage_replay_files_cached(spark, sf_dir, n_batches=_REPLAY_SLICES)
+    # eager checkpoint + session cache: same posture as the quota-rate path
+    rates = _stream_static(
+        spark,
+        sf_dir,
+        "tmix_rates",
+        lambda: temperature_rates_snapshot(
+            sequences_cached(spark, sf_dir)
+        ).localCheckpoint(),
+    )
+    sink = ExactlyOnceSink(f"{root}/out", key_cols=("ws", "source"))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        stream = read_sequences_stream(
+            spark, replay, C.allowed_lateness_s,
+            max_files_per_trigger=_REPLAY_SLICES,
+        )
+        surv = stream_source_mix(stream, rates)
+        res = (
+            surv.groupBy(
+                F.window("event_ts", f"{C.tumbling_s} seconds").alias("win"),
+                "source",
+                "rate_bp",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_kept"),
+                F.sum(F.col("n_tok").cast("bigint")).alias("tok_kept"),
+            )
+            .select(
+                F.expr("cast(unix_timestamp(win.start) as bigint)").alias("ws"),
+                "source",
+                "rate_bp",
+                "n_kept",
+                "tok_kept",
+            )
+        )
+        run_available_now(res, sink.foreach_batch(), f"{root}/ckpt")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return sink.read_committed(spark)

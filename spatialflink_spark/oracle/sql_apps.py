@@ -828,3 +828,46 @@ SELECT ws, n_new_tokens,
          AS BIGINT) AS cum_vocab
 FROM cnt
 """
+
+
+def stream_tmix_e2e() -> str:
+    """Batch twin of the streaming TEMPERATURE-mixing gate path
+    (q_stream_tmix_e2e): tau=0.5 rates (integer div before the IEEE
+    sqrt, token mass = n_tok over the full static snapshot) + LCG
+    keep-filter, survivors counted per (watermark-closed tumbling
+    window, source, rate)."""
+    from spatialflink_spark.config import DEFAULT_CONFIG as C
+    from spatialflink_spark.operators.mixing import (
+        BP,
+        LCG_A,
+        LCG_C,
+        TEMP_SCALE,
+    )
+    from spatialflink_spark.oracle.sql import _prologue
+
+    return f"""{_prologue(tumbling=True)}
+, wm AS (SELECT max(ts_s) - {C.allowed_lateness_s} AS wlim FROM sequences),
+per_src AS (
+  SELECT source, CAST(sum(CAST(n_tok AS BIGINT)) AS BIGINT) AS src_toks
+  FROM sequences GROUP BY source
+),
+mn AS (
+  SELECT CAST(min(src_toks) AS BIGINT) AS min_toks
+  FROM per_src WHERE src_toks > 0
+),
+rates AS (
+  SELECT source,
+         CAST(CASE WHEN src_toks = 0 THEN {BP} ELSE
+           least({BP}, CAST(floor(sqrt(CAST(
+             ({TEMP_SCALE} * min_toks) // src_toks AS DOUBLE))) AS INT))
+         END AS INT) AS rate_bp
+  FROM per_src CROSS JOIN mn
+)
+SELECT s.ws, s.source, coalesce(r.rate_bp, {BP}) AS rate_bp, count(*) AS n_kept,
+       CAST(sum(s.n_tok) AS BIGINT) AS tok_kept
+FROM seq_t s LEFT JOIN rates r ON s.source = r.source
+WHERE (((s.doc_id % 2147483648) * {LCG_A} + {LCG_C}) % 2147483648) % {BP}
+      < coalesce(r.rate_bp, {BP})
+  AND s.ws + {C.tumbling_s} <= (SELECT wlim FROM wm)
+GROUP BY s.ws, s.source, coalesce(r.rate_bp, {BP})
+"""
