@@ -122,9 +122,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_card": gate.q_source_card,
         "dsir_importance": gate.q_dsir_importance,
         "pq_topk_adc": gate.q_pq_topk_adc,
-        # bm25_topk / rrf_fusion / ccnet_buckets are NEW (born below the
-        # boundary for the same reason; verified through the fresh-process
-        # driver recipe at sf0.01 — rotate them into the r06 window)
+        # the seven closing-round-5 retrieval/curation/streaming entries
+        # (bm25_topk, rrf_fusion, ccnet_buckets, hard_negatives,
+        # ann_recall, temperature_mix, stream_tmix_e2e) are NEW — born
+        # below the boundary for the same reason; each verified through
+        # the fresh-process driver recipe at sf0.01 (plus the tz probe and
+        # an sf0.1 scale probe) — rotate them into the r06 window
         "bm25_topk": gate.q_bm25_topk,
         "rrf_fusion": gate.q_rrf_fusion,
         "ccnet_buckets": gate.q_ccnet_buckets,
