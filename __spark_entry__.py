@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": gate.q_ann_recall,
         "temperature_mix": gate.q_temperature_mix,
         "stream_tmix_e2e": gate.q_stream_tmix_e2e,
+        "lsh_calibration": gate.q_lsh_calibration,
         # ---- the fifteen displaced by this round's fourteen new entries
         # ---- (binfmt_ingest, dedup_exact, geomcollection x3,
         # ---- pack_bins_emit, token_freq_topk, source_length_quantiles,
@@ -271,6 +272,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_recall": osqld.ann_recall(),
         "temperature_mix": osqld.temperature_mix(),
         "stream_tmix_e2e": osqla.stream_tmix_e2e(),
+        "lsh_calibration": osqld.lsh_calibration(),
         "token_counts": osqld.token_counts(),
         "doc_fingerprint": osqld.fingerprint(),
         "pack_sequences": osql.pack_sequences(),

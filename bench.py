@@ -153,6 +153,7 @@ HEADLINE = [
     "ann_recall",
     "temperature_mix",
     "stream_tmix_e2e",
+    "lsh_calibration",
 ]
 
 

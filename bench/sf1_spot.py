@@ -118,6 +118,8 @@ QUERIES = [
     "temperature_mix",
     # sixth streaming path: same stateless broadcast filter as stream_mix
     "stream_tmix_e2e",
+    # rides the banded pair kernel UNTHRESHOLDED — tracks candidate volume
+    "lsh_calibration",
 ]
 
 # optional subset: SFS_ONLY=a,b,c runs just those queries (re-measuring a

@@ -1389,3 +1389,11 @@ def q_stream_tmix_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return sink.read_committed(spark)
+
+
+def q_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH calibration curve (operators/dedup.lsh_calibration): mean exact
+    Jaccard per estimated-similarity decile over every banded candidate
+    pair — the (hashes, bands, rows) tuning diagnostic. Output: decile,
+    n_pairs, mean_est, mean_jaccard."""
+    return dedup_ops.lsh_calibration(_docs(spark, sf_dir))

@@ -976,3 +976,35 @@ def dedup_size_histogram(docs: DataFrame) -> DataFrame:
         "n_components",
         F.expr("cast(size * n_components as bigint)").alias("n_docs"),
     )
+
+
+def lsh_calibration(docs: DataFrame) -> DataFrame:
+    """MinHash/LSH calibration curve — the diagnostic (N_HASHES, N_BANDS,
+    ROWS_PER_BAND) are tuned against: bucket every LSH candidate pair by
+    its ESTIMATED similarity decile and report the mean EXACT Jaccard per
+    bucket. A well-calibrated sketch puts mean_jaccard on the decile
+    diagonal; bands too wide show up as low-decile flooding.
+
+    Determinism: est_sim is m/16 (N_HASHES a power of two — exact in a
+    double, exact under round(.,6), so floor(est_sim*10) is exact);
+    jaccard is round(.,6), so round(jaccard*1e6) is an exact integer and
+    the per-bucket accumulation is an order-insensitive bigint sum with
+    one final rounded division per column. Scale: rides the banded pair
+    kernel (minhash_lsh_pairs at threshold 0 — every candidate, none
+    verified away); the bucket agg is a <=10-key map-side-combined
+    groupBy. Output: decile, n_pairs, mean_est, mean_jaccard."""
+    pairs = minhash_lsh_pairs(docs, threshold=0.0)
+    b = pairs.select(
+        F.expr("least(9, cast(floor(est_sim * 10) as int))").alias("decile"),
+        F.expr("cast(round(est_sim * 1000000) as bigint)").alias("_e"),
+        F.expr("cast(round(jaccard * 1000000) as bigint)").alias("_j"),
+    )
+    return b.groupBy("decile").agg(
+        F.expr("cast(count(1) as bigint)").alias("n_pairs"),
+        F.expr(
+            "round(cast(sum(_e) as double) / (cast(count(1) as double) * 1000000), 6)"
+        ).alias("mean_est"),
+        F.expr(
+            "round(cast(sum(_j) as double) / (cast(count(1) as double) * 1000000), 6)"
+        ).alias("mean_jaccard"),
+    )

@@ -1786,3 +1786,23 @@ WHERE (((t.doc_id % 2147483648) * 1103515245 + 12345) % 2147483648) % {BP}
       < r.rate_bp
 GROUP BY t.source, r.rate_bp
 """
+
+
+def lsh_calibration() -> str:
+    """Twin of dedup.lsh_calibration — the unthresholded pair statement as
+    a nested-WITH CTE body, exact-integer decile bucketing."""
+    return f"""
+WITH p AS ({minhash_lsh_pairs(threshold=0.0)}),
+b AS (
+  SELECT least(9, CAST(floor(est_sim * 10) AS INT)) AS decile,
+         CAST(round(est_sim * 1000000) AS BIGINT) AS _e,
+         CAST(round(jaccard * 1000000) AS BIGINT) AS _j
+  FROM p
+)
+SELECT decile, CAST(count(*) AS BIGINT) AS n_pairs,
+       round(CAST(sum(_e) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000), 6)
+         AS mean_est,
+       round(CAST(sum(_j) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000), 6)
+         AS mean_jaccard
+FROM b GROUP BY decile
+"""
