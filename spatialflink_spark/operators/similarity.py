@@ -1056,7 +1056,15 @@ def batch_ann_recall(emb: DataFrame, k: int = DEFAULT_K) -> DataFrame:
     (|queries| x k rows), so the hit join and per-query counts are
     negligible next to the rankers themselves. All-integer counts, one
     final rounded division. Output: q_id, n_exact, n_hit, recall."""
-    exact = cosine_topk_batch(emb, k=k).select("q_id", "vec_id")
+    # MATERIALIZE: exact feeds both the hit join and the per-query base —
+    # un-checkpointed, the whole exact ranker re-evaluates per consumer
+    # (the multi-consumer invariant, CLAUDE.md); the relation is
+    # |queries| x k rows
+    exact = (
+        cosine_topk_batch(emb, k=k)
+        .select("q_id", "vec_id")
+        .localCheckpoint(eager=False)
+    )
     ann = cosine_topk_batch_ann(emb, k=k).select("q_id", "vec_id")
     hits = exact.join(ann, ["q_id", "vec_id"]).groupBy("q_id").agg(
         F.expr("cast(count(1) as bigint)").alias("_h")
