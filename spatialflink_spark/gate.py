@@ -1241,6 +1241,17 @@ def q_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lift_topk(_docs(spark, sf_dir))
 
 
+def q_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM fluency score (operators/corpus.bigram_fluency): log-free
+    KenLM-analog per-document mean conditional bigram probability —
+    exact-integer floor(c_ab * SCALE / c_a) sums over the encoded-bigint
+    bigram key, vocab-broadcast prefix join. Output: doc_id, n_bigrams,
+    fluency_sum, fluency_mean."""
+    from spatialflink_spark.operators.corpus import bigram_fluency
+
+    return bigram_fluency(_docs(spark, sf_dir))
+
+
 def q_source_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source dataset card (operators/corpus.source_card): quality
     keep rate + wide near-dup contamination + PII incidence composed from

@@ -1806,3 +1806,40 @@ SELECT decile, CAST(count(*) AS BIGINT) AS n_pairs,
          AS mean_jaccard
 FROM b GROUP BY decile
 """
+
+
+def bigram_fluency() -> str:
+    """Twin of corpus.bigram_fluency — exact-integer conditional-probability
+    sums over the shared bigram encoding (a * VOCAB_SIZE + b); `//` is
+    DuckDB's floor division, matching Spark's `div` on the nonnegative
+    operands."""
+    from spatialflink_spark.config import VOCAB_SIZE
+    from spatialflink_spark.operators.corpus import FLUENCY_SCALE
+
+    tok = T.duck_tokenize("text")
+    return f"""
+WITH t AS (SELECT doc_id, {tok} AS _t FROM documents),
+bgx AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(_t)),
+                i -> CAST(_t[i] AS BIGINT) * {VOCAB_SIZE} + _t[i + 1])) AS bg
+  FROM t WHERE len(_t) >= 2
+),
+cab AS (SELECT bg, CAST(count(*) AS BIGINT) AS c_ab FROM bgx GROUP BY bg),
+uni AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c_a
+  FROM (SELECT unnest(_t) AS tok FROM t) GROUP BY tok
+),
+p AS (
+  SELECT b.doc_id, (c.c_ab * {FLUENCY_SCALE}) // u.c_a AS _p
+  FROM bgx b JOIN cab c USING (bg) JOIN uni u ON b.bg // {VOCAB_SIZE} = u.tok
+),
+a AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(_p) AS BIGINT) AS fluency_sum
+  FROM p GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, fluency_sum,
+       fluency_sum // n_bigrams AS fluency_mean
+FROM a
+"""

@@ -65,7 +65,16 @@ class ExactlyOnceSink:
         successful commit); otherwise (re)write the batch dir then commit the
         ledger entry with lineage."""
         if batch_id in self.committed_batches():
-            return  # exactly-once: checkpoint replayed a committed batch
+            # exactly-once: the checkpoint replayed an already-committed
+            # batch (crash/stop landed between this ledger's commit and
+            # Spark's commit-log write). Do NOT rewrite data — but DO drive
+            # the DataFrame through a noop write: a stateful plan only
+            # commits its state stores when the batch is fully consumed,
+            # and skipping consumption both fails Spark's state-store
+            # commit validation (STATE_STORE_COMMIT_VALIDATION_FAILED) and
+            # would leave the replayed batch's state version uncommitted.
+            df.write.format("noop").mode("overwrite").save()
+            return
         t0 = time.time()
         # persist the micro-batch: the plan below it (stateful agg etc.) must
         # compute ONCE — round 1 ran three uncached actions per batch,

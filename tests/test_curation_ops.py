@@ -717,6 +717,33 @@ def test_bigram_lift_matches_python(spark):
         assert 0 <= a < VOCAB_SIZE and 0 <= b < VOCAB_SIZE
 
 
+def test_bigram_fluency_matches_python(spark):
+    """Exact-integer fluency sums vs a pure-Python mirror of the tokenizer
+    + corpus bigram/prefix counts at sf0.001."""
+    from spatialflink_spark.operators.corpus import FLUENCY_SCALE, bigram_fluency
+
+    docs = _docs(spark).select("doc_id", "text").collect()
+    uni: Counter = Counter()
+    big: Counter = Counter()
+    toks = {}
+    for r in docs:
+        ts = _py_tokenize(r["text"])
+        toks[r["doc_id"]] = ts
+        uni.update(ts)
+        big.update(zip(ts, ts[1:]))
+    out = {r["doc_id"]: r for r in bigram_fluency(_docs(spark)).collect()}
+    exp_ids = {d for d, ts in toks.items() if len(ts) >= 2}
+    assert set(out) == exp_ids
+    for doc_id in exp_ids:
+        ts = toks[doc_id]
+        ps = [big[(a, b)] * FLUENCY_SCALE // uni[a] for a, b in zip(ts, ts[1:])]
+        assert out[doc_id]["n_bigrams"] == len(ps), doc_id
+        assert out[doc_id]["fluency_sum"] == sum(ps), doc_id
+        assert out[doc_id]["fluency_mean"] == sum(ps) // len(ps), doc_id
+        # every contribution is a probability in the fixed-point domain
+        assert all(0 <= p <= FLUENCY_SCALE for p in ps)
+
+
 def test_source_card_consistent_with_kernels(spark):
     """The card must agree with its three source kernels run standalone:
     total docs partition the corpus, keep_rate == quality_filter keep
