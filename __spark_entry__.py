@@ -136,9 +136,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": gate.q_temperature_mix,
         "stream_tmix_e2e": gate.q_stream_tmix_e2e,
         "lsh_calibration": gate.q_lsh_calibration,
-        # bigram_fluency is NEW (born below the boundary for the same
-        # reason; fresh-process-verified at sf0.01 — rotate into r06)
+        # bigram_fluency / prototypicality are NEW (born below the boundary
+        # for the same reason; fresh-process-verified at sf0.01 — rotate
+        # into r06)
         "bigram_fluency": gate.q_bigram_fluency,
+        "prototypicality": gate.q_prototypicality,
         # ---- the fifteen displaced by this round's fourteen new entries
         # ---- (binfmt_ingest, dedup_exact, geomcollection x3,
         # ---- pack_bins_emit, token_freq_topk, source_length_quantiles,
@@ -277,6 +279,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_tmix_e2e": osqla.stream_tmix_e2e(),
         "lsh_calibration": osqld.lsh_calibration(),
         "bigram_fluency": osqld.bigram_fluency(),
+        "prototypicality": osqld.prototypicality(),
         "token_counts": osqld.token_counts(),
         "doc_fingerprint": osqld.fingerprint(),
         "pack_sequences": osql.pack_sequences(),

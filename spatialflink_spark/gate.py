@@ -1241,6 +1241,14 @@ def q_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lift_topk(_docs(spark, sf_dir))
 
 
+def q_prototypicality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSL-prototypes pruning (operators/similarity.prototypicality):
+    per-cluster closeness ranks over the shared quantized-integer Lloyd
+    kernel, integer basis-point keep cut dropping the most prototypical
+    quarter. Output: vec_id, cid, d2, rank_c, keep."""
+    return sim_ops.prototypicality(_emb(spark, sf_dir))
+
+
 def q_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM fluency score (operators/corpus.bigram_fluency): log-free
     KenLM-analog per-document mean conditional bigram probability —

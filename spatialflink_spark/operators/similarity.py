@@ -1080,3 +1080,70 @@ def batch_ann_recall(emb: DataFrame, k: int = DEFAULT_K) -> DataFrame:
             "round(cast(coalesce(_h, 0) as double) / n_exact, 6)"
         ).alias("recall"),
     )
+
+
+PROTO_DROP_BP = 2500  # drop the most-prototypical quarter of each cluster
+
+
+def prototypicality(
+    emb: DataFrame,
+    n_centroids: int = KM_CENTROIDS,
+    iters: int = KM_ITERS,
+    drop_bp: int = PROTO_DROP_BP,
+) -> DataFrame:
+    """SSL-prototypes data pruning (Sorscher et al. 2022, the metric D4
+    pairs with SemDeDup): rank every vector by its distance to its own
+    k-means centroid and DROP the most prototypical (closest) `drop_bp`
+    basis points per cluster — with abundant data, easy/redundant examples
+    near the cluster core teach the least, so curation keeps the outskirts.
+
+    Deterministic and exact: distances are quantized-integer squared-L2
+    (the shared Lloyd kernel domain), ranking ties break by vec_id, and the
+    keep cut is integer basis-point math — no rounding contract anywhere.
+
+    Scale (100 TB): centroid fit + assignment are the shuffle-free
+    broadcast-argmin kernel (kmeans_centroids); the only new work is ONE
+    rank window partitioned by cid — and as with semantic_dedup,
+    n_centroids grows with the corpus so per-cluster partitions stay
+    bounded (the paper's regime: cluster count scales, cluster size
+    doesn't). Output: vec_id, cid, d2, rank_c, keep."""
+    from spatialflink_spark.session import spread
+
+    packed = _packed_centroids(
+        kmeans_centroids(emb, n_centroids, iters)
+    ).localCheckpoint(eager=False)
+    base = spread(emb).select(
+        "vec_id", F.expr(_km_quant("embedding")).alias("qv")
+    )
+    assigned = (
+        base.crossJoin(F.broadcast(packed))
+        .select(
+            "vec_id",
+            F.expr(
+                f"array_min(transform(_cents, c -> struct({_KM_CDIST} as d,"
+                " c.cid as cid)))"
+            ).alias("_a"),
+        )
+        .select(
+            "vec_id",
+            F.expr("cast(_a.cid as int)").alias("cid"),
+            F.expr("_a.d").alias("d2"),
+        )
+    )
+    ranked = assigned.select(
+        "*",
+        F.expr(
+            "cast(row_number() OVER (PARTITION BY cid ORDER BY d2, vec_id)"
+            " as int)"
+        ).alias("rank_c"),
+        F.expr(
+            "cast(count(1) OVER (PARTITION BY cid) as bigint)"
+        ).alias("n_c"),
+    )
+    return ranked.select(
+        "vec_id",
+        "cid",
+        "d2",
+        "rank_c",
+        F.expr(f"rank_c > (n_c * {drop_bp}) div 10000").alias("keep"),
+    )

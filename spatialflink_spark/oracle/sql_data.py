@@ -1843,3 +1843,45 @@ SELECT doc_id, n_bigrams, fluency_sum,
        fluency_sum // n_bigrams AS fluency_mean
 FROM a
 """
+
+
+def prototypicality(
+    n_centroids: int | None = None,
+    iters: int | None = None,
+    drop_bp: int | None = None,
+) -> str:
+    """Twin of similarity.prototypicality — the shared Lloyd CTE chain,
+    then per-cluster closeness ranks and the integer basis-point keep cut."""
+    from spatialflink_spark.operators.similarity import (
+        KM_CENTROIDS,
+        KM_ITERS,
+        PROTO_DROP_BP,
+    )
+
+    n_centroids = KM_CENTROIDS if n_centroids is None else n_centroids
+    iters = KM_ITERS if iters is None else iters
+    drop_bp = PROTO_DROP_BP if drop_bp is None else drop_bp
+    ctes, final = _kmeans_ctes(n_centroids, iters)
+    # the shared `assigned` CTE drops qv/distance; re-derive with d2 kept
+    d = _km_duck_dist("v.qv", "c.cq")
+    cte_block = ",\n".join(ctes)
+    return f"""
+WITH {cte_block},
+ad AS (
+  SELECT vec_id, cid, d2 FROM (
+    SELECT v.vec_id, c.cid, {d} AS d2,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY {d}, c.cid) AS rn
+    FROM q0 v CROSS JOIN {final} c
+  ) WHERE rn = 1
+),
+r AS (
+  SELECT vec_id, CAST(cid AS INT) AS cid, d2,
+         CAST(row_number() OVER (PARTITION BY cid ORDER BY d2, vec_id) AS INT)
+           AS rank_c,
+         CAST(count(*) OVER (PARTITION BY cid) AS BIGINT) AS n_c
+  FROM ad
+)
+SELECT vec_id, cid, d2, rank_c,
+       (rank_c > (n_c * {drop_bp}) // 10000) AS keep
+FROM r
+"""

@@ -680,6 +680,44 @@ def test_semantic_dedup_drop_rule_exact(spark):
     assert n_dropped > 0, "fixture produced no semantic dups — vacuous"
 
 
+def test_prototypicality_matches_python(spark):
+    """cid/d2 must equal the brute-force argmin against the engine's own
+    centroid table in exact integer math; ranks and the basis-point keep
+    cut mirror in python."""
+    from spatialflink_spark.operators.similarity import (
+        KM_QSCALE,
+        PROTO_DROP_BP,
+        kmeans_centroids,
+        prototypicality,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    cents = {r["cid"]: r["cq"] for r in kmeans_centroids(emb).collect()}
+    qvs = {
+        r["vec_id"]: [round(float(x) * KM_QSCALE) for x in r["embedding"]]
+        for r in emb.collect()
+    }
+    out = {r["vec_id"]: r for r in prototypicality(emb).collect()}
+    assert set(out) == set(qvs)
+    by_cid: dict[int, list] = {}
+    for vid, qv in qvs.items():
+        best = min(
+            (sum((a - b) * (a - b) for a, b in zip(qv, cq)), cid)
+            for cid, cq in cents.items()
+        )
+        assert (out[vid]["cid"], out[vid]["d2"]) == (best[1], best[0]), vid
+        by_cid.setdefault(best[1], []).append((best[0], vid))
+    n_dropped = 0
+    for cid, members in by_cid.items():
+        members.sort()
+        cut = len(members) * PROTO_DROP_BP // 10000
+        for rank0, (_, vid) in enumerate(members):
+            assert out[vid]["rank_c"] == rank0 + 1, vid
+            assert out[vid]["keep"] == (rank0 + 1 > cut), vid
+            n_dropped += rank0 + 1 <= cut
+    assert n_dropped > 0, "fixture dropped nothing — vacuous"
+
+
 def test_bigram_lift_matches_python(spark):
     """Full-result equivalence vs a pure-Python mirror (counts, lift,
     ordering) at sf0.001, plus key-encoding round-trip."""
