@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # into r06)
         "bigram_fluency": gate.q_bigram_fluency,
         "prototypicality": gate.q_prototypicality,
+        "decontaminate_bloom": gate.q_decontaminate_bloom,
         # ---- the fifteen displaced by this round's fourteen new entries
         # ---- (binfmt_ingest, dedup_exact, geomcollection x3,
         # ---- pack_bins_emit, token_freq_topk, source_length_quantiles,
@@ -225,6 +226,9 @@ def oracle_sql() -> dict[str, str]:
         "count_windows_tumbling": osql.count_windows_tumbling(),
         "dedup_exact": osqld.exact_dedup(),
         "decontaminate": osqld.decontaminate(),
+        # same golden FAMILY: the Bloom prefilter must be answer-invisible
+        # (exact decon at the gate's high-threshold operating point)
+        "decontaminate_bloom": osqld.decontaminate(min_overlap=10),
         "source_mix": osqld.source_mix(),
         "curation_pipeline": osqld.curation_pipeline(),
         "dedup_minhash_lsh": osqld.minhash_lsh_pairs(),

@@ -171,6 +171,29 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.decontaminate(_docs(spark, sf_dir))
 
 
+BLOOM_GATE_OVERLAP = 10  # sparse at the graded scale (12/461 sf0.01 docs)
+
+
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination (dedup.decontaminate_bloom):
+    broadcast Bloom bitset scores every doc in pure per-row codegen (no
+    false negatives), only bloom-candidates pay the exact explode + probe
+    join — answer-identical to exact decontamination at the same threshold
+    and graded against the SAME golden (decontaminate(min_overlap=10)).
+    Gated ABOVE the production threshold (3) because the synthetic
+    corpus's shared word vocabulary makes >= 3-shingle overlap
+    near-universal (an artifact of the fixture, not of real benchmark
+    contamination, which is rare) — a prefilter only has work to do where
+    candidates are sparse (~2.6% of sf0.01 docs at 10), which is the
+    regime the production op runs in. Overlap density grows with probe
+    size on this fixture, so BENCH.md calibrates the spot-check threshold
+    per scale.
+    Output: doc_id, n_shared_shingles."""
+    return dedup_ops.decontaminate_bloom(
+        _docs(spark, sf_dir), min_overlap=BLOOM_GATE_OVERLAP
+    )
+
+
 def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source mixing (operators/mixing.py): integer basis-point quota rates
     from target weights + observed token mass, deterministic LCG-hash doc

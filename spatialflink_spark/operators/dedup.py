@@ -1008,3 +1008,161 @@ def lsh_calibration(docs: DataFrame) -> DataFrame:
             "round(cast(sum(_j) as double) / (cast(count(1) as double) * 1000000), 6)"
         ).alias("mean_jaccard"),
     )
+
+
+# ---- Bloom-prefiltered decontamination -------------------------------------
+# The 100 TB shape of the decontamination scan: the probe's shingle set as a
+# tiny broadcast BITSET instead of a broadcast join relation. A Bloom filter
+# has no false negatives, so a document whose bloom-hit count is below the
+# overlap threshold provably cannot reach it exactly — only the (rare)
+# bloom-candidates pay the explode + exact probe join. Same answer as
+# decontaminate() by construction; graded against the SAME DuckDB golden.
+BLOOM_BITS = 1 << 22       # 4.19M bits; ~0.5 MB broadcast as 60-bit words
+BLOOM_WORD_BITS = 60       # bits per bigint word (sign-safe shifts)
+BLOOM_WORDS = (BLOOM_BITS + BLOOM_WORD_BITS - 1) // BLOOM_WORD_BITS
+BLOOM_K = 3                # double-hashing positions per key
+BLOOM_SEED_B1 = 40503
+BLOOM_SEED_B2 = 99991
+
+
+def _mix1(col: str, seed: int) -> str:
+    """Scalar wide-mix of a bigint column: run the vetted xorshift-multiply
+    chain (wide_hash_chain) over a one-element array and take the element —
+    each transform stage evaluates its input ONCE, so the scalar form costs
+    no expression blowup."""
+    return f"element_at({wide_hash_chain(f'array({col})', seed, 'spark')}, 1)"
+
+
+def _bloom_bitset(probe: DataFrame) -> DataFrame:
+    """One-row (_bloom array<bigint>[BLOOM_WORDS]) dense bitset over the
+    probe's distinct shingle hashes `h` — double hashing (Kirsch-
+    Mitzenmacher): position_i = (h1 + i*h2) mod BLOOM_BITS."""
+    spark = probe.sparkSession
+    mixed = probe.select(
+        F.expr(_mix1("h", BLOOM_SEED_B1)).alias("_a"),
+        F.expr(_mix1("h", BLOOM_SEED_B2)).alias("_b"),
+    )
+    pos = mixed.select(
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {BLOOM_K - 1}),"
+                f" i -> (_a + i * _b) % {BLOOM_BITS})"
+            )
+        ).alias("_pos")
+    )
+    words = pos.groupBy(
+        F.expr(f"_pos div {BLOOM_WORD_BITS}").alias("_w")
+    ).agg(
+        F.expr(
+            f"bit_or(shiftleft(cast(1 as bigint),"
+            f" cast(_pos % {BLOOM_WORD_BITS} as int)))"
+        ).alias("_mask")
+    )
+    dense = (
+        spark.range(BLOOM_WORDS)
+        .select(F.col("id").alias("_w"))
+        .join(words, "_w", "left")
+        .select("_w", F.expr("coalesce(_mask, cast(0 as bigint))").alias("_mask"))
+    )
+    return dense.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(_w, _mask))), s -> s._mask)"
+        ).alias("_bloom")
+    )
+
+
+def _bloom_test_expr(a: str, b: str) -> str:
+    """Boolean: all BLOOM_K positions of the (a, b) double-hash are set."""
+    checks = []
+    for i in range(BLOOM_K):
+        p = f"(({a} + {i} * {b}) % {BLOOM_BITS})"
+        checks.append(
+            f"(shiftright(element_at(_bloom,"
+            f" cast({p} div {BLOOM_WORD_BITS} as int) + 1),"
+            f" cast({p} % {BLOOM_WORD_BITS} as int)) % 2 = 1)"
+        )
+    return " AND ".join(checks)
+
+
+def _bloom_parts(
+    docs: DataFrame, probe_pred: str, k: int
+) -> tuple[DataFrame, DataFrame]:
+    """(probe, flagged): the probe's distinct shingle-hash relation
+    (checkpointed once — it feeds both the bitset build and the exact
+    verify) and the per-training-doc (doc_id, _hs, bloom_hits) relation."""
+    probe = (
+        with_shingle_hashes(docs.where(F.expr(probe_pred)), k)
+        .localCheckpoint(eager=False)
+        .select(F.explode("_hs").alias("h"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    bitset = _bloom_bitset(probe)
+    train = with_shingle_hashes(docs.where(~F.expr(probe_pred)), k)
+    hashed = train.select(
+        "doc_id",
+        "_hs",
+        F.expr(wide_hash_chain("_hs", BLOOM_SEED_B1, "spark")).alias("_b1"),
+        F.expr(wide_hash_chain("_hs", BLOOM_SEED_B2, "spark")).alias("_b2"),
+    )
+    flagged = hashed.crossJoin(F.broadcast(bitset)).select(
+        "doc_id",
+        "_hs",
+        F.expr(
+            f"size(filter(zip_with(_b1, _b2, (a, b) -> {_bloom_test_expr('a', 'b')}),"
+            " x -> x))"
+        ).cast("int").alias("bloom_hits"),
+    )
+    return probe, flagged
+
+
+def bloom_flagged(
+    docs: DataFrame, probe_pred: str = "doc_id % 13 = 0", k: int = SHINGLE_K
+) -> DataFrame:
+    """(doc_id, _hs, bloom_hits) over the training split: per-doc count of
+    shingles the probe Bloom bitset admits. No false negatives, so
+    bloom_hits >= the exact shared-shingle count ALWAYS (the prefilter
+    soundness property; pinned by tests)."""
+    return _bloom_parts(docs, probe_pred, k)[1]
+
+
+def decontaminate_bloom(
+    docs: DataFrame,
+    probe_pred: str = "doc_id % 13 = 0",
+    k: int = SHINGLE_K,
+    min_overlap: int = 3,
+) -> DataFrame:
+    """Bloom-prefiltered benchmark decontamination — answer-identical to
+    decontaminate() (graded against the SAME DuckDB golden), with the probe
+    join demoted to a candidates-only verify stage.
+
+    Plan shape at 100 TB: decontaminate() explodes EVERY training doc's
+    shingles into a broadcast-join + count shuffle — correct, but the whole
+    corpus pays the explode even though almost nothing overlaps an eval
+    benchmark. Here every doc is first scored against a ~0.5 MB broadcast
+    Bloom BITSET (pure per-row codegen: two staged xorshift-multiply hash
+    arrays + 3 masked word probes per shingle, zero joins); only docs whose
+    bloom-hit count reaches min_overlap — no false negatives, so this set
+    provably contains every true positive — continue to the exact
+    explode + probe join. At benchmark-decon operating points (candidate
+    fraction ~0) the shuffle volume drops from corpus-sized to
+    candidate-sized. False-positive budget: with |probe| ~ 190k shingles
+    at BLOOM_BITS = 2^22 / k = 3, per-shingle FP ~ 0.002 — a 50-shingle
+    clean doc sees ~0.1 phantom hits against a threshold of 3.
+    Output: doc_id, n_shared_shingles (identical to decontaminate)."""
+    probe, flagged = _bloom_parts(docs, probe_pred, k)
+    # materialize the (tiny) candidate set before the explode — the explode
+    # would otherwise re-evaluate the whole shingle+hash+bloom chain
+    # (CLAUDE.md explode-amplification invariant)
+    cand = (
+        flagged.where(F.col("bloom_hits") >= min_overlap)
+        .select("doc_id", "_hs")
+        .localCheckpoint(eager=False)
+    )
+    overlaps = (
+        cand.select("doc_id", F.explode("_hs").alias("h"))
+        .join(F.broadcast(probe), "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )
+    return overlaps.where(F.col("n_shared_shingles") >= min_overlap)

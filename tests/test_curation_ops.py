@@ -680,6 +680,56 @@ def test_semantic_dedup_drop_rule_exact(spark):
     assert n_dropped > 0, "fixture produced no semantic dups — vacuous"
 
 
+def test_decontaminate_bloom_equals_exact(spark):
+    """The Bloom prefilter must be answer-invisible: identical rows to the
+    exact decontamination at sf0.001 (same-golden contract)."""
+    from spatialflink_spark.operators.dedup import (
+        decontaminate,
+        decontaminate_bloom,
+    )
+
+    for t in (3, 10):
+        exact = {
+            (r["doc_id"], r["n_shared_shingles"])
+            for r in decontaminate(_docs(spark), min_overlap=t).collect()
+        }
+        bloom = {
+            (r["doc_id"], r["n_shared_shingles"])
+            for r in decontaminate_bloom(_docs(spark), min_overlap=t).collect()
+        }
+        assert bloom == exact, t
+        assert exact, f"fixture has no contaminated docs at t={t} — vacuous"
+
+
+def test_bloom_prefilter_sound_and_effective(spark):
+    """Soundness: bloom_hits >= the exact per-doc shared-shingle count for
+    EVERY doc (no false negatives — the property the same-golden contract
+    rests on). Effectiveness: the candidate set is smaller than the corpus
+    (the prefilter actually prunes)."""
+    from spatialflink_spark.operators.dedup import (
+        bloom_flagged,
+        with_shingle_hashes,
+    )
+
+    docs = _docs(spark)
+    probe_hs: set = set()
+    for r in with_shingle_hashes(docs.where("doc_id % 13 = 0")).collect():
+        probe_hs.update(r["_hs"])
+    rows = bloom_flagged(docs).collect()
+    n_cand = n_true = n_cand50 = n_true50 = 0
+    for r in rows:
+        exact = sum(1 for h in r["_hs"] if h in probe_hs)
+        assert r["bloom_hits"] >= exact, r["doc_id"]
+        n_cand += r["bloom_hits"] >= 3
+        n_true += exact >= 3
+        n_cand50 += r["bloom_hits"] >= 10
+        n_true50 += exact >= 10
+    assert n_true <= n_cand < len(rows)
+    # at the gate's high-threshold operating point the prefilter must
+    # actually prune: candidates a strict minority of the corpus
+    assert n_true50 <= n_cand50 < len(rows) // 2
+
+
 def test_prototypicality_matches_python(spark):
     """cid/d2 must equal the brute-force argmin against the engine's own
     centroid table in exact integer math; ranks and the basis-point keep
