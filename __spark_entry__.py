@@ -142,6 +142,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_fluency": gate.q_bigram_fluency,
         "prototypicality": gate.q_prototypicality,
         "decontaminate_bloom": gate.q_decontaminate_bloom,
+        "pq_topk_batch": gate.q_pq_topk_batch,
+        "l2_topk_batch": gate.q_l2_topk_batch,
+        "pq_batch_recall": gate.q_pq_batch_recall,
         # ---- the fifteen displaced by this round's fourteen new entries
         # ---- (binfmt_ingest, dedup_exact, geomcollection x3,
         # ---- pack_bins_emit, token_freq_topk, source_length_quantiles,
@@ -284,6 +287,9 @@ def oracle_sql() -> dict[str, str]:
         "lsh_calibration": osqld.lsh_calibration(),
         "bigram_fluency": osqld.bigram_fluency(),
         "prototypicality": osqld.prototypicality(),
+        "pq_topk_batch": osqld.pq_topk_batch(),
+        "l2_topk_batch": osqld.l2_topk_batch(),
+        "pq_batch_recall": osqld.pq_batch_recall(),
         "token_counts": osqld.token_counts(),
         "doc_fingerprint": osqld.fingerprint(),
         "pack_sequences": osql.pack_sequences(),

@@ -1264,6 +1264,28 @@ def q_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lift_topk(_docs(spark, sf_dir))
 
 
+def q_pq_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC retrieval over the query table (similarity.pq_topk_batch):
+    per-query dense ADC tables on one broadcast row, m-lookup scoring,
+    two-stage cut keyed by the subspace-0 code — exact bigints after
+    quantization. Output: q_id, rank, vec_id, adc."""
+    return sim_ops.pq_topk_batch(_emb(spark, sf_dir))
+
+
+def q_l2_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantized-squared-L2 batch ranker (similarity.l2_topk_batch)
+    — the PQ recall basis, graded against a direct-window golden.
+    Output: q_id, rank, vec_id, d2."""
+    return sim_ops.l2_topk_batch(_emb(spark, sf_dir))
+
+
+def q_pq_batch_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-loss calibration of the PQ batch ranker
+    (similarity.pq_batch_recall): per-query recall@k of ADC vs exact
+    quantized-L2. Output: q_id, n_exact, n_hit, recall."""
+    return sim_ops.pq_batch_recall(_emb(spark, sf_dir))
+
+
 def q_prototypicality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SSL-prototypes pruning (operators/similarity.prototypicality):
     per-cluster closeness ranks over the shared quantized-integer Lloyd

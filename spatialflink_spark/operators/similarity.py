@@ -1147,3 +1147,159 @@ def prototypicality(
         "rank_c",
         F.expr(f"rank_c > (n_c * {drop_bp}) div 10000").alias("keep"),
     )
+
+
+def pq_topk_batch(
+    emb: DataFrame,
+    k: int = DEFAULT_K,
+    m: int = PQ_M,
+    n_cent: int = PQ_K,
+    iters: int = PQ_ITERS,
+    query_mod: int = QUERY_MOD,
+) -> DataFrame:
+    """PQ/ADC retrieval over the query TABLE — the batch face of
+    pq_topk_adc (one query row) the way cosine_topk_batch is the batch face
+    of cosine_topk: every corpus vector is scored for every query via m
+    table lookups into that query's dense ADC table.
+
+    Scale (100 TB): the codebook rides one broadcast row; every vector is
+    encoded ONCE (m small argmins, per-row codegen) and scored per query by
+    m element_at lookups — the candidate relation is |Q| x n pairs exactly
+    like the exact batch ranker, but each pair costs m lookups instead of d
+    multiplies and the corpus side carries m small codes instead of d
+    floats (the PQ memory/bandwidth trade; for candidate PRUNING compose
+    with the IVF side — build_ivfpq_index). The per-query ADC tables are
+    |Q| rows x m*n_cent bigints -> broadcast. Top-k via the two-stage
+    per-(query, bucket) cut with the subspace-0 code as stage-1 key
+    (any bucketing is answer-invisible — the _batch_topk_two_stage proof).
+    Everything after quantization is exact bigint. Output: q_id, rank,
+    vec_id, adc."""
+    from pyspark.sql.window import Window
+
+    from spatialflink_spark.session import spread
+
+    d = len(emb.select("embedding").first()["embedding"])
+    sub = d // m
+    packed = _pq_packed(pq_codebooks(emb, m, n_cent, iters)).localCheckpoint(
+        eager=False
+    )
+    base = spread(emb).select(
+        "vec_id", F.expr(_km_quant("embedding")).alias("qv")
+    ).localCheckpoint(eager=False)  # feeds the coded corpus AND the queries
+    coded = base.crossJoin(F.broadcast(packed)).select(
+        "vec_id", F.expr(_pq_code_expr(m, sub)).alias("codes")
+    )
+    dist = (
+        f"aggregate(zip_with(slice(qv, c.j * {sub} + 1, {sub}), c.cq,"
+        " (a, b) -> (a - b) * (a - b)), cast(0 as bigint), (s, v) -> s + v)"
+    )
+    qdt = (
+        base.where(F.col("vec_id") % query_mod == 0)
+        .crossJoin(F.broadcast(packed))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            # _cb is (j, cid)-sorted -> dense j * n_cent + cid layout
+            F.expr(f"transform(_cb, c -> {dist})").alias("dt"),
+        )
+    )
+    scored = coded.join(
+        F.broadcast(qdt), F.col("vec_id") != F.col("q_id")
+    ).select(
+        "q_id",
+        "vec_id",
+        F.expr("element_at(codes, 1)").alias("bucket"),
+        F.expr(
+            f"aggregate(sequence(0, {m - 1}), cast(0 as bigint), (s, j) -> "
+            f"s + element_at(dt, j * {n_cent} + element_at(codes, j + 1) + 1))"
+        ).alias("adc"),
+    )
+    w1 = Window.partitionBy("q_id", "bucket").orderBy(
+        F.col("adc").asc(), F.col("vec_id").asc()
+    )
+    partial = (
+        scored.withColumn("_r", F.row_number().over(w1))
+        .where(F.col("_r") <= k)
+        .drop("_r", "bucket")
+    )
+    w2 = Window.partitionBy("q_id").orderBy(
+        F.col("adc").asc(), F.col("vec_id").asc()
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w2).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("q_id", "rank", "vec_id", "adc")
+    )
+
+
+def l2_topk_batch(
+    emb: DataFrame, k: int = DEFAULT_K, query_mod: int = QUERY_MOD
+) -> DataFrame:
+    """EXACT quantized-squared-L2 top-k per query — the ground truth the PQ
+    batch ranker approximates (ADC error comes only from code loss, so this
+    is the right recall basis). Same |Q| x n candidate shape and two-stage
+    cut as cosine_topk_batch (bucket = vec_id mod 16: any deterministic
+    bucketing is answer-invisible). Exact bigint distances end-to-end.
+    Output: q_id, rank, vec_id, d2."""
+    from pyspark.sql.window import Window
+
+    from spatialflink_spark.session import spread
+
+    base = spread(emb).select(
+        "vec_id", F.expr(_km_quant("embedding")).alias("qv")
+    ).localCheckpoint(eager=False)  # feeds corpus AND query sides
+    q = base.where(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("qv").alias("q_qv")
+    )
+    scored = base.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).select(
+        "q_id",
+        "vec_id",
+        F.expr("pmod(vec_id, 16)").alias("bucket"),
+        F.expr(
+            "aggregate(zip_with(qv, q_qv, (a, b) -> (a - b) * (a - b)),"
+            " cast(0 as bigint), (s, v) -> s + v)"
+        ).alias("d2"),
+    )
+    w1 = Window.partitionBy("q_id", "bucket").orderBy(
+        F.col("d2").asc(), F.col("vec_id").asc()
+    )
+    partial = (
+        scored.withColumn("_r", F.row_number().over(w1))
+        .where(F.col("_r") <= k)
+        .drop("_r", "bucket")
+    )
+    w2 = Window.partitionBy("q_id").orderBy(
+        F.col("d2").asc(), F.col("vec_id").asc()
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w2).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("q_id", "rank", "vec_id", "d2")
+    )
+
+
+def pq_batch_recall(emb: DataFrame, k: int = DEFAULT_K) -> DataFrame:
+    """Per-query recall@k of the PQ/ADC batch ranker against the exact
+    quantized-L2 ranker — the code-loss calibration an IVF+PQ deployment
+    monitors when sizing (m, n_cent). Mirrors batch_ann_recall's shape:
+    both rank lists are |Q| x k, the exact list is materialized once for
+    its two consumers. Output: q_id, n_exact, n_hit, recall."""
+    exact = (
+        l2_topk_batch(emb, k=k)
+        .select("q_id", "vec_id")
+        .localCheckpoint(eager=False)
+    )
+    ann = pq_topk_batch(emb, k=k).select("q_id", "vec_id")
+    hits = exact.join(ann, ["q_id", "vec_id"]).groupBy("q_id").agg(
+        F.expr("cast(count(1) as bigint)").alias("_h")
+    )
+    base = exact.groupBy("q_id").agg(
+        F.expr("cast(count(1) as bigint)").alias("n_exact")
+    )
+    return base.join(hits, "q_id", "left").select(
+        "q_id",
+        "n_exact",
+        F.expr("cast(coalesce(_h, 0) as bigint)").alias("n_hit"),
+        F.expr(
+            "round(cast(coalesce(_h, 0) as double) / n_exact, 6)"
+        ).alias("recall"),
+    )

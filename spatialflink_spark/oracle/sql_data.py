@@ -1885,3 +1885,122 @@ SELECT vec_id, cid, d2, rank_c,
        (rank_c > (n_c * {drop_bp}) // 10000) AS keep
 FROM r
 """
+
+
+def pq_topk_batch(
+    k: int | None = None,
+    m: int | None = None,
+    n_cent: int | None = None,
+    iters: int | None = None,
+    dim: int = 64,
+    query_mod: int | None = None,
+) -> str:
+    """Twin of similarity.pq_topk_batch — the pq_topk_adc chain generalized
+    to the query table: codes over ALL vectors, one ADC distance row per
+    (query, subspace, centroid), exact-bigint sums, per-query rank."""
+    from spatialflink_spark.operators.similarity import (
+        DEFAULT_K,
+        PQ_ITERS,
+        PQ_K,
+        PQ_M,
+        QUERY_MOD,
+    )
+
+    k = DEFAULT_K if k is None else k
+    m = PQ_M if m is None else m
+    n_cent = PQ_K if n_cent is None else n_cent
+    iters = PQ_ITERS if iters is None else iters
+    query_mod = QUERY_MOD if query_mod is None else query_mod
+    sub = dim // m
+    dist = _km_duck_dist
+    all_ctes: list[str] = []
+    code_sel, dt_sel = [], []
+    for j in range(m):
+        ctes, final = _pq_sub_ctes(j, sub, n_cent, iters)
+        all_ctes += ctes
+        code_sel.append(f"""
+  SELECT vec_id, {j} AS j, cid AS code FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {dist('v.qv', 'c.cq')}, c.cid) AS rn
+    FROM p{j}q0 v CROSS JOIN {final} c
+  ) WHERE rn = 1""")
+        dt_sel.append(f"""
+  SELECT q.vec_id AS q_id, {j} AS j, c.cid, {dist('q.qv', 'c.cq')} AS d
+  FROM p{j}q0 q CROSS JOIN {final} c
+  WHERE q.vec_id % {query_mod} = 0""")
+    cte_block = ",\n".join(all_ctes)
+    codes = " UNION ALL ".join(code_sel)
+    dtable = " UNION ALL ".join(dt_sel)
+    return f"""
+WITH {cte_block},
+codes AS ({codes}),
+dtable AS ({dtable}),
+adc AS (
+  SELECT d.q_id, c.vec_id, CAST(sum(d.d) AS BIGINT) AS adc
+  FROM codes c JOIN dtable d ON c.j = d.j AND c.code = d.cid
+  WHERE c.vec_id <> d.q_id
+  GROUP BY d.q_id, c.vec_id
+),
+r AS (
+  SELECT q_id, vec_id, adc,
+         row_number() OVER (PARTITION BY q_id ORDER BY adc ASC, vec_id ASC)
+           AS rank
+  FROM adc
+)
+SELECT q_id, CAST(rank AS INT) AS rank, vec_id, adc FROM r WHERE rank <= {k}
+"""
+
+
+def l2_topk_batch(k: int | None = None, query_mod: int | None = None) -> str:
+    """Exact quantized-squared-L2 per-query rank — the direct-window golden
+    for the engine's two-stage cut AND the recall basis inside
+    pq_batch_recall."""
+    from spatialflink_spark.operators.similarity import (
+        DEFAULT_K,
+        KM_QSCALE,
+        QUERY_MOD,
+    )
+
+    k = DEFAULT_K if k is None else k
+    query_mod = QUERY_MOD if query_mod is None else query_mod
+    return f"""
+WITH fq0 AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * {KM_QSCALE}) AS BIGINT)) AS qv
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS q_id, v.vec_id, {_km_duck_dist('v.qv', 'q.qv')} AS d2
+  FROM fq0 v JOIN fq0 q ON q.vec_id % {query_mod} = 0 AND v.vec_id <> q.vec_id
+),
+r AS (
+  SELECT q_id, vec_id, d2,
+         row_number() OVER (PARTITION BY q_id ORDER BY d2 ASC, vec_id ASC)
+           AS rank
+  FROM scored
+)
+SELECT q_id, CAST(rank AS INT) AS rank, vec_id, d2 FROM r WHERE rank <= {k}
+"""
+
+
+def pq_batch_recall(k: int | None = None) -> str:
+    """Twin of similarity.pq_batch_recall — both rankers as nested-WITH CTE
+    bodies (the ann_recall shape), integer hit counts, one rounded
+    division."""
+    k = DEFAULT_K if k is None else k
+    return f"""
+WITH ex AS ({l2_topk_batch(k=k)}),
+an AS ({pq_topk_batch(k=k)}),
+h AS (
+  SELECT ex.q_id, CAST(count(*) AS BIGINT) AS _h
+  FROM ex JOIN an ON ex.q_id = an.q_id AND ex.vec_id = an.vec_id
+  GROUP BY ex.q_id
+),
+b AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_exact FROM ex GROUP BY q_id)
+SELECT b.q_id, b.n_exact,
+       CAST(coalesce(h._h, 0) AS BIGINT) AS n_hit,
+       round(CAST(coalesce(h._h, 0) AS DOUBLE) / b.n_exact, 6) AS recall
+FROM b LEFT JOIN h ON b.q_id = h.q_id
+"""

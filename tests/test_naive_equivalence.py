@@ -486,3 +486,14 @@ def test_pq_adc_cluster_precision_on_clustered_fixture(spark):
     # query is vec_id 0 -> cluster 0 (vid % 8 == 0)
     precision = sum(1 for v in got if v % k_clusters == 0) / len(got)
     assert precision == 1.0, (precision, got)
+    # the batch face inherits the property for EVERY query: each query's
+    # ADC top-k comes from the query's own planted cluster
+    from collections import defaultdict
+
+    per_q = defaultdict(list)
+    for r in sim.pq_topk_batch(emb).collect():
+        per_q[r.q_id].append(r.vec_id)
+    assert per_q
+    for q_id, vids in per_q.items():
+        assert len(vids) == sim.DEFAULT_K
+        assert all(v % k_clusters == q_id % k_clusters for v in vids), q_id
