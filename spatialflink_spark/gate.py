@@ -1153,6 +1153,47 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_growth(_docs(spark, sf_dir))
 
 
+def q_stream_neardup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seventh end-to-end Structured Streaming path — NEAR-DUP incidence
+    monitoring at ingest: staged replay -> watermark -> per-row 60-bit wide
+    SimHash (the shared dedup.with_wide_simhash kernel, stateless codegen)
+    -> tumbling per-(window, fingerprint) counts -> exactly-once sink.
+    Completes the streaming curation family's dedup face with a WINDOWED
+    aggregate (stream_neardup_dedup is the global drop-duplicates face).
+    Oracle = identical fingerprint + counts in batch over watermark-closed
+    windows. Output: ws, simhash, n_rows, tok_rows."""
+    import tempfile
+
+    from spatialflink_spark.sources.streams import (
+        read_sequences_stream,
+        stage_replay_files_cached,
+    )
+    from spatialflink_spark.streaming.pipeline import (
+        run_available_now,
+        stream_neardup_window_stats,
+    )
+    from spatialflink_spark.streaming.sink import ExactlyOnceSink
+
+    root = tempfile.mkdtemp(prefix="sfs_gate_neardup_")
+    replay = stage_replay_files_cached(spark, sf_dir, n_batches=_REPLAY_SLICES)
+    sink = ExactlyOnceSink(f"{root}/out", key_cols=("ws", "simhash"))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        # each replay slice is ONE file -> repartition the micro-batch or
+        # the per-row fingerprint (120 aggregates over the token array)
+        # runs serially (the streaming single-partition trap, CLAUDE.md)
+        stream = read_sequences_stream(
+            spark, replay, C.allowed_lateness_s,
+            max_files_per_trigger=_REPLAY_SLICES,
+        ).repartition(spark.sparkContext.defaultParallelism)
+        res = stream_neardup_window_stats(stream, C)
+        run_available_now(res, sink.foreach_batch(), f"{root}/ckpt")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return sink.read_committed(spark)
+
+
 def q_stream_vocab_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fifth end-to-end Structured Streaming path — VOCABULARY NOVELTY at
     ingest: staged replay -> update-mode first-arrival per token (state

@@ -871,3 +871,35 @@ WHERE (((s.doc_id % 2147483648) * {LCG_A} + {LCG_C}) % 2147483648) % {BP}
   AND s.ws + {C.tumbling_s} <= (SELECT wlim FROM wm)
 GROUP BY s.ws, s.source, coalesce(r.rate_bp, {BP})
 """
+
+
+def stream_neardup_e2e() -> str:
+    """Batch twin of the streaming near-dup incidence gate
+    (q_stream_neardup_e2e): the 60-bit wide SimHash over each sequence
+    row's token array — hash arrays from the SAME builder the engine uses
+    (dedup.wide_hash_chain 'duck' dialect) and the shared 60-bit fold
+    (sql_data.duck_wide_bit_terms) — counted per (watermark-closed
+    tumbling window, fingerprint)."""
+    from spatialflink_spark.config import DEFAULT_CONFIG as C
+    from spatialflink_spark.operators.dedup import (
+        WIDE_SEED_H1,
+        WIDE_SEED_H2,
+        wide_hash_chain,
+    )
+    from spatialflink_spark.oracle.sql import _prologue
+    from spatialflink_spark.oracle.sql_data import duck_wide_bit_terms
+
+    return f"""{_prologue(tumbling=True)}
+, wm AS (SELECT max(ts_s) - {C.allowed_lateness_s} AS w FROM sequences),
+hx AS (
+  SELECT ws, n_tok,
+         {wide_hash_chain('tokens', WIDE_SEED_H1, 'duck')} AS _h1,
+         {wide_hash_chain('tokens', WIDE_SEED_H2, 'duck')} AS _h2
+  FROM seq_t
+),
+sh AS (SELECT ws, n_tok, CAST({duck_wide_bit_terms()} AS BIGINT) AS simhash FROM hx)
+SELECT ws, simhash, count(*) AS n_rows, CAST(sum(n_tok) AS BIGINT) AS tok_rows
+FROM sh
+WHERE ws + {C.tumbling_s} <= (SELECT w FROM wm)
+GROUP BY ws, simhash
+"""

@@ -729,6 +729,20 @@ SELECT q_id, rank, vec_id, label, cos_sim FROM ranked WHERE rank <= {k}
 """
 
 
+def duck_wide_bit_terms() -> str:
+    """The 60-bit wide-SimHash fold over staged _h1/_h2 hash-array columns
+    (DuckDB dialect) — shared by the documents-table CTE chain below and
+    the token-stream oracles in sql_apps."""
+    from spatialflink_spark.operators.dedup import SIMHASH_WIDE_BITS
+
+    return " + ".join(
+        f"(CASE WHEN list_reduce(list_prepend(0, {'_h1' if j < 30 else '_h2'}), "
+        f"(a, h) -> a + (CASE WHEN (h // {1 << (j % 30)}) % 2 = 1 THEN 1 ELSE -1 END)"
+        f") > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(SIMHASH_WIDE_BITS)
+    )
+
+
 def _wide_sh_cte(src_rel: str = "documents", prefix: str = "") -> str:
     """Wide-fingerprint CTE chain over `src_rel` — hash arrays from the SAME
     builder the engine uses (dedup.wide_hash_chain, 'duck' dialect), so the
@@ -737,19 +751,13 @@ def _wide_sh_cte(src_rel: str = "documents", prefix: str = "") -> str:
     whose other snippets use the same names (curation_pipeline's mix CTEs
     also define `t`)."""
     from spatialflink_spark.operators.dedup import (
-        SIMHASH_WIDE_BITS,
         WIDE_SEED_H1,
         WIDE_SEED_H2,
         wide_hash_chain,
     )
 
     tok = T.duck_tokenize("text")
-    bit_terms = " + ".join(
-        f"(CASE WHEN list_reduce(list_prepend(0, {'_h1' if j < 30 else '_h2'}), "
-        f"(a, h) -> a + (CASE WHEN (h // {1 << (j % 30)}) % 2 = 1 THEN 1 ELSE -1 END)"
-        f") > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
-        for j in range(SIMHASH_WIDE_BITS)
-    )
+    bit_terms = duck_wide_bit_terms()
     return (
         f"{prefix}t AS (SELECT doc_id, {tok} AS _t FROM {src_rel}),\n"
         f"{prefix}hx AS (SELECT doc_id, {wide_hash_chain('_t', WIDE_SEED_H1, 'duck')} AS _h1, "

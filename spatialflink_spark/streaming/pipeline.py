@@ -474,3 +474,44 @@ def stream_vocab_first(stream: DataFrame) -> DataFrame:
     return tok.groupBy("tok").agg(
         F.expr("cast(min(ts_s) as bigint)").alias("first_ts_s")
     )
+
+
+# ---- streaming near-dup window stats -----------------------------------------
+
+
+def stream_neardup_window_stats(stream: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """Windowed near-dup incidence monitoring at ingest — the seventh
+    streaming path: fingerprint every arriving sequence with the 60-bit
+    wide SimHash (the SAME dedup.with_wide_simhash kernel the batch ops and
+    stream_neardup_dedup use) and aggregate per (tumbling window,
+    fingerprint). Downstream this feeds the per-window duplicate-rate
+    dashboards a curation ingest watches (groups with n_rows >= 2 are
+    in-window near-dup collisions).
+
+    Scale: the fingerprint is stateless per-row codegen; the only state is
+    the windowed aggregation, keyed (window, simhash) and evicted by the
+    watermark — bounded by distinct fingerprints per window, exactly like
+    the reference's windowed heatmap state (TAggregateQuery.java:381-614).
+    Output: ws, simhash, n_rows, tok_rows — append mode on window close."""
+    from spatialflink_spark.operators.dedup import with_wide_simhash
+
+    fp = with_wide_simhash(
+        stream.select("event_ts", "doc_id", "seq_no", "n_tok", "tokens"),
+        "tokens",
+    )
+    return (
+        fp.groupBy(
+            F.window("event_ts", f"{cfg.tumbling_s} seconds").alias("win"),
+            "simhash",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("n_tok").cast("bigint")).alias("tok_rows"),
+        )
+        .select(
+            F.expr("cast(unix_timestamp(win.start) as bigint)").alias("ws"),
+            "simhash",
+            "n_rows",
+            "tok_rows",
+        )
+    )

@@ -1599,3 +1599,53 @@ def test_sink_compaction_crash_before_commit_is_invisible(spark, tmp_path):
         s.read_merged(spark).toPandas().sort_values("k").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(before, final)
+
+
+def test_stream_neardup_window_stats_matches_batch(spark, replay_dir, tmp_path):
+    """Multi-batch (maxFilesPerTrigger=1) windowed near-dup stats == the
+    batch fingerprint + count over watermark-closed windows — the
+    watermark-advancement coverage the availableNow gate run doesn't
+    exercise."""
+    import pyspark.sql.functions as F
+
+    from spatialflink_spark.operators.dedup import with_wide_simhash
+    from spatialflink_spark.streaming.pipeline import stream_neardup_window_stats
+
+    stream = read_sequences_stream(spark, replay_dir, C.allowed_lateness_s)
+    res = stream_neardup_window_stats(stream, C)
+    q = (
+        res.writeStream.format("memory")
+        .queryName("neardup_stats")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from neardup_stats").toPandas()
+    seq = sequences(spark, SF_SMALL)
+    wlim = seq.agg(
+        F.expr(f"max(ts_s) - {C.allowed_lateness_s}").alias("w")
+    ).collect()[0]["w"]
+    batch = (
+        with_wide_simhash(
+            seq.select(
+                "n_tok",
+                "tokens",
+                F.expr(
+                    f"cast(floor(ts_s / {C.tumbling_s}) * {C.tumbling_s} as bigint)"
+                ).alias("ws"),
+            ),
+            "tokens",
+        )
+        .where(F.expr(f"ws + {C.tumbling_s} <= {wlim}"))
+        .groupBy("ws", "simhash")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("n_tok").cast("bigint")).alias("tok_rows"),
+        )
+        .toPandas()
+    )
+    key = lambda df: sorted(map(tuple, df[["ws", "simhash", "n_rows", "tok_rows"]].values))
+    assert key(got) == key(batch)
+    assert len(got) > 0
