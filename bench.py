@@ -154,6 +154,15 @@ HEADLINE = [
     "temperature_mix",
     "stream_tmix_e2e",
     "lsh_calibration",
+    # closing round-5 additions: bigram-LM fluency, prototype pruning,
+    # Bloom-prefiltered decon, the PQ batch family, streaming near-dup
+    "bigram_fluency",
+    "prototypicality",
+    "decontaminate_bloom",
+    "pq_topk_batch",
+    "l2_topk_batch",
+    "pq_batch_recall",
+    "stream_neardup_e2e",
 ]
 
 

@@ -120,6 +120,21 @@ QUERIES = [
     "stream_tmix_e2e",
     # rides the banded pair kernel UNTHRESHOLDED — tracks candidate volume
     "lsh_calibration",
+    # closing round-5 additions — bigram_fluency's c_ab join is keyed on
+    # the encoded bigram (linear in token volume); prototypicality rides
+    # the Lloyd kernel + one cid-partitioned rank window; the bloom decon
+    # gate verifies the bitset pass + candidate-only verify stays linear;
+    # the PQ batch family's candidate volume is |Q| x n like
+    # cosine_topk_batch (each pair m lookups instead of d multiplies);
+    # stream_neardup_e2e is the windowed-agg streaming face of the wide
+    # fingerprint
+    "bigram_fluency",
+    "prototypicality",
+    "decontaminate_bloom",
+    "pq_topk_batch",
+    "l2_topk_batch",
+    "pq_batch_recall",
+    "stream_neardup_e2e",
 ]
 
 # optional subset: SFS_ONLY=a,b,c runs just those queries (re-measuring a
