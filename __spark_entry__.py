@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l2_topk_batch": gate.q_l2_topk_batch,
         "pq_batch_recall": gate.q_pq_batch_recall,
         "stream_neardup_e2e": gate.q_stream_neardup_e2e,
+        "cardinality_kmv": gate.q_cardinality_kmv,
         # ---- the fifteen displaced by this round's fourteen new entries
         # ---- (binfmt_ingest, dedup_exact, geomcollection x3,
         # ---- pack_bins_emit, token_freq_topk, source_length_quantiles,
@@ -292,6 +293,7 @@ def oracle_sql() -> dict[str, str]:
         "l2_topk_batch": osqld.l2_topk_batch(),
         "pq_batch_recall": osqld.pq_batch_recall(),
         "stream_neardup_e2e": osqla.stream_neardup_e2e(),
+        "cardinality_kmv": osqld.cardinality_kmv(),
         "token_counts": osqld.token_counts(),
         "doc_fingerprint": osqld.fingerprint(),
         "pack_sequences": osql.pack_sequences(),

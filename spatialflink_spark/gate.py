@@ -1305,6 +1305,17 @@ def q_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lift_topk(_docs(spark, sf_dir))
 
 
+def q_cardinality_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic cardinality-sketch calibration (corpus
+    .cardinality_kmv): 16 seeded hash minima per source (bounded-state
+    map-side sketch — duplicate-insensitive, no distinct shuffle) vs the
+    exact distinct shingle count. Output: source, n_occurrences,
+    exact_distinct, est_distinct, err_bp."""
+    from spatialflink_spark.operators.corpus import cardinality_kmv
+
+    return cardinality_kmv(_docs(spark, sf_dir))
+
+
 def q_pq_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ/ADC retrieval over the query table (similarity.pq_topk_batch):
     per-query dense ADC tables on one broadcast row, m-lookup scoring,

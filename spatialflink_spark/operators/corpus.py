@@ -943,3 +943,67 @@ def bigram_fluency(docs: DataFrame) -> DataFrame:
         "fluency_sum",
         F.expr("fluency_sum div n_bigrams").alias("fluency_mean"),
     )
+
+
+KMV_SPACE = 1_000_000_007  # HASH_MOD — the permuted-hash value space
+
+
+def cardinality_kmv(docs: DataFrame) -> DataFrame:
+    """Deterministic cardinality-sketch calibration report — the engine's
+    HLL analog: estimate each source's DISTINCT shingle count from 16
+    seeded hash minima (the k-minima / MinHash cardinality estimator:
+    E[min of n uniforms over [0,S)] ~ S/(n+1), so n ~ k*S/sum(min_i) - 1),
+    next to the exact distinct count it approximates.
+
+    Built-in approx_count_distinct (HLL++) is NOT reproducible in another
+    engine; this sketch is — the 16 permutations are the MinHash family's
+    (a*h+b) % HASH_MOD chains, every minimum is an exact bigint in both
+    dialects, and the estimator is one integer division. min() is
+    duplicate-INSENSITIVE, so the sketch needs no distinct: it is ONE
+    map-side-combined groupBy over the exploded shingle stream with 16
+    bounded min aggregates — state per source is 16 bigints at any corpus
+    size (the 100 TB path; the exact count's distinct shuffle is the
+    calibration basis this report exists to sanity-check, exactly like
+    ann_recall carries its exact ranker). Output: source, n_occurrences,
+    exact_distinct, est_distinct, err_bp."""
+    from spatialflink_spark.operators.dedup import (
+        MINHASH_A,
+        MINHASH_B,
+        N_HASHES,
+        with_shingle_hashes,
+    )
+
+    hs = (
+        with_shingle_hashes(docs.select("doc_id", "text"))
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .localCheckpoint(eager=False)  # feeds the sketch AND the exact count
+        .select("source", F.explode("_hs").alias("h"))
+    )
+    mins = [
+        F.expr(f"min((h * {a} + {b}) % {KMV_SPACE})").alias(f"_m{i}")
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ]
+    sk = hs.groupBy("source").agg(
+        F.expr("cast(count(1) as bigint)").alias("n_occurrences"), *mins
+    )
+    exact = hs.groupBy("source").agg(
+        F.expr("cast(count(distinct h) as bigint)").alias("exact_distinct")
+    )
+    sum_m = " + ".join(f"_m{i}" for i in range(N_HASHES))
+    est = sk.select(
+        "source",
+        "n_occurrences",
+        F.expr(
+            f"cast({N_HASHES} as bigint) * {KMV_SPACE}"
+            f" div greatest({sum_m}, 1) - 1"
+        ).alias("est_distinct"),
+    )
+    return est.join(exact, "source").select(
+        "source",
+        "n_occurrences",
+        "exact_distinct",
+        "est_distinct",
+        F.expr(
+            "abs(est_distinct - exact_distinct) * 10000 div exact_distinct"
+        ).alias("err_bp"),
+    )

@@ -2012,3 +2012,42 @@ SELECT b.q_id, b.n_exact,
        round(CAST(coalesce(h._h, 0) AS DOUBLE) / b.n_exact, 6) AS recall
 FROM b LEFT JOIN h ON b.q_id = h.q_id
 """
+
+
+def cardinality_kmv() -> str:
+    """Twin of corpus.cardinality_kmv — the same 16 MinHash-family permuted
+    minima and integer estimator over the shared shingle-hash stream."""
+    from spatialflink_spark.operators.corpus import KMV_SPACE
+    from spatialflink_spark.operators.dedup import MINHASH_A, MINHASH_B, N_HASHES
+
+    mins = ",\n         ".join(
+        f"min((h * {a} + {b}) % {KMV_SPACE}) AS _m{i}"
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    )
+    sum_m = " + ".join(f"_m{i}" for i in range(N_HASHES))
+    return f"""
+WITH hs0 AS (SELECT doc_id, {_duck_shingle_hashes()} AS _hs FROM documents),
+hs AS (
+  SELECT d.source, unnest(h0._hs) AS h
+  FROM hs0 h0 JOIN documents d USING (doc_id)
+),
+sk AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_occurrences,
+         {mins}
+  FROM hs GROUP BY source
+),
+ex AS (
+  SELECT source, CAST(count(DISTINCT h) AS BIGINT) AS exact_distinct
+  FROM hs GROUP BY source
+),
+est AS (
+  SELECT source, n_occurrences,
+         CAST({N_HASHES} AS BIGINT) * {KMV_SPACE}
+           // greatest({sum_m}, 1) - 1 AS est_distinct
+  FROM sk
+)
+SELECT e.source, e.n_occurrences, x.exact_distinct, e.est_distinct,
+       abs(e.est_distinct - x.exact_distinct) * 10000 // x.exact_distinct
+         AS err_bp
+FROM est e JOIN ex x USING (source)
+"""

@@ -26,9 +26,14 @@ def _docs(spark):
     return spark.read.parquet(f"{SF_SMALL}/documents.parquet")
 
 
+def _py_words(text: str) -> list[str]:
+    """Pure-python mirror of functions/tokens.py spark_words."""
+    return [w for w in re.split(r"[^a-z0-9]+", text.lower()) if w]
+
+
 def _py_tokenize(text: str) -> list[int]:
     """Pure-python mirror of functions/tokens.py spark_tokenize."""
-    words = [w for w in re.split(r"[^a-z0-9]+", text.lower()) if w]
+    words = _py_words(text)
     out = []
     for w in words:
         a = 0
@@ -678,6 +683,55 @@ def test_semantic_dedup_drop_rule_exact(spark):
             assert keep[v] == (not has_lower_dup), (cid, v)
             n_dropped += has_lower_dup
     assert n_dropped > 0, "fixture produced no semantic dups — vacuous"
+
+
+def test_cardinality_kmv_matches_python(spark):
+    """Minima, counts, estimator, and err_bp vs a pure-Python mirror of the
+    shingle-hash + permutation chain at sf0.001; the 16-minima estimate
+    must land within 3x of truth on every source (k=16 => ~25% stderr; 3x
+    is a loose determinism-preserving sanity band, not a precision
+    claim)."""
+    from spatialflink_spark.config import HASH_MOD
+    from spatialflink_spark.operators.corpus import KMV_SPACE, cardinality_kmv
+    from spatialflink_spark.operators.dedup import MINHASH_A, MINHASH_B, N_HASHES
+
+    docs = _docs(spark).select("doc_id", "source", "text").collect()
+
+    def shingle_hashes(text):
+        ws = _py_words(text)
+        sh = (
+            [" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)]
+            if len(ws) >= 3
+            else [" ".join(ws)]
+        )
+        out = []
+        for s in sh:
+            a = 0
+            for c in s:
+                a = (a * 31 + ord(c)) % HASH_MOD
+            out.append(a)
+        return set(out)
+
+    per_src: dict[str, list] = {}
+    occ: dict[str, int] = {}
+    for r in docs:
+        hs = shingle_hashes(r["text"])
+        per_src.setdefault(r["source"], set()).update(hs)
+        occ[r["source"]] = occ.get(r["source"], 0) + len(hs)
+    out = {r["source"]: r for r in cardinality_kmv(_docs(spark)).collect()}
+    assert set(out) == set(per_src)
+    for src, hs in per_src.items():
+        r = out[src]
+        assert r["n_occurrences"] == occ[src]
+        assert r["exact_distinct"] == len(hs)
+        sum_m = sum(
+            min((h * a + b) % KMV_SPACE for h in hs)
+            for a, b in zip(MINHASH_A, MINHASH_B)
+        )
+        est = N_HASHES * KMV_SPACE // max(sum_m, 1) - 1
+        assert r["est_distinct"] == est, src
+        assert r["err_bp"] == abs(est - len(hs)) * 10000 // len(hs)
+        assert len(hs) / 3 <= est <= len(hs) * 3, (src, est, len(hs))
 
 
 def test_l2_topk_batch_two_stage_equals_window(spark):
