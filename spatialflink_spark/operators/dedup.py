@@ -1033,10 +1033,12 @@ def _mix1(col: str, seed: int) -> str:
     return f"element_at({wide_hash_chain(f'array({col})', seed, 'spark')}, 1)"
 
 
-def _bloom_bitset(probe: DataFrame) -> DataFrame:
-    """One-row (_bloom array<bigint>[BLOOM_WORDS]) dense bitset over the
-    probe's distinct shingle hashes `h` — double hashing (Kirsch-
-    Mitzenmacher): position_i = (h1 + i*h2) mod BLOOM_BITS."""
+def _bloom_words(probe: DataFrame) -> DataFrame:
+    """DENSE (_w, _mask) word relation (BLOOM_WORDS rows) over the probe's
+    distinct shingle hashes `h` — double hashing (Kirsch-Mitzenmacher):
+    position_i = (h1 + i*h2) mod BLOOM_BITS. This is the persistable form
+    (build_decon_index writes it); _pack_bloom folds it to the broadcast
+    row."""
     spark = probe.sparkSession
     mixed = probe.select(
         F.expr(_mix1("h", BLOOM_SEED_B1)).alias("_a"),
@@ -1058,16 +1060,45 @@ def _bloom_bitset(probe: DataFrame) -> DataFrame:
             f" cast(_pos % {BLOOM_WORD_BITS} as int)))"
         ).alias("_mask")
     )
-    dense = (
+    return (
         spark.range(BLOOM_WORDS)
         .select(F.col("id").alias("_w"))
         .join(words, "_w", "left")
         .select("_w", F.expr("coalesce(_mask, cast(0 as bigint))").alias("_mask"))
     )
-    return dense.agg(
+
+
+def _pack_bloom(words: DataFrame) -> DataFrame:
+    """One-row (_bloom array<bigint>[BLOOM_WORDS]) bitset from the dense
+    word relation (order fixed by sorting the structs, not collect order)."""
+    return words.agg(
         F.expr(
             "transform(array_sort(collect_list(struct(_w, _mask))), s -> s._mask)"
         ).alias("_bloom")
+    )
+
+
+def _bloom_bitset(probe: DataFrame) -> DataFrame:
+    return _pack_bloom(_bloom_words(probe))
+
+
+def _bloom_score(train: DataFrame, bitset: DataFrame) -> DataFrame:
+    """(doc_id, _hs, bloom_hits) over a (doc_id, _hs) relation against the
+    one-row bitset: two staged hash arrays + BLOOM_K masked word probes per
+    shingle — pure per-row codegen."""
+    hashed = train.select(
+        "doc_id",
+        "_hs",
+        F.expr(wide_hash_chain("_hs", BLOOM_SEED_B1, "spark")).alias("_b1"),
+        F.expr(wide_hash_chain("_hs", BLOOM_SEED_B2, "spark")).alias("_b2"),
+    )
+    return hashed.crossJoin(F.broadcast(bitset)).select(
+        "doc_id",
+        "_hs",
+        F.expr(
+            f"size(filter(zip_with(_b1, _b2, (a, b) -> {_bloom_test_expr('a', 'b')}),"
+            " x -> x))"
+        ).cast("int").alias("bloom_hits"),
     )
 
 
@@ -1099,21 +1130,7 @@ def _bloom_parts(
     )
     bitset = _bloom_bitset(probe)
     train = with_shingle_hashes(docs.where(~F.expr(probe_pred)), k)
-    hashed = train.select(
-        "doc_id",
-        "_hs",
-        F.expr(wide_hash_chain("_hs", BLOOM_SEED_B1, "spark")).alias("_b1"),
-        F.expr(wide_hash_chain("_hs", BLOOM_SEED_B2, "spark")).alias("_b2"),
-    )
-    flagged = hashed.crossJoin(F.broadcast(bitset)).select(
-        "doc_id",
-        "_hs",
-        F.expr(
-            f"size(filter(zip_with(_b1, _b2, (a, b) -> {_bloom_test_expr('a', 'b')}),"
-            " x -> x))"
-        ).cast("int").alias("bloom_hits"),
-    )
-    return probe, flagged
+    return probe, _bloom_score(train, bitset)
 
 
 def bloom_flagged(
@@ -1159,6 +1176,15 @@ def decontaminate_bloom(
         .select("doc_id", "_hs")
         .localCheckpoint(eager=False)
     )
+    return _verified_overlaps(cand, probe, min_overlap)
+
+
+def _verified_overlaps(
+    cand: DataFrame, probe: DataFrame, min_overlap: int
+) -> DataFrame:
+    """Exact verify stage shared by the inline op and the index search:
+    explode the (materialized) candidates' shingles, count matches against
+    the broadcast probe set, keep >= min_overlap."""
     overlaps = (
         cand.select("doc_id", F.explode("_hs").alias("h"))
         .join(F.broadcast(probe), "h")
@@ -1166,3 +1192,55 @@ def decontaminate_bloom(
         .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
     )
     return overlaps.where(F.col("n_shared_shingles") >= min_overlap)
+
+
+def build_decon_index(
+    docs: DataFrame,
+    path: str,
+    probe_pred: str = "doc_id % 13 = 0",
+    k: int = SHINGLE_K,
+) -> None:
+    """Persist the decontamination PROBE artifacts — the build half of
+    production benchmark decon (the eval suite changes rarely; the ingest
+    runs daily, so the probe derivation is paid once, not per run):
+
+    - <path>/probe: the benchmark's distinct shingle-hash set (h)
+    - <path>/bloom: the dense Bloom word relation (_w, _mask)
+
+    Both are benchmark-sized (the probe ~1e5-1e7 rows, the bloom a fixed
+    BLOOM_WORDS rows) — reading them back costs two tiny scans where the
+    inline op re-tokenizes and re-hashes the probe corpus every run."""
+    probe = (
+        with_shingle_hashes(docs.where(F.expr(probe_pred)), k)
+        .localCheckpoint(eager=False)
+        .select(F.explode("_hs").alias("h"))
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds the probe write AND the bloom
+    )
+    probe.write.mode("overwrite").parquet(f"{path}/probe")
+    _bloom_words(probe).write.mode("overwrite").parquet(f"{path}/bloom")
+
+
+def search_decon_index(
+    spark,
+    path: str,
+    train_docs: DataFrame,
+    k: int = SHINGLE_K,
+    min_overlap: int = 3,
+) -> DataFrame:
+    """Search half over a persisted decon index: score `train_docs` (the
+    ingest batch — the probe is already held out in the index) against the
+    stored bitset, exact-verify the candidates against the stored probe
+    set. Equivalent to decontaminate_bloom with the probe side read from
+    parquet instead of re-derived (pinned by the inline-equivalence test).
+    Output: doc_id, n_shared_shingles."""
+    probe = spark.read.parquet(f"{path}/probe")
+    bitset = _pack_bloom(spark.read.parquet(f"{path}/bloom"))
+    train = with_shingle_hashes(train_docs, k)
+    flagged = _bloom_score(train, bitset)
+    cand = (
+        flagged.where(F.col("bloom_hits") >= min_overlap)
+        .select("doc_id", "_hs")
+        .localCheckpoint(eager=False)
+    )
+    return _verified_overlaps(cand, probe, min_overlap)

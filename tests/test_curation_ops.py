@@ -813,6 +813,33 @@ def test_decontaminate_bloom_equals_exact(spark):
         assert exact, f"fixture has no contaminated docs at t={t} — vacuous"
 
 
+def test_decon_index_search_equals_inline(spark, tmp_path):
+    """Build-once/probe-many: searching the PERSISTED decon index
+    (build_decon_index -> search_decon_index) must reproduce the inline
+    decontaminate_bloom exactly — the index layout changes I/O, never the
+    answer."""
+    from spatialflink_spark.operators.dedup import (
+        build_decon_index,
+        decontaminate_bloom,
+        search_decon_index,
+    )
+
+    docs = _docs(spark)
+    path = str(tmp_path / "decon_idx")
+    build_decon_index(docs, path)
+    got = {
+        (r["doc_id"], r["n_shared_shingles"])
+        for r in search_decon_index(
+            spark, path, docs.where("doc_id % 13 <> 0")
+        ).collect()
+    }
+    want = {
+        (r["doc_id"], r["n_shared_shingles"])
+        for r in decontaminate_bloom(docs).collect()
+    }
+    assert got == want and want
+
+
 def test_bloom_prefilter_sound_and_effective(spark):
     """Soundness: bloom_hits >= the exact per-doc shared-shingle count for
     EVERY doc (no false negatives — the property the same-golden contract
