@@ -163,6 +163,7 @@ HEADLINE = [
     "l2_topk_batch",
     "pq_batch_recall",
     "stream_neardup_e2e",
+    "cardinality_kmv",
 ]
 
 

@@ -135,6 +135,8 @@ QUERIES = [
     "l2_topk_batch",
     "pq_batch_recall",
     "stream_neardup_e2e",
+    # one map-side sketch groupBy + the exact-distinct calibration shuffle
+    "cardinality_kmv",
 ]
 
 # optional subset: SFS_ONLY=a,b,c runs just those queries (re-measuring a
