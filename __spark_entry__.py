@@ -147,6 +147,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_batch_recall": gate.q_pq_batch_recall,
         "stream_neardup_e2e": gate.q_stream_neardup_e2e,
         "cardinality_kmv": gate.q_cardinality_kmv,
+        "blocklist_filter": gate.q_blocklist_filter,
+        "chunk_documents": gate.q_chunk_documents,
         # ---- the fifteen displaced by this round's fourteen new entries
         # ---- (binfmt_ingest, dedup_exact, geomcollection x3,
         # ---- pack_bins_emit, token_freq_topk, source_length_quantiles,
@@ -294,6 +296,8 @@ def oracle_sql() -> dict[str, str]:
         "pq_batch_recall": osqld.pq_batch_recall(),
         "stream_neardup_e2e": osqla.stream_neardup_e2e(),
         "cardinality_kmv": osqld.cardinality_kmv(),
+        "blocklist_filter": osqld.blocklist_filter(),
+        "chunk_documents": osqld.chunk_documents(),
         "token_counts": osqld.token_counts(),
         "doc_fingerprint": osqld.fingerprint(),
         "pack_sequences": osql.pack_sequences(),

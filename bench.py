@@ -164,6 +164,8 @@ HEADLINE = [
     "pq_batch_recall",
     "stream_neardup_e2e",
     "cardinality_kmv",
+    "blocklist_filter",
+    "chunk_documents",
 ]
 
 

@@ -137,6 +137,9 @@ QUERIES = [
     "stream_neardup_e2e",
     # one map-side sketch groupBy + the exact-distinct calibration shuffle
     "cardinality_kmv",
+    # per-row codegen: word-boundary IN-set count / slice+checksum explode
+    "blocklist_filter",
+    "chunk_documents",
 ]
 
 # optional subset: SFS_ONLY=a,b,c runs just those queries (re-measuring a

@@ -1305,6 +1305,22 @@ def q_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lift_topk(_docs(spark, sf_dir))
 
 
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style blocklist page filter (text.blocklist_filter): word-
+    boundary sentinel counts over deterministically injected terms, zero
+    hits = keep — pure per-row codegen. Output: doc_id, n_words,
+    n_blocked, keep."""
+    return text_ops.blocklist_filter(_docs(spark, sf_dir))
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (text.chunk_documents): overlapping
+    fixed-width token slices with provenance and order-sensitive
+    checksums — the RAG/pretraining slicing step. Output: doc_id,
+    chunk_idx, offset, n_chunk_tok, chunk_hash."""
+    return text_ops.chunk_documents(_docs(spark, sf_dir))
+
+
 def q_cardinality_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic cardinality-sketch calibration (corpus
     .cardinality_kmv): 16 seeded hash minima per source (bounded-state

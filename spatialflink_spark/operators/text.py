@@ -419,3 +419,102 @@ def pii_redact(docs: DataFrame) -> DataFrame:
         F.length("red").cast("bigint").alias("red_len"),
         F.expr(T.spark_str_hash("red")).alias("red_hash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Blocklist filtering — the C4 "bad words" page filter: any document
+# containing a blocklisted term is dropped outright. The synthetic corpus
+# contains no real blocklist terms, so the gate INJECTS deterministic
+# sentinels in-plan (the pii_redact trick) — the filter kernel is exercised
+# on text where the expected counts are provable from doc_id alone.
+BLOCKLIST = ("zzxalpha", "zzxbeta", "zzxgamma")
+
+
+def blocklist_inject_sql() -> str:
+    """Deterministic sentinel injection: doc_id % 4 == 1 gets term 0,
+    % 6 == 2 gets term 1 twice, % 9 == 5 gets term 2 — same string in both
+    dialects."""
+    return (
+        "concat(text,"
+        f" CASE WHEN doc_id % 4 = 1 THEN ' {BLOCKLIST[0]}' ELSE '' END,"
+        f" CASE WHEN doc_id % 6 = 2 THEN ' {BLOCKLIST[1]} and {BLOCKLIST[1]}'"
+        " ELSE '' END,"
+        f" CASE WHEN doc_id % 9 = 5 THEN ' {BLOCKLIST[2]}.' ELSE '' END)"
+    )
+
+
+def blocklist_filter(docs: DataFrame) -> DataFrame:
+    """C4-style blocklist page filter: count blocklisted WORD occurrences
+    (word-boundary exact, not substring — 'class' never trips an 'ass'
+    entry, the classic blocklist footgun) and keep only documents with
+    zero hits. Pure per-row codegen over the word split — zero shuffles,
+    trivially scale-safe; at a real deployment the blocklist is a few
+    thousand terms riding a broadcast IN-set exactly like this literal.
+    Output: doc_id, n_words, n_blocked, keep."""
+    from spatialflink_spark.session import spread
+
+    d = spread(docs).select(
+        "doc_id", F.expr(blocklist_inject_sql()).alias("txt")
+    )
+    w = T.spark_words("txt")
+    d = d.select("doc_id", F.expr(w).alias("_w"))
+    return d.select(
+        "doc_id",
+        F.expr("cast(size(_w) as bigint)").alias("n_words"),
+        F.expr(
+            f"cast(size(filter(_w, x -> {_in_list('x', BLOCKLIST)})) as bigint)"
+        ).alias("n_blocked"),
+    ).select(
+        "doc_id",
+        "n_words",
+        "n_blocked",
+        F.expr("CAST(CASE WHEN n_blocked = 0 THEN 1 ELSE 0 END AS INT)").alias(
+            "keep"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking — the slicing step every RAG index and fixed-
+# context pretraining run applies: overlapping fixed-size token windows
+# with provenance (doc, offset) and an order-sensitive checksum so exact
+# reconstruction is gradable without shipping token arrays.
+CHUNK_W = 128   # window width in tokens
+CHUNK_S = 96    # stride (32-token overlap)
+
+
+def chunk_documents(
+    docs: DataFrame, width: int = CHUNK_W, stride: int = CHUNK_S
+) -> DataFrame:
+    """Slice each document's token sequence into overlapping fixed-width
+    chunks: starts at 1, 1+stride, 1+2*stride, ... while start <= n_tok
+    (every token is covered; the last chunk may be short). Pure per-row
+    work: tokenize once (materialized before the explode — the CLAUDE.md
+    generate-amplification invariant), then slice/checksum per chunk —
+    the only shuffle is whatever the caller does next.
+    Output: doc_id, chunk_idx, offset, n_chunk_tok, chunk_hash."""
+    from spatialflink_spark.session import spread
+
+    toks = (
+        spread(docs)
+        .select("doc_id", F.expr(T.spark_tokenize("text")).alias("_t"))
+        .where(F.expr("size(_t) >= 1"))
+        .localCheckpoint(eager=False)
+    )
+    chunks = toks.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(1, size(_t), {stride}),"
+            f" s -> slice(_t, s, {width}))"
+        ).alias("_chunks"),
+    ).localCheckpoint(eager=False)
+    x = chunks.select(
+        "doc_id", F.posexplode("_chunks").alias("chunk_idx", "_c")
+    )
+    return x.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.expr(f"cast(chunk_idx * {stride} as bigint)").alias("offset"),
+        F.expr("cast(size(_c) as bigint)").alias("n_chunk_tok"),
+        F.expr(T.spark_tok_checksum("_c")).alias("chunk_hash"),
+    )

@@ -2051,3 +2051,49 @@ SELECT e.source, e.n_occurrences, x.exact_distinct, e.est_distinct,
          AS err_bp
 FROM est e JOIN ex x USING (source)
 """
+
+
+def blocklist_filter() -> str:
+    """Twin of text.blocklist_filter — same injection, same word-boundary
+    IN-set count, same keep rule."""
+    from spatialflink_spark.operators.text import BLOCKLIST, blocklist_inject_sql
+
+    terms = ", ".join(f"'{t}'" for t in BLOCKLIST)
+    return f"""
+WITH d AS (SELECT doc_id, {blocklist_inject_sql()} AS txt FROM documents),
+w AS (SELECT doc_id, {T.duck_words('txt')} AS _w FROM d)
+SELECT doc_id,
+       CAST(len(_w) AS BIGINT) AS n_words,
+       CAST(len(list_filter(_w, x -> x IN ({terms}))) AS BIGINT) AS n_blocked,
+       CAST(CASE WHEN len(list_filter(_w, x -> x IN ({terms}))) = 0
+                 THEN 1 ELSE 0 END AS INT) AS keep
+FROM w
+"""
+
+
+def chunk_documents(width: int | None = None, stride: int | None = None) -> str:
+    """Twin of text.chunk_documents — 1-based inclusive list slices match
+    Spark's slice(arr, start, width); chunk_idx = (start-1) // stride."""
+    from spatialflink_spark.operators.text import CHUNK_S, CHUNK_W
+
+    width = CHUNK_W if width is None else width
+    stride = CHUNK_S if stride is None else stride
+    tok = T.duck_tokenize("text")
+    return f"""
+WITH t AS (SELECT doc_id, {tok} AS _t FROM documents),
+x AS (
+  SELECT doc_id, _t, unnest(range(1, len(_t) + 1, {stride})) AS s
+  FROM t WHERE len(_t) >= 1
+),
+c AS (
+  SELECT doc_id,
+         CAST((s - 1) // {stride} AS INT) AS chunk_idx,
+         CAST(s - 1 AS BIGINT) AS "offset",
+         _t[s : s + {width} - 1] AS _c
+  FROM x
+)
+SELECT doc_id, chunk_idx, "offset",
+       CAST(len(_c) AS BIGINT) AS n_chunk_tok,
+       {T.duck_tok_checksum('_c')} AS chunk_hash
+FROM c
+"""

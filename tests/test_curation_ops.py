@@ -685,6 +685,67 @@ def test_semantic_dedup_drop_rule_exact(spark):
     assert n_dropped > 0, "fixture produced no semantic dups — vacuous"
 
 
+def test_blocklist_filter_matches_python(spark):
+    """Counts and keep vs a pure-Python mirror of the injection + word
+    split; every rule fires somewhere and keep = (n_blocked == 0)."""
+    from spatialflink_spark.operators.text import BLOCKLIST, blocklist_filter
+
+    docs = _docs(spark).select("doc_id", "text").collect()
+    out = {r["doc_id"]: r for r in blocklist_filter(_docs(spark)).collect()}
+    n_dropped = 0
+    for r in docs:
+        doc_id, t = r["doc_id"], r["text"]
+        if doc_id % 4 == 1:
+            t += f" {BLOCKLIST[0]}"
+        if doc_id % 6 == 2:
+            t += f" {BLOCKLIST[1]} and {BLOCKLIST[1]}"
+        if doc_id % 9 == 5:
+            t += f" {BLOCKLIST[2]}."
+        ws = _py_words(t)
+        exp = sum(1 for w in ws if w in BLOCKLIST)
+        got = out[doc_id]
+        assert got["n_words"] == len(ws), doc_id
+        assert got["n_blocked"] == exp, doc_id
+        assert got["keep"] == (1 if exp == 0 else 0), doc_id
+        n_dropped += exp > 0
+    assert 0 < n_dropped < len(docs)
+
+
+def test_chunk_documents_matches_python(spark):
+    """Chunk boundaries, sizes, and checksums vs a pure-Python mirror;
+    chunks cover every token (sum of non-overlapped spans == n_tok)."""
+    from spatialflink_spark.config import HASH_MOD
+    from spatialflink_spark.operators.text import (
+        CHUNK_S,
+        CHUNK_W,
+        chunk_documents,
+    )
+
+    docs = _docs(spark).select("doc_id", "text").collect()
+    out: dict[tuple, object] = {}
+    for r in chunk_documents(_docs(spark)).collect():
+        out[(r["doc_id"], r["chunk_idx"])] = r
+    n_seen = 0
+    for r in docs:
+        toks = _py_tokenize(r["text"])
+        if not toks:
+            continue
+        starts = list(range(0, len(toks), CHUNK_S))
+        for i, s in enumerate(starts):
+            c = toks[s : s + CHUNK_W]
+            row = out[(r["doc_id"], i)]
+            assert row["offset"] == s
+            assert row["n_chunk_tok"] == len(c)
+            a = 0
+            for t in c:
+                a = (a * 131 + t) % HASH_MOD
+            assert row["chunk_hash"] == a, (r["doc_id"], i)
+            n_seen += 1
+        # stride covers every token: last start within CHUNK_S of the end
+        assert starts[-1] + CHUNK_W >= len(toks) or CHUNK_S <= CHUNK_W
+    assert n_seen == len(out)
+
+
 def test_cardinality_kmv_matches_python(spark):
     """Minima, counts, estimator, and err_bp vs a pure-Python mirror of the
     shingle-hash + permutation chain at sf0.001; the 16-minima estimate
