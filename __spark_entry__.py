@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cardinality_kmv": gate.q_cardinality_kmv,
         "blocklist_filter": gate.q_blocklist_filter,
         "chunk_documents": gate.q_chunk_documents,
+        "bpe_merges": gate.q_bpe_merges,
         # ---- the fifteen displaced by this round's fourteen new entries
         # ---- (binfmt_ingest, dedup_exact, geomcollection x3,
         # ---- pack_bins_emit, token_freq_topk, source_length_quantiles,
@@ -298,6 +299,7 @@ def oracle_sql() -> dict[str, str]:
         "cardinality_kmv": osqld.cardinality_kmv(),
         "blocklist_filter": osqld.blocklist_filter(),
         "chunk_documents": osqld.chunk_documents(),
+        "bpe_merges": osqld.bpe_merges(),
         "token_counts": osqld.token_counts(),
         "doc_fingerprint": osqld.fingerprint(),
         "pack_sequences": osql.pack_sequences(),

@@ -166,6 +166,7 @@ HEADLINE = [
     "cardinality_kmv",
     "blocklist_filter",
     "chunk_documents",
+    "bpe_merges",
 ]
 
 

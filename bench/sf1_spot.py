@@ -140,6 +140,8 @@ QUERIES = [
     # per-row codegen: word-boundary IN-set count / slice+checksum explode
     "blocklist_filter",
     "chunk_documents",
+    # 6 rounds x (pair-count shuffle + per-row merge fold) — linear/round
+    "bpe_merges",
 ]
 
 # optional subset: SFS_ONLY=a,b,c runs just those queries (re-measuring a

@@ -1305,6 +1305,17 @@ def q_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lift_topk(_docs(spark, sf_dir))
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mini-BPE tokenizer training (corpus.bpe_merges): iterative
+    most-frequent-pair mining + greedy left-to-right non-overlapping
+    merges into minted ids; the merge table + per-round corpus totals
+    grade every intermediate merge. Output: rank, tok_a, tok_b, new_id,
+    n_pairs, total_tok_after."""
+    from spatialflink_spark.operators.corpus import bpe_merges
+
+    return bpe_merges(_docs(spark, sf_dir))
+
+
 def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style blocklist page filter (text.blocklist_filter): word-
     boundary sentinel counts over deterministically injected terms, zero

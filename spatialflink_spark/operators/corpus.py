@@ -1007,3 +1007,106 @@ def cardinality_kmv(docs: DataFrame) -> DataFrame:
             "abs(est_distinct - exact_distinct) * 10000 div exact_distinct"
         ).alias("err_bp"),
     )
+
+
+BPE_MERGES = 6
+BPE_PAIR_BASE = 1 << 17  # > any token id incl. minted ones: unique pair keys
+
+
+def bpe_merges(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
+    """Mini-BPE tokenizer training IN-ENGINE (Sennrich et al. 2016): for
+    `n_merges` rounds, find the corpus's most frequent adjacent token pair
+    (ties by (tok_a, tok_b) ascending) and merge its occurrences greedily
+    left-to-right (non-overlapping — a run like a,a,a under pair (a,a)
+    merges positions 1-2, not 2-3) into a freshly minted id
+    VOCAB_SIZE + round. Returns the merge TABLE — the artifact a tokenizer
+    trainer ships — plus the post-merge corpus token total per round,
+    which grades the merged arrays themselves (every round's counts
+    depend on every previous round's merges, so the table is a deep
+    end-to-end check of the whole iterative pipeline).
+
+    Scale (100 TB): each round = ONE map-side-combined bigram-count
+    shuffle on the encoded single-bigint pair key + a TakeOrdered(1) cut
+    + a broadcast one-row crossJoin + a PER-ROW merge fold (aggregate
+    with struct state — zero shuffle; the fold's array append is
+    O(len^2) worst-case per row in Catalyst's copy-on-append, fine at
+    document lengths) + one sum aggregate. The corpus relation is
+    localCheckpointed per round (the kmeans posture: round r feeds both
+    round r+1's counts and the stats row — unbounded lineage otherwise).
+    n_merges is fixed and small like KM_ITERS; a production 32k-merge
+    trainer batches rounds with the same plan shape.
+    Output: rank, tok_a, tok_b, new_id, n_pairs, total_tok_after."""
+    from spatialflink_spark.config import VOCAB_SIZE
+    from spatialflink_spark.functions import tokens as T
+    from spatialflink_spark.session import spread
+
+    toks = (
+        spread(docs)
+        .select(
+            "doc_id",
+            F.expr(
+                f"transform({T.spark_tokenize('text')},"
+                " x -> cast(x as bigint))"
+            ).alias("_t"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    stats = None
+    for r in range(1, n_merges + 1):
+        new_id = VOCAB_SIZE + r - 1
+        bg = (
+            toks.where(F.expr("size(_t) >= 2"))
+            .select(
+                F.expr(
+                    "transform(sequence(1, size(_t) - 1),"
+                    f" i -> element_at(_t, i) * {BPE_PAIR_BASE}"
+                    " + element_at(_t, i + 1))"
+                ).alias("_bg")
+            )
+            .localCheckpoint(eager=False)
+            .select(F.explode("_bg").alias("bg"))
+        )
+        top1 = (
+            bg.groupBy("bg")
+            .agg(F.expr("cast(count(1) as bigint)").alias("n_pairs"))
+            .orderBy(F.col("n_pairs").desc(), F.col("bg").asc())
+            .limit(1)
+            .select(
+                F.expr(f"bg div {BPE_PAIR_BASE}").alias("_a"),
+                F.expr(f"bg % {BPE_PAIR_BASE}").alias("_b"),
+                "n_pairs",
+            )
+            .localCheckpoint(eager=False)  # feeds the merge AND the stats row
+        )
+        fin = (
+            "CASE WHEN s.pend = cast(-1 as bigint) THEN s.acc"
+            " ELSE concat(s.acc, array(s.pend)) END"
+        )
+        merge = (
+            "aggregate(_t,"
+            " named_struct('acc', cast(array() as array<bigint>),"
+            " 'pend', cast(-1 as bigint)),"
+            " (s, x) -> CASE WHEN s.pend = _a AND x = _b THEN"
+            f" named_struct('acc', concat(s.acc, array(cast({new_id} as bigint))),"
+            " 'pend', cast(-1 as bigint))"
+            f" ELSE named_struct('acc', {fin}, 'pend', x) END,"
+            f" s -> {fin})"
+        )
+        toks = (
+            toks.crossJoin(F.broadcast(top1))
+            .select("doc_id", F.expr(merge).alias("_t"))
+            .localCheckpoint(eager=False)
+        )
+        after = toks.agg(
+            F.expr("cast(sum(size(_t)) as bigint)").alias("total_tok_after")
+        )
+        row = top1.crossJoin(after).select(
+            F.lit(r).cast("int").alias("rank"),
+            F.col("_a").alias("tok_a"),
+            F.col("_b").alias("tok_b"),
+            F.lit(new_id).cast("bigint").alias("new_id"),
+            "n_pairs",
+            "total_tok_after",
+        )
+        stats = row if stats is None else stats.unionByName(row)
+    return stats

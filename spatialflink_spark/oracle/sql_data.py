@@ -2097,3 +2097,90 @@ SELECT doc_id, chunk_idx, "offset",
        {T.duck_tok_checksum('_c')} AS chunk_hash
 FROM c
 """
+
+
+def bpe_merges(n_merges: int | None = None) -> str:
+    """Twin of corpus.bpe_merges. The engine merges per row with a
+    left-to-right struct fold; DuckDB v1.0's list_reduce cannot carry a
+    struct accumulator, so the twin uses the RELATIONAL form of the same
+    greedy rule: adjacent-match flags via lead(), gaps-and-islands
+    grouping of consecutive matches (consecutive matches imply
+    tok_a = tok_b, so islands are exactly the a-runs), take every other
+    match from each island's start, drop the consumed successor via
+    lag(taken). Equivalence of the two forms is what the gate proves."""
+    from spatialflink_spark.config import VOCAB_SIZE
+    from spatialflink_spark.operators.corpus import BPE_MERGES, BPE_PAIR_BASE
+
+    n_merges = BPE_MERGES if n_merges is None else n_merges
+    tok = T.duck_tokenize("text")
+    # AS MATERIALIZED on every multi-consumer CTE: t{r} feeds p{r+1},
+    # x{r+1} AND the stats row; top{r} is referenced three times per
+    # round — inlined, the chain re-evaluates ~3^rounds times (measured
+    # as a >120s hang at sf0.001 before materialization)
+    ctes = [
+        f"t0 AS MATERIALIZED (SELECT doc_id, list_transform({tok},"
+        " x -> CAST(x AS BIGINT)) AS _t FROM documents)"
+    ]
+    stat_rows = []
+    for r in range(1, n_merges + 1):
+        new_id = VOCAB_SIZE + r - 1
+        prev = f"t{r - 1}"
+        ctes.append(f"""p{r} AS (
+  SELECT unnest(list_transform(range(1, len(_t)),
+                i -> _t[i] * {BPE_PAIR_BASE} + _t[i + 1])) AS bg
+  FROM {prev} WHERE len(_t) >= 2
+)""")
+        ctes.append(
+            f"c{r} AS (SELECT bg, CAST(count(*) AS BIGINT) AS n_pairs "
+            f"FROM p{r} GROUP BY bg)"
+        )
+        ctes.append(
+            f"top{r} AS MATERIALIZED (SELECT bg // {BPE_PAIR_BASE} AS a,"
+            f" bg % {BPE_PAIR_BASE} AS b, n_pairs"
+            f" FROM c{r} ORDER BY n_pairs DESC, bg ASC LIMIT 1)"
+        )
+        ctes.append(
+            f"x{r} AS (SELECT doc_id, unnest(range(1, len(_t) + 1)) AS pos,"
+            f" unnest(_t) AS tok FROM {prev})"
+        )
+        ctes.append(f"""m{r} AS (
+  SELECT doc_id, pos, tok,
+         CASE WHEN tok = (SELECT a FROM top{r})
+               AND lead(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+                   = (SELECT b FROM top{r})
+              THEN 1 ELSE 0 END AS m
+  FROM x{r}
+)""")
+        ctes.append(
+            f"g{r} AS (SELECT *, pos - row_number() OVER"
+            f" (PARTITION BY doc_id, m ORDER BY pos) AS grp FROM m{r})"
+        )
+        ctes.append(f"""s{r} AS (
+  SELECT *, CASE WHEN m = 1 AND (pos - min(pos) OVER
+                  (PARTITION BY doc_id, m, grp)) % 2 = 0
+                 THEN 1 ELSE 0 END AS taken
+  FROM g{r}
+)""")
+        ctes.append(f"""o{r} AS (
+  SELECT doc_id, pos,
+         CASE WHEN taken = 1 THEN CAST({new_id} AS BIGINT)
+              WHEN lag(taken) OVER (PARTITION BY doc_id ORDER BY pos) = 1
+              THEN NULL
+              ELSE CAST(tok AS BIGINT) END AS out
+  FROM s{r}
+)""")
+        ctes.append(
+            f"t{r} AS MATERIALIZED (SELECT doc_id, list(out ORDER BY pos) AS _t"
+            f" FROM o{r} WHERE out IS NOT NULL GROUP BY doc_id)"
+        )
+        stat_rows.append(
+            f"SELECT CAST({r} AS INT) AS rank, (SELECT a FROM top{r}) AS tok_a,"
+            f" (SELECT b FROM top{r}) AS tok_b,"
+            f" CAST({new_id} AS BIGINT) AS new_id,"
+            f" (SELECT n_pairs FROM top{r}) AS n_pairs,"
+            f" (SELECT CAST(sum(len(_t)) AS BIGINT) FROM t{r})"
+            " AS total_tok_after"
+        )
+    cte_block = ",\n".join(ctes)
+    union = "\nUNION ALL\n".join(stat_rows)
+    return f"WITH {cte_block}\n{union}"

@@ -685,6 +685,64 @@ def test_semantic_dedup_drop_rule_exact(spark):
     assert n_dropped > 0, "fixture produced no semantic dups — vacuous"
 
 
+def test_bpe_merges_matches_python(spark):
+    """Full 6-round trainer vs a pure-Python mirror at sf0.001: pair
+    choice (count desc, encoded pair asc), minted ids, raw pair counts,
+    and post-merge corpus totals — the totals pin the greedy
+    left-to-right NON-OVERLAPPING merge semantics (a run of k equal
+    tokens under a self-pair merges floor(k/2) times, not k-1)."""
+    from collections import Counter
+
+    from spatialflink_spark.config import VOCAB_SIZE
+    from spatialflink_spark.operators.corpus import (
+        BPE_MERGES,
+        BPE_PAIR_BASE,
+        bpe_merges,
+    )
+
+    toks = {
+        r["doc_id"]: _py_tokenize(r["text"])
+        for r in _docs(spark).select("doc_id", "text").collect()
+    }
+
+    def merge(ts, a, b, nid):
+        out, i = [], 0
+        while i < len(ts):
+            if i + 1 < len(ts) and ts[i] == a and ts[i + 1] == b:
+                out.append(nid)
+                i += 2
+            else:
+                out.append(ts[i])
+                i += 1
+        return out
+
+    exp = []
+    for r in range(1, BPE_MERGES + 1):
+        c: Counter = Counter()
+        for ts in toks.values():
+            c.update(x * BPE_PAIR_BASE + y for x, y in zip(ts, ts[1:]))
+        assert c, "corpus ran out of pairs — vacuous"
+        n_pairs = max(c.values())
+        bg = min(k for k, v in c.items() if v == n_pairs)
+        a, b = bg // BPE_PAIR_BASE, bg % BPE_PAIR_BASE
+        nid = VOCAB_SIZE + r - 1
+        toks = {d: merge(ts, a, b, nid) for d, ts in toks.items()}
+        exp.append((r, a, b, nid, n_pairs, sum(len(t) for t in toks.values())))
+    got = sorted(
+        (
+            (r["rank"], r["tok_a"], r["tok_b"], r["new_id"], r["n_pairs"],
+             r["total_tok_after"])
+            for r in bpe_merges(_docs(spark)).collect()
+        )
+    )
+    assert got == exp
+    # non-vacuous overlap semantics: some round merged fewer times than
+    # its raw pair count OR pair counts strictly... (overlap shows as
+    # total drop < n_pairs); assert at least the totals strictly decrease
+    totals = [t for *_, t in exp]
+    assert all(x > y for x, y in zip(totals, totals[1:]))
+
+
 def test_blocklist_filter_matches_python(spark):
     """Counts and keep vs a pure-Python mirror of the injection + word
     split; every rule fires somewhere and keep = (n_blocked == 0)."""
