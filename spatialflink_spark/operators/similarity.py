@@ -371,6 +371,7 @@ def cosine_topk_ivf_kmeans(
     n_centroids: int = KM_CENTROIDS,
     iters: int = KM_ITERS,
     n_probe: int = KM_PROBE,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN with LEARNED centroids: assign the corpus to its nearest
     k-means centroid (the inverted file), probe the query's `n_probe`
@@ -383,7 +384,8 @@ def cosine_topk_ivf_kmeans(
     from spatialflink_spark.session import spread
 
     packed = _packed_centroids(
-        kmeans_centroids(emb, n_centroids, iters)
+        centroids if centroids is not None
+        else kmeans_centroids(emb, n_centroids, iters)
     ).localCheckpoint(eager=False)
     base = spread(emb).select(
         "vec_id", "label", "embedding", F.expr(_km_quant("embedding")).alias("qv")
@@ -428,6 +430,7 @@ def cosine_topk_batch_kmeans(
     iters: int = KM_ITERS,
     n_probe: int = KM_PROBE,
     query_mod: int | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Batch retrieval over the learned IVF — the production retrieval op:
     every query in the query TABLE probes its n_probe nearest k-means
@@ -440,7 +443,8 @@ def cosine_topk_batch_kmeans(
 
     qm = QUERY_MOD if query_mod is None else query_mod
     packed = _packed_centroids(
-        kmeans_centroids(emb, n_centroids, iters)
+        centroids if centroids is not None
+        else kmeans_centroids(emb, n_centroids, iters)
     ).localCheckpoint(eager=False)
     base = spread(emb).select(
         "vec_id", "label", "embedding", F.expr(_km_quant("embedding")).alias("qv")
@@ -485,6 +489,7 @@ def kmeans_label_purity(
     emb: DataFrame,
     n_centroids: int = KM_CENTROIDS,
     iters: int = KM_ITERS,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Per-cluster label profile of the learned k-means partition — the
     SemDeDup-style diagnostic for embedding-space curation: how coherent is
@@ -502,7 +507,8 @@ def kmeans_label_purity(
     from spatialflink_spark.session import spread
 
     packed = _packed_centroids(
-        kmeans_centroids(emb, n_centroids, iters)
+        centroids if centroids is not None
+        else kmeans_centroids(emb, n_centroids, iters)
     ).localCheckpoint(eager=False)
     base = spread(emb).select(
         "vec_id", "label", F.expr(_km_quant("embedding")).alias("qv")
@@ -749,6 +755,7 @@ def semantic_dedup(
     threshold: float = SEMDEDUP_THRESHOLD,
     n_centroids: int = KM_CENTROIDS,
     iters: int = KM_ITERS,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic near-duplicate pruning via
     k-means clustering — pairwise cosine is computed only WITHIN a
@@ -770,7 +777,8 @@ def semantic_dedup(
     from spatialflink_spark.session import spread
 
     packed = _packed_centroids(
-        kmeans_centroids(emb, n_centroids, iters)
+        centroids if centroids is not None
+        else kmeans_centroids(emb, n_centroids, iters)
     ).localCheckpoint(eager=False)
     base = spread(emb).select(
         "vec_id", "embedding", F.expr(_km_quant("embedding")).alias("qv")
@@ -869,6 +877,7 @@ def pq_topk_adc(
     m: int = PQ_M,
     n_cent: int = PQ_K,
     iters: int = PQ_ITERS,
+    codebooks: DataFrame | None = None,
 ) -> DataFrame:
     """PQ top-k via Asymmetric Distance Computation: vectors are stored as
     m small codes (here 4 x 3 bits vs 64 floats — the vector-compression
@@ -891,9 +900,10 @@ def pq_topk_adc(
 
     d = len(emb.select("embedding").first()["embedding"])
     sub = d // m
-    packed = _pq_packed(pq_codebooks(emb, m, n_cent, iters)).localCheckpoint(
-        eager=False
-    )
+    packed = _pq_packed(
+        codebooks if codebooks is not None
+        else pq_codebooks(emb, m, n_cent, iters)
+    ).localCheckpoint(eager=False)
     base = spread(emb).select(
         "vec_id", F.expr(_km_quant("embedding")).alias("qv")
     )
@@ -1090,6 +1100,7 @@ def prototypicality(
     n_centroids: int = KM_CENTROIDS,
     iters: int = KM_ITERS,
     drop_bp: int = PROTO_DROP_BP,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """SSL-prototypes data pruning (Sorscher et al. 2022, the metric D4
     pairs with SemDeDup): rank every vector by its distance to its own
@@ -1110,7 +1121,8 @@ def prototypicality(
     from spatialflink_spark.session import spread
 
     packed = _packed_centroids(
-        kmeans_centroids(emb, n_centroids, iters)
+        centroids if centroids is not None
+        else kmeans_centroids(emb, n_centroids, iters)
     ).localCheckpoint(eager=False)
     base = spread(emb).select(
         "vec_id", F.expr(_km_quant("embedding")).alias("qv")
@@ -1156,6 +1168,7 @@ def pq_topk_batch(
     n_cent: int = PQ_K,
     iters: int = PQ_ITERS,
     query_mod: int = QUERY_MOD,
+    codebooks: DataFrame | None = None,
 ) -> DataFrame:
     """PQ/ADC retrieval over the query TABLE — the batch face of
     pq_topk_adc (one query row) the way cosine_topk_batch is the batch face
@@ -1180,9 +1193,10 @@ def pq_topk_batch(
 
     d = len(emb.select("embedding").first()["embedding"])
     sub = d // m
-    packed = _pq_packed(pq_codebooks(emb, m, n_cent, iters)).localCheckpoint(
-        eager=False
-    )
+    packed = _pq_packed(
+        codebooks if codebooks is not None
+        else pq_codebooks(emb, m, n_cent, iters)
+    ).localCheckpoint(eager=False)
     base = spread(emb).select(
         "vec_id", F.expr(_km_quant("embedding")).alias("qv")
     ).localCheckpoint(eager=False)  # feeds the coded corpus AND the queries
@@ -1277,7 +1291,9 @@ def l2_topk_batch(
     )
 
 
-def pq_batch_recall(emb: DataFrame, k: int = DEFAULT_K) -> DataFrame:
+def pq_batch_recall(
+    emb: DataFrame, k: int = DEFAULT_K, codebooks: DataFrame | None = None
+) -> DataFrame:
     """Per-query recall@k of the PQ/ADC batch ranker against the exact
     quantized-L2 ranker — the code-loss calibration an IVF+PQ deployment
     monitors when sizing (m, n_cent). Mirrors batch_ann_recall's shape:
@@ -1288,7 +1304,7 @@ def pq_batch_recall(emb: DataFrame, k: int = DEFAULT_K) -> DataFrame:
         .select("q_id", "vec_id")
         .localCheckpoint(eager=False)
     )
-    ann = pq_topk_batch(emb, k=k).select("q_id", "vec_id")
+    ann = pq_topk_batch(emb, k=k, codebooks=codebooks).select("q_id", "vec_id")
     hits = exact.join(ann, ["q_id", "vec_id"]).groupBy("q_id").agg(
         F.expr("cast(count(1) as bigint)").alias("_h")
     )
