@@ -743,6 +743,37 @@ def test_bpe_merges_matches_python(spark):
     assert all(x > y for x, y in zip(totals, totals[1:]))
 
 
+def test_bpe_merge_fold_on_adversarial_runs(spark):
+    """The per-row merge fold on crafted inputs the corpus may lack: long
+    equal runs under a self-pair (greedy non-overlap = floor(k/2) merges),
+    interleavings, and the no-match identity — via one round of the
+    trainer on a tiny in-memory corpus engineered so the chosen top pair
+    is the self-pair (7, 7)."""
+    from spatialflink_spark.config import VOCAB_SIZE
+    from spatialflink_spark.operators.corpus import bpe_merges
+
+    rows = [
+        (0, "a a a a a"),        # run of 5 equal tokens
+        (1, "a a a a"),          # run of 4
+        (2, "a b a b a"),        # no adjacent equal pair
+        (3, "a a b a a"),        # two isolated pairs
+        (4, "c"),                # single token
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["rank"]: r for r in bpe_merges(docs, n_merges=1).collect()}
+    r1 = out[1]
+    # token id of 'a' via the portable tokenizer
+    a = _py_tokenize("a")[0]
+    assert (r1["tok_a"], r1["tok_b"]) == (a, a)
+    assert r1["new_id"] == VOCAB_SIZE
+    # raw adjacent (a, a) count: 4 + 3 + 0 + 2 = 9
+    assert r1["n_pairs"] == 9
+    # greedy merge count (each merge removes ONE token):
+    # floor(5/2) + floor(4/2) + 0 + 2 = 6 — NOT the raw pair count 9
+    before = 5 + 4 + 5 + 5 + 1
+    assert r1["total_tok_after"] == before - 6
+
+
 def test_blocklist_filter_matches_python(spark):
     """Counts and keep vs a pure-Python mirror of the injection + word
     split; every rule fires somewhere and keep = (n_blocked == 0)."""

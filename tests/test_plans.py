@@ -523,3 +523,57 @@ def test_ivfpq_index_full_probe_equals_pq_and_prunes(spark, tmp_path):
     # compression is the point: neither the floats nor the quantized
     # vectors ride in the scanned corpus — codes only
     assert "embedding" not in corpus_cols and "qv" not in corpus_cols
+
+
+def test_bigram_fluency_prefix_join_is_broadcast(spark):
+    """The vocab-bounded prefix-count relation must join back as a
+    broadcast; the c_ab join rides the encoded bigram equi-key (never a
+    cartesian); the per-doc sum keeps its map-side partial."""
+    from spatialflink_spark.operators.corpus import bigram_fluency
+
+    df = bigram_fluency(load_documents(spark, SF_SMALL))
+    assert plans.has_broadcast_join(df), plans.simple_plan(df)
+    assert plans.has_partial_aggregate(df)
+    assert "CartesianProduct" not in plans.simple_plan(df)
+
+
+def test_decontaminate_bloom_verify_join_on_candidates_only(spark):
+    """The Bloom gate's exact verify stage must join the CANDIDATE side
+    (post-bloom filter), and the probe set must ride a broadcast — a
+    SortMergeJoin anywhere here means the bitset prefilter fell out of
+    the plan."""
+    df = gate.q_decontaminate_bloom(spark, SF_SMALL)
+    p = plans.simple_plan(df)
+    assert plans.has_broadcast_join(df), p
+    assert "SortMergeJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_pq_topk_batch_two_stage_windows_partitioned(spark):
+    """Both rank windows must be PARTITIONED (by (q_id, bucket) then
+    q_id) — an unpartitioned window is a single-task global sort; and the
+    per-query ADC tables must ride broadcasts, never a shuffle join."""
+    from spatialflink_spark.operators.similarity import pq_topk_batch
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    df = pq_topk_batch(emb)
+    p = plans.formatted_plan(df)
+    assert "SortMergeJoin" not in p, p[:800]
+    import re
+
+    # every Window node's partition spec must be non-empty
+    for m in re.finditer(r"Window \[.*?windowspecdefinition\(([^)]*)\)", p):
+        assert m.group(1).strip(), p[:800]
+
+
+def test_prototypicality_assignment_is_broadcast_argmin(spark):
+    """Centroid assignment must stay the shuffle-free broadcast-argmin
+    (no cartesian, no sort-merge); the only shuffle is the rank window's
+    cid exchange."""
+    from spatialflink_spark.operators.similarity import prototypicality
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    df = prototypicality(emb)
+    p = plans.simple_plan(df)
+    assert "CartesianProduct" not in p, p
+    assert "SortMergeJoin" not in p, p
