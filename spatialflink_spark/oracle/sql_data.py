@@ -113,22 +113,31 @@ def curation_pipeline() -> str:
     """Twin of gate.q_curation_pipeline — the PRODUCTION composition: exact
     dedup -> wide-fingerprint NEAR-dup dedup (60-bit SimHash pairs ->
     transitive closure -> keep the component representative) ->
-    decontamination -> source mixing, composed from the SAME snippet helpers
-    the standalone oracles use (_wide_sh_cte, _decon_ctes, _mix_sql) so each
+    decontamination -> source mixing, fronted by the composed quality
+    verdict (the quality_filter() statement nested as a CTE body — the
+    source_card pattern), and composed from the SAME snippet helpers the
+    standalone oracles use (_wide_sh_cte, _decon_ctes, _mix_sql) so each
     stage's logic exists once."""
     from spatialflink_spark.operators.dedup import SIMHASH_WIDE_HAMMING_MAX
 
+    from spatialflink_spark.gate import PIPE_DECON_OVERLAP as pipe_overlap
+
     return f"""
 WITH RECURSIVE
+qf AS ({quality_filter()}),
+qdocs AS (
+  SELECT d.* FROM documents d
+  JOIN (SELECT doc_id FROM qf WHERE keep = 1) k USING (doc_id)
+),
 canon AS (
   SELECT doc_id FROM (
     SELECT doc_id, row_number() OVER (
       PARTITION BY md5(array_to_string({_W}, ' ')) ORDER BY doc_id
-    ) AS rnk FROM documents
+    ) AS rnk FROM qdocs
   ) WHERE rnk = 1
 ),
 surv AS (
-  SELECT d.* FROM documents d JOIN canon USING (doc_id)
+  SELECT d.* FROM qdocs d JOIN canon USING (doc_id)
 ),
 {_wide_sh_cte('surv', 'w_')},
 ndpairs AS (
@@ -147,7 +156,7 @@ surv2 AS (
   SELECT * FROM surv
   WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)
 ),
-{_decon_ctes('surv2')},
+{_decon_ctes('surv2', pipe_overlap)},
 train AS (
   SELECT * FROM surv2
   WHERE doc_id % 13 <> 0 AND doc_id NOT IN (SELECT doc_id FROM conta)
