@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_filter": gate.q_blocklist_filter,
         "chunk_documents": gate.q_chunk_documents,
         "bpe_merges": gate.q_bpe_merges,
+        "stream_chunk_e2e": gate.q_stream_chunk_e2e,
         # ---- the fifteen displaced by this round's fourteen new entries
         # ---- (binfmt_ingest, dedup_exact, geomcollection x3,
         # ---- pack_bins_emit, token_freq_topk, source_length_quantiles,
@@ -300,6 +301,7 @@ def oracle_sql() -> dict[str, str]:
         "blocklist_filter": osqld.blocklist_filter(),
         "chunk_documents": osqld.chunk_documents(),
         "bpe_merges": osqld.bpe_merges(),
+        "stream_chunk_e2e": osqla.stream_chunk_e2e(),
         "token_counts": osqld.token_counts(),
         "doc_fingerprint": osqld.fingerprint(),
         "pack_sequences": osql.pack_sequences(),

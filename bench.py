@@ -167,6 +167,7 @@ HEADLINE = [
     "blocklist_filter",
     "chunk_documents",
     "bpe_merges",
+    "stream_chunk_e2e",
 ]
 
 

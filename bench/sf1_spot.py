@@ -142,6 +142,8 @@ QUERIES = [
     "chunk_documents",
     # 6 rounds x (pair-count shuffle + per-row merge fold) — linear/round
     "bpe_merges",
+    # eighth streaming path: stateless per-row slicing + windowed agg
+    "stream_chunk_e2e",
 ]
 
 # optional subset: SFS_ONLY=a,b,c runs just those queries (re-measuring a

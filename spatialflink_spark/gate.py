@@ -1251,6 +1251,43 @@ def q_stream_neardup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.read_committed(spark)
 
 
+def q_stream_chunk_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eighth end-to-end Structured Streaming path — context-window
+    CHUNKING at ingest: staged replay -> watermark -> per-row overlapping
+    fixed-width chunk slicing (the chunk_documents width/stride constants;
+    stateless, no explode — counts and token sums fold per row) ->
+    tumbling per-(window, source) chunk volume -> exactly-once sink.
+    Oracle = the same slicing arithmetic in batch over watermark-closed
+    windows. Output: ws, source, n_chunks, chunk_tok, n_rows."""
+    import tempfile
+
+    from spatialflink_spark.sources.streams import (
+        read_sequences_stream,
+        stage_replay_files_cached,
+    )
+    from spatialflink_spark.streaming.pipeline import (
+        run_available_now,
+        stream_chunk_stats,
+    )
+    from spatialflink_spark.streaming.sink import ExactlyOnceSink
+
+    root = tempfile.mkdtemp(prefix="sfs_gate_chunk_")
+    replay = stage_replay_files_cached(spark, sf_dir, n_batches=_REPLAY_SLICES)
+    sink = ExactlyOnceSink(f"{root}/out", key_cols=("ws", "source"))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        stream = read_sequences_stream(
+            spark, replay, C.allowed_lateness_s,
+            max_files_per_trigger=_REPLAY_SLICES,
+        )
+        res = stream_chunk_stats(stream, C)
+        run_available_now(res, sink.foreach_batch(), f"{root}/ckpt")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return sink.read_committed(spark)
+
+
 def q_stream_vocab_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fifth end-to-end Structured Streaming path — VOCABULARY NOVELTY at
     ingest: staged replay -> update-mode first-arrival per token (state

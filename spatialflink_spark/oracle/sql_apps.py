@@ -903,3 +903,38 @@ FROM sh
 WHERE ws + {C.tumbling_s} <= (SELECT w FROM wm)
 GROUP BY ws, simhash
 """
+
+
+def stream_chunk_e2e() -> str:
+    """Batch twin of the streaming chunking gate (q_stream_chunk_e2e):
+    per-row overlapping chunk counts/token sums over the token arrays
+    (1-based inclusive list slices == Spark slice(arr, s, w)), rolled up
+    per (watermark-closed tumbling window, source)."""
+    from spatialflink_spark.config import DEFAULT_CONFIG as C
+    from spatialflink_spark.operators.text import CHUNK_S, CHUNK_W
+    from spatialflink_spark.oracle.sql import _prologue
+
+    cl = (
+        f"CASE WHEN len(tokens) >= 1 THEN"
+        f" list_transform(range(1, len(tokens) + 1, {CHUNK_S}),"
+        f" s -> len(tokens[s : s + {CHUNK_W} - 1]))"
+        " ELSE CAST([] AS BIGINT[]) END"
+    )
+    return f"""{_prologue(tumbling=True)}
+, wm AS (SELECT max(ts_s) - {C.allowed_lateness_s} AS w FROM sequences),
+x AS (
+  SELECT ws, source, {cl} AS _cl FROM seq_t
+),
+r AS (
+  SELECT ws, source, len(_cl) AS _n,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), _cl), (a, v) -> a + v)
+           AS _ct
+  FROM x
+)
+SELECT ws, source, CAST(sum(_n) AS BIGINT) AS n_chunks,
+       CAST(sum(_ct) AS BIGINT) AS chunk_tok,
+       count(*) AS n_rows
+FROM r
+WHERE ws + {C.tumbling_s} <= (SELECT w FROM wm)
+GROUP BY ws, source
+"""

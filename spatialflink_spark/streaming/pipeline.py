@@ -515,3 +515,50 @@ def stream_neardup_window_stats(stream: DataFrame, cfg: EngineConfig) -> DataFra
             "tok_rows",
         )
     )
+
+
+def stream_chunk_stats(stream: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """Context-window chunking at ingest — the eighth streaming path: slice
+    every arriving sequence's token array into overlapping fixed-width
+    chunks (the SAME width/stride constants as text.chunk_documents — the
+    RAG-index slicing step applied at the stream head) and aggregate chunk
+    volume per (tumbling window, source). The slicing is a stateless
+    per-row explode (watermark column carried through); the only state is
+    the windowed aggregation. Output: ws, source, n_chunks, chunk_tok,
+    n_rows — append mode on window close."""
+    from spatialflink_spark.operators.text import CHUNK_S, CHUNK_W
+
+    sliced = stream.select(
+        "event_ts",
+        "source",
+        F.expr(
+            f"CASE WHEN size(tokens) >= 1 THEN"
+            f" transform(sequence(1, size(tokens), {CHUNK_S}),"
+            f" s -> size(slice(tokens, s, {CHUNK_W})))"
+            " ELSE array() END"
+        ).alias("_cl"),
+    )
+    x = sliced.select(
+        "event_ts",
+        "source",
+        F.expr("size(_cl)").alias("_n_chunks"),
+        F.expr("aggregate(_cl, 0, (a, x) -> a + x)").alias("_chunk_tok"),
+    )
+    return (
+        x.groupBy(
+            F.window("event_ts", f"{cfg.tumbling_s} seconds").alias("win"),
+            "source",
+        )
+        .agg(
+            F.expr("cast(sum(_n_chunks) as bigint)").alias("n_chunks"),
+            F.expr("cast(sum(_chunk_tok) as bigint)").alias("chunk_tok"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.expr("cast(unix_timestamp(win.start) as bigint)").alias("ws"),
+            "source",
+            "n_chunks",
+            "chunk_tok",
+            "n_rows",
+        )
+    )

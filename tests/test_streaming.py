@@ -1649,3 +1649,57 @@ def test_stream_neardup_window_stats_matches_batch(spark, replay_dir, tmp_path):
     key = lambda df: sorted(map(tuple, df[["ws", "simhash", "n_rows", "tok_rows"]].values))
     assert key(got) == key(batch)
     assert len(got) > 0
+
+
+def test_stream_chunk_stats_matches_batch(spark, replay_dir, tmp_path):
+    """Multi-batch (maxFilesPerTrigger=1) chunk-volume stats == the batch
+    slicing arithmetic over watermark-closed windows."""
+    import pyspark.sql.functions as F
+
+    from spatialflink_spark.operators.text import CHUNK_S, CHUNK_W
+    from spatialflink_spark.streaming.pipeline import stream_chunk_stats
+
+    stream = read_sequences_stream(spark, replay_dir, C.allowed_lateness_s)
+    res = stream_chunk_stats(stream, C)
+    q = (
+        res.writeStream.format("memory")
+        .queryName("chunk_stats")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from chunk_stats").toPandas()
+    seq = sequences(spark, SF_SMALL)
+    wlim = seq.agg(
+        F.expr(f"max(ts_s) - {C.allowed_lateness_s}").alias("w")
+    ).collect()[0]["w"]
+    batch = (
+        seq.select(
+            "source",
+            F.expr(
+                f"cast(floor(ts_s / {C.tumbling_s}) * {C.tumbling_s} as bigint)"
+            ).alias("ws"),
+            F.expr(
+                f"CASE WHEN size(tokens) >= 1 THEN"
+                f" transform(sequence(1, size(tokens), {CHUNK_S}),"
+                f" s -> size(slice(tokens, s, {CHUNK_W})))"
+                " ELSE array() END"
+            ).alias("_cl"),
+        )
+        .where(F.expr(f"ws + {C.tumbling_s} <= {wlim}"))
+        .groupBy("ws", "source")
+        .agg(
+            F.expr("cast(sum(size(_cl)) as bigint)").alias("n_chunks"),
+            F.expr(
+                "cast(sum(aggregate(_cl, 0, (a, x) -> a + x)) as bigint)"
+            ).alias("chunk_tok"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .toPandas()
+    )
+    cols = ["ws", "source", "n_chunks", "chunk_tok", "n_rows"]
+    key = lambda df: sorted(map(tuple, df[cols].values))
+    assert key(got) == key(batch)
+    assert len(got) > 0
