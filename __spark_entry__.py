@@ -136,9 +136,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": gate.q_temperature_mix,
         "stream_tmix_e2e": gate.q_stream_tmix_e2e,
         "lsh_calibration": gate.q_lsh_calibration,
-        # bigram_fluency / prototypicality are NEW (born below the boundary
-        # for the same reason; fresh-process-verified at sf0.01 — rotate
-        # into r06)
+        # the thirteen fourth-session round-5 entries are NEW — born below
+        # the boundary for the same reason (the window is full); EACH was
+        # fresh-process-verified at sf0.01 through the driver recipe, and
+        # the whole queries() surface passed a full fresh-process
+        # driver-order sweep after they landed — rotate them into the r06
+        # window: bigram_fluency, prototypicality, decontaminate_bloom,
+        # pq_topk_batch, l2_topk_batch, pq_batch_recall,
+        # stream_neardup_e2e, cardinality_kmv, blocklist_filter,
+        # chunk_documents, bpe_merges, stream_chunk_e2e — and
+        # curation_pipeline (IN-window, row 22) carries this session's
+        # composition change (quality stage + sparse decon threshold)
         "bigram_fluency": gate.q_bigram_fluency,
         "prototypicality": gate.q_prototypicality,
         "decontaminate_bloom": gate.q_decontaminate_bloom,
