@@ -136,7 +136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": gate.q_temperature_mix,
         "stream_tmix_e2e": gate.q_stream_tmix_e2e,
         "lsh_calibration": gate.q_lsh_calibration,
-        # the thirteen fourth-session round-5 entries are NEW — born below
+        # the fourteen fourth-session round-5 entries are NEW — born below
         # the boundary for the same reason (the window is full); EACH was
         # fresh-process-verified at sf0.01 through the driver recipe, and
         # the whole queries() surface passed a full fresh-process
@@ -144,7 +144,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window: bigram_fluency, prototypicality, decontaminate_bloom,
         # pq_topk_batch, l2_topk_batch, pq_batch_recall,
         # stream_neardup_e2e, cardinality_kmv, blocklist_filter,
-        # chunk_documents, bpe_merges, stream_chunk_e2e — and
+        # chunk_documents, bpe_merges, stream_chunk_e2e,
+        # cluster_quality_profile — and
         # curation_pipeline (IN-window, row 22) carries this session's
         # composition change (quality stage + sparse decon threshold)
         "bigram_fluency": gate.q_bigram_fluency,
@@ -159,6 +160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": gate.q_chunk_documents,
         "bpe_merges": gate.q_bpe_merges,
         "stream_chunk_e2e": gate.q_stream_chunk_e2e,
+        "cluster_quality_profile": gate.q_cluster_quality_profile,
         # ---- the fifteen displaced by this round's fourteen new entries
         # ---- (binfmt_ingest, dedup_exact, geomcollection x3,
         # ---- pack_bins_emit, token_freq_topk, source_length_quantiles,
@@ -310,6 +312,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": osqld.chunk_documents(),
         "bpe_merges": osqld.bpe_merges(),
         "stream_chunk_e2e": osqla.stream_chunk_e2e(),
+        "cluster_quality_profile": osqld.cluster_quality_profile(),
         "token_counts": osqld.token_counts(),
         "doc_fingerprint": osqld.fingerprint(),
         "pack_sequences": osql.pack_sequences(),

@@ -168,6 +168,7 @@ HEADLINE = [
     "chunk_documents",
     "bpe_merges",
     "stream_chunk_e2e",
+    "cluster_quality_profile",
 ]
 
 

@@ -144,6 +144,8 @@ QUERIES = [
     "bpe_merges",
     # eighth streaming path: stateless per-row slicing + windowed agg
     "stream_chunk_e2e",
+    # broadcast-argmin assignment + doc-keyed quality join, n_centroids rows
+    "cluster_quality_profile",
 ]
 
 # optional subset: SFS_ONLY=a,b,c runs just those queries (re-measuring a

@@ -1428,6 +1428,18 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.chunk_documents(_docs(spark, sf_dir))
 
 
+def q_cluster_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster text-quality profile (similarity.cluster_quality_profile):
+    the learned embedding partition joined back to its documents' quality
+    verdicts — the cluster-level curation decision table. Output: cid,
+    n_docs, n_words, mean_quality, keep_rate."""
+    return sim_ops.cluster_quality_profile(
+        _emb(spark, sf_dir),
+        _docs(spark, sf_dir),
+        centroids=_km_centroids_cached(spark, sf_dir),
+    )
+
+
 def q_cardinality_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic cardinality-sketch calibration (corpus
     .cardinality_kmv): 16 seeded hash minima per source (bounded-state

@@ -1319,3 +1319,64 @@ def pq_batch_recall(
             "round(cast(coalesce(_h, 0) as double) / n_exact, 6)"
         ).alias("recall"),
     )
+
+
+def cluster_quality_profile(
+    emb: DataFrame,
+    docs: DataFrame,
+    n_centroids: int = KM_CENTROIDS,
+    iters: int = KM_ITERS,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Per-cluster TEXT-quality profile of the learned embedding partition
+    — the D4-style cluster-inspection table: join each cluster's members
+    back to their documents (vec_id == doc_id in the fixture's alignment,
+    the same contract the retrieval fusion ops use) and report document
+    volume, token mass, mean quality, and the quality-filter keep rate per
+    cluster. The decision surface for cluster-level curation: a cluster
+    with low mean quality / keep rate is pruned wholesale, a high-quality
+    one is kept even if semantically dense.
+
+    Scale (100 TB): assignment is the shuffle-free broadcast-argmin
+    kernel; the per-doc quality columns come from ONE per-row pass
+    (with_quality_filter, materialized before the keep-filter aggregation
+    — the pushdown-inline trap); the join is a doc-keyed equi-shuffle and
+    the final groupBy is n_centroids rows. Quality integerized at 1e6
+    before summing (order-insensitive), one rounded division per mean.
+    Output: cid, n_docs, n_words, mean_quality, keep_rate."""
+    from spatialflink_spark.operators.text import with_quality_filter
+    from spatialflink_spark.session import spread
+
+    packed = _packed_centroids(
+        centroids if centroids is not None
+        else kmeans_centroids(emb, n_centroids, iters)
+    ).localCheckpoint(eager=False)
+    base = spread(emb).select(
+        "vec_id", F.expr(_km_quant("embedding")).alias("qv")
+    )
+    assigned = base.crossJoin(F.broadcast(packed)).select(
+        "vec_id", F.expr(f"cast({_KM_ASSIGN} as int)").alias("cid")
+    )
+    q = (
+        with_quality_filter(
+            spread(docs).select("doc_id", "text")
+        )
+        .localCheckpoint(eager=False)
+        .select(
+            F.col("doc_id").alias("vec_id"),
+            "n_words",
+            F.expr("cast(round(quality * 1000000) as bigint)").alias("_q"),
+            "keep",
+        )
+    )
+    j = assigned.join(q, "vec_id")
+    return j.groupBy("cid").agg(
+        F.expr("cast(count(1) as bigint)").alias("n_docs"),
+        F.expr("cast(sum(n_words) as bigint)").alias("n_words"),
+        F.expr(
+            "round(cast(sum(_q) as double) / (count(1) * 1000000), 6)"
+        ).alias("mean_quality"),
+        F.expr("round(cast(sum(keep) as double) / count(1), 6)").alias(
+            "keep_rate"
+        ),
+    )

@@ -2193,3 +2193,33 @@ def bpe_merges(n_merges: int | None = None) -> str:
     cte_block = ",\n".join(ctes)
     union = "\nUNION ALL\n".join(stat_rows)
     return f"WITH {cte_block}\n{union}"
+
+
+def cluster_quality_profile(
+    n_centroids: int | None = None, iters: int | None = None
+) -> str:
+    """Twin of similarity.cluster_quality_profile — the shared Lloyd CTE
+    chain's `assigned` relation joined to the nested quality_filter
+    statement (the source_card pattern), per-cid integerized means."""
+    from spatialflink_spark.operators.similarity import KM_CENTROIDS, KM_ITERS
+
+    n_centroids = KM_CENTROIDS if n_centroids is None else n_centroids
+    iters = KM_ITERS if iters is None else iters
+    ctes, _ = _kmeans_ctes(n_centroids, iters)
+    cte_block = ",\n".join(ctes)
+    return f"""
+WITH {cte_block},
+qf AS ({quality_filter()}),
+q AS (
+  SELECT doc_id AS vec_id, n_words,
+         CAST(round(quality * 1000000) AS BIGINT) AS _q, keep
+  FROM qf
+),
+j AS (SELECT a.cid, q.n_words, q._q, q.keep FROM assigned a JOIN q USING (vec_id))
+SELECT CAST(cid AS INT) AS cid,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS n_words,
+       round(CAST(sum(_q) AS DOUBLE) / (count(*) * 1000000), 6) AS mean_quality,
+       round(CAST(sum(keep) AS DOUBLE) / count(*), 6) AS keep_rate
+FROM j GROUP BY cid
+"""
