@@ -136,7 +136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": gate.q_temperature_mix,
         "stream_tmix_e2e": gate.q_stream_tmix_e2e,
         "lsh_calibration": gate.q_lsh_calibration,
-        # the fourteen fourth-session round-5 entries are NEW — born below
+        # the fifteen fourth-session round-5 entries are NEW — born below
         # the boundary for the same reason (the window is full); EACH was
         # fresh-process-verified at sf0.01 through the driver recipe, and
         # the whole queries() surface passed a full fresh-process
@@ -145,7 +145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pq_topk_batch, l2_topk_batch, pq_batch_recall,
         # stream_neardup_e2e, cardinality_kmv, blocklist_filter,
         # chunk_documents, bpe_merges, stream_chunk_e2e,
-        # cluster_quality_profile — and
+        # cluster_quality_profile, media_dedup — and
         # curation_pipeline (IN-window, row 22) carries this session's
         # composition change (quality stage + sparse decon threshold)
         "bigram_fluency": gate.q_bigram_fluency,
@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": gate.q_bpe_merges,
         "stream_chunk_e2e": gate.q_stream_chunk_e2e,
         "cluster_quality_profile": gate.q_cluster_quality_profile,
+        "media_dedup": gate.q_media_dedup,
         # ---- the fifteen displaced by this round's fourteen new entries
         # ---- (binfmt_ingest, dedup_exact, geomcollection x3,
         # ---- pack_bins_emit, token_freq_topk, source_length_quantiles,
@@ -313,6 +314,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": osqld.bpe_merges(),
         "stream_chunk_e2e": osqla.stream_chunk_e2e(),
         "cluster_quality_profile": osqld.cluster_quality_profile(),
+        "media_dedup": osqld.media_dedup(),
         "token_counts": osqld.token_counts(),
         "doc_fingerprint": osqld.fingerprint(),
         "pack_sequences": osql.pack_sequences(),

@@ -169,6 +169,7 @@ HEADLINE = [
     "bpe_merges",
     "stream_chunk_e2e",
     "cluster_quality_profile",
+    "media_dedup",
 ]
 
 

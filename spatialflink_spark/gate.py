@@ -1428,6 +1428,13 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.chunk_documents(_docs(spark, sf_dir))
 
 
+def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact binary-asset dedup (multimodal.media_dedup): md5 over the raw
+    payload BINARY column, hash-keyed ranks — the pre-decode asset dedup
+    pass. Output: doc_id, media_type, payload_hash, dup_rank."""
+    return mm_ops.media_dedup(_docs(spark, sf_dir))
+
+
 def q_cluster_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster text-quality profile (similarity.cluster_quality_profile):
     the learned embedding partition joined back to its documents' quality

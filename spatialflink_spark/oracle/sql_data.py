@@ -2223,3 +2223,18 @@ SELECT CAST(cid AS INT) AS cid,
        round(CAST(sum(keep) AS DOUBLE) / count(*), 6) AS keep_rate
 FROM j GROUP BY cid
 """
+
+
+def media_dedup() -> str:
+    """Twin of multimodal.media_dedup — the payload is the document's
+    utf-8 bytes by construction (synthesize_media), so md5(text) hashes
+    the same bytes Spark's md5(payload binary) does."""
+    return """
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+       md5(text) AS payload_hash,
+       CAST(row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+            AS INT) AS dup_rank
+FROM documents
+"""

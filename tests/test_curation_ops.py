@@ -1210,3 +1210,24 @@ def test_dsir_importance_matches_python_and_separates(spark):
     t_means = [r["imp_mean"] for r in out.values() if r["is_target"] == 1]
     r_means = [r["imp_mean"] for r in out.values() if r["is_target"] == 0]
     assert sum(t_means) / len(t_means) > sum(r_means) / len(r_means)
+
+
+def test_media_dedup_ranks_and_hashes(spark):
+    """Rank mechanics on a crafted duplicate-payload fixture (the sf0.01
+    corpus has no raw-byte duplicates — hash parity alone grades there)
+    plus md5 agreement with hashlib over the utf-8 payload bytes."""
+    import hashlib
+
+    from spatialflink_spark.operators.multimodal import media_dedup
+
+    rows = [(0, "same text"), (5, "same text"), (3, "same text"), (1, "other")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in media_dedup(docs).collect()}
+    assert len(out) == 4
+    h = hashlib.md5("same text".encode()).hexdigest()
+    assert [out[d]["payload_hash"] for d in (0, 3, 5)] == [h, h, h]
+    assert [out[d]["dup_rank"] for d in (0, 3, 5)] == [1, 2, 3]
+    assert out[1]["dup_rank"] == 1
+    assert out[1]["payload_hash"] == hashlib.md5(b"other").hexdigest()
+    for d, r in out.items():
+        assert r["media_type"] == ("image", "audio", "video")[d % 3]
