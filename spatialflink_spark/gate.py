@@ -29,7 +29,7 @@ from spatialflink_spark.operators.join import windowed_join
 from spatialflink_spark.operators.knn import knn_windowed
 from spatialflink_spark.operators.range_query import range_query
 from spatialflink_spark.operators.stats import running_stats
-from spatialflink_spark.sources.sequences import sequences, sequences_cached
+from spatialflink_spark.sources.sequences import sequences_cached
 
 
 def _seq_t(spark: SparkSession, sf_dir: str) -> DataFrame:
