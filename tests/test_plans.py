@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from spatialflink_spark import gate, plans
-from spatialflink_spark.sources.sequences import load_documents
+from spatialflink_spark.sources.sequences import load_documents, sequences
 from tests.conftest import SF_SMALL
 
 
@@ -412,7 +412,7 @@ def test_bucketed_sequences_join_skips_shuffle(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-    seq = gate.sequences(spark, SF_SMALL)
+    seq = sequences(spark, SF_SMALL)
     n_plain = (
         seq.select("doc_id", F.col("seq_no").alias("l_seq"))
         .join(seq.select("doc_id", F.col("seq_no").alias("r_seq")), "doc_id")
