@@ -1078,23 +1078,41 @@ def bpe_merges(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
             )
             .localCheckpoint(eager=False)  # feeds the merge AND the stats row
         )
-        fin = (
-            "CASE WHEN s.pend = cast(-1 as bigint) THEN s.acc"
-            " ELSE concat(s.acc, array(s.pend)) END"
-        )
-        merge = (
-            "aggregate(_t,"
-            " named_struct('acc', cast(array() as array<bigint>),"
-            " 'pend', cast(-1 as bigint)),"
-            " (s, x) -> CASE WHEN s.pend = _a AND x = _b THEN"
-            f" named_struct('acc', concat(s.acc, array(cast({new_id} as bigint))),"
-            " 'pend', cast(-1 as bigint))"
-            f" ELSE named_struct('acc', {fin}, 'pend', x) END,"
-            f" s -> {fin})"
+        # greedy left-to-right NON-OVERLAPPING merge via one JVM string
+        # replace — r5 ran a per-row aggregate() fold whose
+        # concat(acc, array(x)) append is O(len) per element (O(len^2)
+        # copy-on-append per row per round, the dominant cost of the op).
+        # Encoding: each token wrapped in single commas, tokens joined so
+        # separators are DOUBLE commas (",t1,,t2,,t3,"); the search string
+        # ",a,,b," can then only match at token boundaries on exact full
+        # tokens, and Spark's replace() scans left-to-right consuming each
+        # match (never rescanning its own output) — exactly the old fold's
+        # pending-token semantics, a run of k equal tokens under a
+        # self-pair merging floor(k/2) times (pinned by
+        # tests/test_curation_ops.py's adversarial-run + python-mirror
+        # tests). Linear in string length, all UTF8String intrinsics.
+        parse = (
+            "CASE WHEN size(_t) < 2 THEN _t ELSE "
+            "transform(split(substring(_m, 2, length(_m) - 2), ',,'), "
+            "x -> cast(x as bigint)) END"
         )
         toks = (
             toks.crossJoin(F.broadcast(top1))
-            .select("doc_id", F.expr(merge).alias("_t"))
+            .withColumn(
+                "_s",
+                F.expr(
+                    "concat(',', concat_ws(',,', "
+                    "transform(_t, x -> cast(x as string))), ',')"
+                ),
+            )
+            .withColumn(
+                "_m",
+                F.expr(
+                    "replace(_s, concat(',', cast(_a as string), ',,', "
+                    f"cast(_b as string), ','), ',{new_id},')"
+                ),
+            )
+            .select("doc_id", F.expr(parse).alias("_t"))
             .localCheckpoint(eager=False)
         )
         after = toks.agg(

@@ -347,13 +347,25 @@ def wide_hash_chain(col: str, seed: int, dialect: str) -> str:
     PRECONDITION: token ids t must be >= 0 (the portable tokenizer emits
     only nonnegative ids). Both SQL dialects' `%` keeps the dividend's sign
     (unlike Python's), so a negative t would diverge from wide_hash_py; the
-    nonnegative contract makes % and pmod coincide everywhere it runs."""
+    nonnegative contract makes % and pmod coincide everywhere it runs.
+
+    The SPARK dialect fuses each xor-shift with its following multiply into
+    one transform (4 array passes instead of 7 — each pass is an
+    interpreted HigherOrderFunction traversal plus an array allocation, so
+    passes, not arithmetic ops, dominate; the lambda variable h is an
+    attribute reference, so the double mention inside a fused pass costs
+    nothing). Same math term-for-term: pinned against wide_hash_py by
+    tests/test_portability.py. The DUCK dialect text is FROZEN — it is
+    quoted inside oracle_sql() strings whose fingerprints the driver
+    compares across rounds."""
     if dialect == "spark":
-        tf, div = "transform", "div"
-        xor = lambda a, b: f"({a} ^ {b})"
-    else:
-        tf, div = "list_transform", "//"
-        xor = lambda a, b: f"xor({a}, {b})"
+        m31 = WIDE_MIX_M31
+        e = f"transform({col}, t -> (CAST(t AS BIGINT) + {seed}) % {m31})"
+        e = f"transform({e}, h -> ((h ^ (h div 65536)) * {WIDE_MIX_MULT1}) % {m31})"
+        e = f"transform({e}, h -> ((h ^ (h div 8192)) * {WIDE_MIX_MULT2}) % {m31})"
+        return f"transform({e}, h -> (h ^ (h div 65536)) % {1 << 30})"
+    tf, div = "list_transform", "//"
+    xor = lambda a, b: f"xor({a}, {b})"
     e = f"{tf}({col}, t -> (CAST(t AS BIGINT) + {seed}) % {WIDE_MIX_M31})"
     for shift, mult in ((16, WIDE_MIX_MULT1), (13, WIDE_MIX_MULT2), (16, None)):
         e = f"{tf}({e}, h -> {xor('h', f'(h {div} {1 << shift})')})"
@@ -373,6 +385,55 @@ def wide_hash_py(t: int, seed: int) -> int:
     return h % (1 << 30)
 
 
+# -- single-pass packed vote fold ------------------------------------------
+# The r5 kernel ran SIXTY independent aggregate() terms, each a full
+# interpreted pass over the staged hash array: O(60 * len) lambda evals per
+# row — VERDICT r5's top constant-factor target. The fold below visits each
+# token ONCE: per 30-bit hash value it extracts five 6-bit chunks and adds
+# the chunk's PACKED per-bit contribution (a 64-entry constant-folded lookup
+# table spreading the 6 bits into 10-bit counter slots) into a 5-word
+# accumulator — 5 lambda evals per token instead of 60. Because a 10-bit
+# slot only holds counts <= 1023, the array is folded in blocks of 1023
+# tokens; per-block packed words are unpacked (30 cheap scalar ops per
+# BLOCK, not per token) and summed, so arbitrary document lengths stay
+# exact. Bit j of the fingerprint is then set iff 2 * count_j > n_tokens —
+# algebraically identical to the old "+-1 vote sum > 0" test, so the
+# simhash output is bit-identical (pinned by tests against wide_hash_py and
+# the unchanged DuckDB twin).
+_WS_BLOCK = 1023  # tokens per packed block: per-slot counts <= 1023 < 2^10
+# TBL[v] spreads the 6 bits of chunk value v into six 10-bit slots
+_WS_TBL = "array(" + ",".join(
+    str(sum(((v >> m) & 1) << (10 * m) for m in range(6))) + "L" for v in range(64)
+) + ")"
+_WS_CHUNK_POW = "array(1L,64L,4096L,262144L,16777216L)"  # 64^wi chunk extractors
+_WS_SLOT_POW = (
+    "array(1L,1024L,1048576L,1073741824L,1099511627776L,1125899906842624L)"
+)  # 1024^m slot extractors
+
+
+def _ws_counts(col: str) -> str:
+    """Per-bit set-count array (30 bigints) over a 30-bit hash-array column
+    — one pass per token via the packed 64-entry vote table."""
+    packed = (
+        f"aggregate(slice({col}, ci * {_WS_BLOCK} + 1, {_WS_BLOCK}), "
+        f"array_repeat(cast(0 as bigint), 5), "
+        f"(acc, h) -> zip_with(acc, {_WS_CHUNK_POW}, "
+        f"(a, p) -> a + element_at({_WS_TBL}, cast((h div p) % 64 as int) + 1)))"
+    )
+    unpack = (
+        f"transform(sequence(0, 29), j -> "
+        f"(element_at(pk, cast(j div 6 as int) + 1) div "
+        f"element_at({_WS_SLOT_POW}, j % 6 + 1)) % 1024)"
+    )
+    return (
+        f"aggregate(transform("
+        f"sequence(0, cast((size({col}) - 1) div {_WS_BLOCK} as int)), "
+        f"ci -> {packed}), "
+        f"array_repeat(cast(0 as bigint), 30), "
+        f"(tot, pk) -> zip_with(tot, {unpack}, (a, b) -> a + b))"
+    )
+
+
 def with_wide_simhash(
     df: DataFrame, tokens_col: str, bits: int = SIMHASH_WIDE_BITS
 ) -> DataFrame:
@@ -382,21 +443,28 @@ def with_wide_simhash(
     ingest face (pipeline.stream_neardup_dedup, whose sequence stream
     already carries tokens). Bit j is set iff the summed +-1 votes of the
     per-token hash-bit features are positive (h1 covers bits 0-29, h2 bits
-    30-59). The two hash arrays are STAGED columns computed once per token;
-    the 60 per-bit aggregates only shift-and-test them (the 16-bit op's
-    cheap-lambda shape — no per-bit hash recomputation)."""
+    30-59), evaluated as 2 * popcount_j > n via the single-pass packed vote
+    fold above (one traversal per hash array instead of the old 60
+    per-bit aggregates). The hash arrays and the count arrays are STAGED
+    columns — each is computed once per row; the 60 final bit tests are
+    scalar CASEs over the staged counts."""
     hashed = df.select(
         "*",
         F.expr(wide_hash_chain(tokens_col, WIDE_SEED_H1, "spark")).alias("_h1"),
         F.expr(wide_hash_chain(tokens_col, WIDE_SEED_H2, "spark")).alias("_h2"),
     )
+    counted = hashed.select(
+        *df.columns,
+        F.expr("size(_h1)").alias("_n"),
+        F.expr(_ws_counts("_h1")).alias("_c1"),
+        F.expr(_ws_counts("_h2")).alias("_c2"),
+    )
     bit_terms = " + ".join(
-        f"(CASE WHEN aggregate({'_h1' if j < 30 else '_h2'}, 0, (a, h) -> a + "
-        f"(CASE WHEN (h div {1 << (j % 30)}) % 2 = 1 THEN 1 ELSE -1 END)) > 0 "
-        f"THEN {1 << j} ELSE 0 END)"
+        f"(CASE WHEN 2 * element_at({'_c1' if j < 30 else '_c2'}, {j % 30 + 1}) "
+        f"> _n THEN {1 << j} ELSE 0 END)"
         for j in range(bits)
     )
-    return hashed.select(
+    return counted.select(
         *df.columns, F.expr(f"cast({bit_terms} as bigint)").alias("simhash")
     )
 
@@ -699,14 +767,17 @@ def dedup_components_star(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
     ).unionByName(
         pairs.select(F.col("right_doc").alias("u"), F.col("left_doc").alias("v"))
     )
-    # canonical undirected edge set as (big, small) pairs, no self loops
+    # canonical undirected edge set as (big, small) pairs, no self loops.
+    # LAZY checkpoint: the initial fingerprint() below is the first action
+    # and materializes it — the old eager form paid a separate job for the
+    # same work (one driver round-trip saved before the loop even starts).
     edges = (
         sym.where(F.col("u") != F.col("v"))
         .select(
             F.greatest("u", "v").alias("hi"), F.least("u", "v").alias("lo")
         )
         .dropDuplicates()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     def fingerprint(e: DataFrame) -> tuple[int, int]:
@@ -729,10 +800,13 @@ def dedup_components_star(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
         out = grouped.select(
             F.explode(F.expr("filter(_nb, x -> x > a)")).alias("v"), F.col("_m")
         )
-        return (
-            out.where(F.col("v") != F.col("_m"))
-            .select(F.greatest("v", "_m").alias("hi"), F.least("v", "_m").alias("lo"))
-            .dropDuplicates()
+        # NO dropDuplicates here: large_star feeds ONLY small_star, whose
+        # groupBy(hi)/collect_set(lo) dedups its input anyway (and its
+        # partial aggregation already collapses duplicates map-side), so
+        # the explicit dedup was a pure extra Exchange per round
+        # (guide §2.4 — remove shuffles outright).
+        return out.where(F.col("v") != F.col("_m")).select(
+            F.greatest("v", "_m").alias("hi"), F.least("v", "_m").alias("lo")
         )
 
     def small_star(e: DataFrame) -> DataFrame:

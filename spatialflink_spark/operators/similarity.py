@@ -43,15 +43,44 @@ def _cos_expr(a: str, b: str) -> str:
     return f"round({dot} / (sqrt({na}) * sqrt({nb})), 6)"
 
 
+def _norm_expr(col: str) -> str:
+    """sqrt of the squared-norm aggregate — EXACTLY the factor _cos_expr
+    divides by, staged once per VECTOR instead of recomputed once per
+    scored PAIR (guide §2.3 "don't compute things you throw away": the old
+    per-pair form re-ran both norm passes |pairs| times; same doubles, same
+    order, so cos_sim is bit-identical)."""
+    return (
+        f"sqrt(aggregate({col}, cast(0.0 as double), "
+        "(s, x) -> s + cast(x as double) * cast(x as double)))"
+    )
+
+
+def _cos_pre_expr(a: str, b: str, sna: str, snb: str) -> str:
+    """cosine(a, b) with PRE-STAGED per-vector norms sna/snb — the same
+    double-precision operations in the same order as _cos_expr (sqrt(na)
+    and sqrt(nb) are just column references now), only the dot product is
+    per-pair work."""
+    dot = (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+        "cast(0.0 as double), (s, v) -> s + v)"
+    )
+    return f"round({dot} / ({sna} * {snb}), 6)"
+
+
 def _with_query(emb: DataFrame) -> DataFrame:
     from spatialflink_spark.session import spread
 
     q = emb.where(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("embedding").alias("q_emb")
+        F.col("embedding").alias("q_emb"),
+        F.expr(_norm_expr("embedding")).alias("_snq"),
     )
     # spread: a single-file embeddings scan otherwise scores every cosine
     # serially on one core
-    return spread(emb.where(F.col("vec_id") != QUERY_VEC_ID)).crossJoin(F.broadcast(q))
+    return (
+        spread(emb.where(F.col("vec_id") != QUERY_VEC_ID))
+        .withColumn("_snv", F.expr(_norm_expr("embedding")))
+        .crossJoin(F.broadcast(q))
+    )
 
 
 def _topk_ranked(scored: DataFrame, k: int) -> DataFrame:
@@ -81,7 +110,7 @@ def cosine_topk(emb: DataFrame, k: int = DEFAULT_K) -> DataFrame:
     scored = _with_query(emb).select(
         "vec_id",
         "label",
-        F.expr(_cos_expr("embedding", "q_emb")).alias("cos_sim"),
+        F.expr(_cos_pre_expr("embedding", "q_emb", "_snv", "_snq")).alias("cos_sim"),
     )
     return _topk_ranked(scored, k)
 
@@ -99,9 +128,13 @@ def cosine_topk_ivf(emb: DataFrame, k: int = DEFAULT_K, bits: int = SIGN_BITS) -
     """ANN variant: probe only the query's sign bucket, then exact top-k
     within it. Recall < 1 by design; the brute-force op is the oracle for
     measuring it."""
-    b = emb.withColumn("bucket", bucket_expr("embedding", bits))
+    b = emb.withColumn("bucket", bucket_expr("embedding", bits)).withColumn(
+        "_snv", F.expr(_norm_expr("embedding"))
+    )
     qb = b.where(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("bucket").alias("q_bucket"), F.col("embedding").alias("q_emb")
+        F.col("bucket").alias("q_bucket"),
+        F.col("embedding").alias("q_emb"),
+        F.col("_snv").alias("_snq"),
     )
     cand = (
         b.where(F.col("vec_id") != QUERY_VEC_ID)
@@ -109,7 +142,9 @@ def cosine_topk_ivf(emb: DataFrame, k: int = DEFAULT_K, bits: int = SIGN_BITS) -
         .select(
             "vec_id",
             "label",
-            F.expr(_cos_expr("embedding", "q_emb")).alias("cos_sim"),
+            F.expr(_cos_pre_expr("embedding", "q_emb", "_snv", "_snq")).alias(
+                "cos_sim"
+            ),
         )
     )
     return _topk_ranked(cand, k)
@@ -249,9 +284,13 @@ def cosine_topk_ivf_multiprobe(
     Hamming distance 1 (bits+1 buckets of 2^bits) — the standard recall
     recovery for sign-LSH, still touching only (bits+1)/2^bits of the data.
     Same output shape as cosine_topk; recall measured against it in tests."""
-    b = emb.withColumn("bucket", bucket_expr("embedding", bits))
+    b = emb.withColumn("bucket", bucket_expr("embedding", bits)).withColumn(
+        "_snv", F.expr(_norm_expr("embedding"))
+    )
     qb = b.where(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("bucket").alias("q_bucket"), F.col("embedding").alias("q_emb")
+        F.col("bucket").alias("q_bucket"),
+        F.col("embedding").alias("q_emb"),
+        F.col("_snv").alias("_snq"),
     )
     probe = " OR ".join(
         ["bucket = q_bucket"]
@@ -263,7 +302,9 @@ def cosine_topk_ivf_multiprobe(
         .select(
             "vec_id",
             "label",
-            F.expr(_cos_expr("embedding", "q_emb")).alias("cos_sim"),
+            F.expr(_cos_pre_expr("embedding", "q_emb", "_snv", "_snq")).alias(
+                "cos_sim"
+            ),
         )
     )
     return _topk_ranked(cand, k)
@@ -388,13 +429,19 @@ def cosine_topk_ivf_kmeans(
         else kmeans_centroids(emb, n_centroids, iters)
     ).localCheckpoint(eager=False)
     base = spread(emb).select(
-        "vec_id", "label", "embedding", F.expr(_km_quant("embedding")).alias("qv")
+        "vec_id",
+        "label",
+        "embedding",
+        F.expr(_km_quant("embedding")).alias("qv"),
+        F.expr(_norm_expr("embedding")).alias("_snv"),
     )
     assigned = base.crossJoin(F.broadcast(packed)).select(
-        "vec_id", "label", "embedding", F.expr(_KM_ASSIGN).alias("cid")
+        "vec_id", "label", "embedding", "_snv", F.expr(_KM_ASSIGN).alias("cid")
     )
     qrow = base.where(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("embedding").alias("q_emb"), F.col("qv").alias("qv")
+        F.col("embedding").alias("q_emb"),
+        F.col("qv").alias("qv"),
+        F.col("_snv").alias("_snq"),
     )
     # n_probe nearest centroids per query: sort the packed (dist, cid)
     # structs per row, slice — again no shuffle
@@ -402,6 +449,7 @@ def cosine_topk_ivf_kmeans(
         qrow.crossJoin(F.broadcast(packed))
         .select(
             "q_emb",
+            "_snq",
             F.explode(
                 F.expr(
                     f"slice(array_sort(transform(_cents, c -> "
@@ -409,7 +457,7 @@ def cosine_topk_ivf_kmeans(
                 )
             ).alias("_p"),
         )
-        .select(F.col("_p.cid").alias("cid"), "q_emb")
+        .select(F.col("_p.cid").alias("cid"), "q_emb", "_snq")
     )
     cand = (
         assigned.where(F.col("vec_id") != QUERY_VEC_ID)
@@ -417,7 +465,9 @@ def cosine_topk_ivf_kmeans(
         .select(
             "vec_id",
             "label",
-            F.expr(_cos_expr("embedding", "q_emb")).alias("cos_sim"),
+            F.expr(_cos_pre_expr("embedding", "q_emb", "_snv", "_snq")).alias(
+                "cos_sim"
+            ),
         )
     )
     return _topk_ranked(cand, k)
@@ -447,14 +497,19 @@ def cosine_topk_batch_kmeans(
         else kmeans_centroids(emb, n_centroids, iters)
     ).localCheckpoint(eager=False)
     base = spread(emb).select(
-        "vec_id", "label", "embedding", F.expr(_km_quant("embedding")).alias("qv")
+        "vec_id",
+        "label",
+        "embedding",
+        F.expr(_km_quant("embedding")).alias("qv"),
+        F.expr(_norm_expr("embedding")).alias("_snv"),
     )
     assigned = base.crossJoin(F.broadcast(packed)).select(
-        "vec_id", "label", "embedding", F.expr(_KM_ASSIGN).alias("bucket")
+        "vec_id", "label", "embedding", "_snv", F.expr(_KM_ASSIGN).alias("bucket")
     )
     qset = base.where(F.col("vec_id") % qm == 0).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
+        F.col("_snv").alias("_snq"),
         "qv",
     )
     qprobe = (
@@ -462,6 +517,7 @@ def cosine_topk_batch_kmeans(
         .select(
             "q_id",
             "q_emb",
+            "_snq",
             F.explode(
                 F.expr(
                     f"slice(array_sort(transform(_cents, c -> "
@@ -469,7 +525,7 @@ def cosine_topk_batch_kmeans(
                 )
             ).alias("_p"),
         )
-        .select("q_id", "q_emb", F.col("_p.cid").alias("bucket"))
+        .select("q_id", "q_emb", "_snq", F.col("_p.cid").alias("bucket"))
     )
     scored = assigned.join(
         F.broadcast(qprobe),
@@ -480,7 +536,9 @@ def cosine_topk_batch_kmeans(
         "vec_id",
         "label",
         assigned["bucket"].alias("bucket"),
-        F.expr(_cos_expr("embedding", "q_emb")).alias("cos_sim"),
+        F.expr(_cos_pre_expr("embedding", "q_emb", "_snv", "_snq")).alias(
+            "cos_sim"
+        ),
     )
     return _batch_topk_two_stage(scored, k)
 
@@ -604,15 +662,20 @@ def search_ivf_index(
         for row in cents
     )
     probed_cids = [cid for _, cid in ranked[:n_probe]]
-    q_lit = spark.createDataFrame([(q_emb_vals,)], "q_emb array<float>")
+    q_lit = spark.createDataFrame([(q_emb_vals,)], "q_emb array<float>").withColumn(
+        "_snq", F.expr(_norm_expr("q_emb"))
+    )
     cand = (
         corpus.where(F.col("cid").isin(probed_cids))
         .where(F.col("vec_id") != QUERY_VEC_ID)
+        .withColumn("_snv", F.expr(_norm_expr("embedding")))
         .crossJoin(F.broadcast(q_lit))
         .select(
             "vec_id",
             "label",
-            F.expr(_cos_expr("embedding", "q_emb")).alias("cos_sim"),
+            F.expr(_cos_pre_expr("embedding", "q_emb", "_snv", "_snq")).alias(
+                "cos_sim"
+            ),
         )
     )
     return _topk_ranked(cand, k)
@@ -682,9 +745,15 @@ def cosine_topk_batch(
     scale-safe. Output: q_id, rank, vec_id, label, cos_sim."""
     from spatialflink_spark.session import spread
 
-    q = query_table(emb, query_mod)
+    q = query_table(emb, query_mod).withColumn(
+        "_snq", F.expr(_norm_expr("q_emb"))
+    )
     corpus = spread(emb).select(
-        "vec_id", "label", "embedding", bucket_expr("embedding", bits).alias("bucket")
+        "vec_id",
+        "label",
+        "embedding",
+        bucket_expr("embedding", bits).alias("bucket"),
+        F.expr(_norm_expr("embedding")).alias("_snv"),
     )
     scored = corpus.join(
         F.broadcast(q), F.col("vec_id") != F.col("q_id")
@@ -693,7 +762,9 @@ def cosine_topk_batch(
         "vec_id",
         "label",
         "bucket",
-        F.expr(_cos_expr("embedding", "q_emb")).alias("cos_sim"),
+        F.expr(_cos_pre_expr("embedding", "q_emb", "_snv", "_snq")).alias(
+            "cos_sim"
+        ),
     )
     return _batch_topk_two_stage(scored, k)
 
@@ -722,17 +793,23 @@ def cosine_topk_batch_ann(
     from spatialflink_spark.session import spread
 
     corpus = spread(emb).select(
-        "vec_id", "label", "embedding", bucket_expr("embedding", bits).alias("bucket")
+        "vec_id",
+        "label",
+        "embedding",
+        bucket_expr("embedding", bits).alias("bucket"),
+        F.expr(_norm_expr("embedding")).alias("_snv"),
     )
     masks = _hamming_masks(bits, hamming)
     q = query_table(emb, query_mod).select(
         "q_id",
         "q_emb",
+        F.expr(_norm_expr("q_emb")).alias("_snq"),
         bucket_expr("q_emb", bits).alias("_qb"),
     )
     probes = ", ".join(f"_qb ^ {m}" for m in masks)
     qp = q.select(
-        "q_id", "q_emb", F.explode(F.expr(f"array({probes})")).alias("probe")
+        "q_id", "q_emb", "_snq",
+        F.explode(F.expr(f"array({probes})")).alias("probe"),
     )
     scored = corpus.join(
         F.broadcast(qp),
@@ -742,7 +819,9 @@ def cosine_topk_batch_ann(
         "vec_id",
         "label",
         "bucket",
-        F.expr(_cos_expr("embedding", "q_emb")).alias("cos_sim"),
+        F.expr(_cos_pre_expr("embedding", "q_emb", "_snv", "_snq")).alias(
+            "cos_sim"
+        ),
     )
     return _batch_topk_two_stage(scored, k)
 
@@ -781,27 +860,32 @@ def semantic_dedup(
         else kmeans_centroids(emb, n_centroids, iters)
     ).localCheckpoint(eager=False)
     base = spread(emb).select(
-        "vec_id", "embedding", F.expr(_km_quant("embedding")).alias("qv")
+        "vec_id",
+        "embedding",
+        F.expr(_km_quant("embedding")).alias("qv"),
+        F.expr(_norm_expr("embedding")).alias("_sn"),
     )
     assigned = (
         base.crossJoin(F.broadcast(packed))
-        .select("vec_id", "embedding", F.expr(_KM_ASSIGN).alias("cid"))
+        .select("vec_id", "embedding", "_sn", F.expr(_KM_ASSIGN).alias("cid"))
         .localCheckpoint(eager=False)
     )
     left = assigned.select(
         F.col("cid").alias("cid"),
         F.col("vec_id").alias("l_vec"),
         F.col("embedding").alias("l_emb"),
+        F.col("_sn").alias("l_sn"),
     )
     right = assigned.select(
         F.col("cid").alias("cid"),
         F.col("vec_id").alias("r_vec"),
         F.col("embedding").alias("r_emb"),
+        F.col("_sn").alias("r_sn"),
     )
     drops = (
         left.join(right, "cid")
         .where(F.col("l_vec") < F.col("r_vec"))
-        .where(F.expr(_cos_expr("l_emb", "r_emb")) >= threshold)
+        .where(F.expr(_cos_pre_expr("l_emb", "r_emb", "l_sn", "r_sn")) >= threshold)
         .select(F.col("r_vec").alias("vec_id"))
         .distinct()
         .withColumn("_drop", F.lit(True))

@@ -95,3 +95,43 @@ def test_wide_hash_py_matches_both_dialects(spark):
         f"SELECT {wide_hash_chain(f'{toks}', WIDE_SEED_H1, 'duck')}"
     ).fetchone()
     assert list(duck_col) == expected
+
+
+def test_packed_wide_simhash_fold_matches_reference(spark):
+    """The single-pass packed vote fold in with_wide_simhash must be
+    bit-identical to the definitional per-bit +-1 vote sum (the old 60-
+    aggregate kernel), INCLUDING across the 1023-token block boundary the
+    packed counters roll over at. Reference computed in pure Python from
+    wide_hash_py."""
+    from spatialflink_spark.operators.dedup import (
+        SIMHASH_WIDE_BITS,
+        WIDE_SEED_H1,
+        WIDE_SEED_H2,
+        wide_hash_py,
+        with_wide_simhash,
+    )
+
+    def ref_simhash(toks: list[int]) -> int:
+        h1 = [wide_hash_py(t, WIDE_SEED_H1) for t in toks]
+        h2 = [wide_hash_py(t, WIDE_SEED_H2) for t in toks]
+        out = 0
+        for j in range(SIMHASH_WIDE_BITS):
+            hs = h1 if j < 30 else h2
+            votes = sum(1 if (h >> (j % 30)) & 1 else -1 for h in hs)
+            if votes > 0:
+                out |= 1 << j
+        return out
+
+    # lengths straddling the packed-block boundary + tiny/empty arrays;
+    # deterministic LCG-ish token streams (nonnegative, < vocab-sized)
+    cases = []
+    for n in (0, 1, 2, 7, 1022, 1023, 1024, 2047, 2048, 2500):
+        toks = [(i * 2654435761 + n * 97) % 50261 for i in range(n)]
+        cases.append((n, toks))
+    df = spark.createDataFrame(cases, "case_id int, toks array<int>")
+    got = {
+        r["case_id"]: r["simhash"]
+        for r in with_wide_simhash(df, "toks").select("case_id", "simhash").collect()
+    }
+    for n, toks in cases:
+        assert got[n] == ref_simhash(toks), f"len={n}"
