@@ -158,9 +158,12 @@ def tfidf_topk_terms(docs: DataFrame, k: int = TFIDF_TOPK) -> DataFrame:
         "doc_id", F.expr(T.spark_tokenize("text")).alias("_t")
     )
     t = toks.select("doc_id", F.explode("_t").alias("tok"))
+    # MATERIALIZE: tf feeds BOTH the df aggregation and the score join —
+    # un-checkpointed, each consumer re-ran the tokenize+explode+groupBy
+    # (3 parquet scans in the plan; the multi-consumer invariant)
     tf = t.groupBy("doc_id", "tok").agg(
         F.expr("cast(count(1) as bigint)").alias("tf")
-    )
+    ).localCheckpoint(eager=False)
     df = tf.groupBy("tok").agg(F.expr("cast(count(1) as bigint)").alias("df"))
     n = docs.agg(F.expr("cast(count(1) as bigint)").alias("n_docs"))
     s = (
@@ -483,9 +486,12 @@ def unigram_rarity(docs: DataFrame) -> DataFrame:
     from spatialflink_spark.functions import tokens as T
     from spatialflink_spark.session import spread
 
+    # MATERIALIZE the token arrays: the exploded stream feeds BOTH the
+    # vocab count and the rarity join — un-checkpointed, each consumer
+    # re-ran the tokenize (2 parquet scans in the plan)
     toks = spread(docs).select(
         "doc_id", F.expr(T.spark_tokenize("text")).alias("_t")
-    )
+    ).localCheckpoint(eager=False)
     t = toks.select("doc_id", F.explode("_t").alias("tok"))
     cnt = t.groupBy("tok").agg(F.expr("cast(count(1) as bigint)").alias("c"))
     j = t.join(F.broadcast(cnt), "tok")
@@ -542,9 +548,11 @@ def bigram_lift_topk(
     from spatialflink_spark.functions import tokens as T
     from spatialflink_spark.session import spread
 
+    # MATERIALIZE the token arrays: they feed BOTH the bigram derivation
+    # and the unigram counts — un-checkpointed, each re-ran the tokenize
     toks = spread(docs).select(
         "doc_id", F.expr(T.spark_tokenize("text")).alias("_t")
-    )
+    ).localCheckpoint(eager=False)
     # MATERIALIZE before the explode (CLAUDE.md invariant — generate
     # re-evaluates an inlined producing expression well beyond once/row)
     bg = (

@@ -170,17 +170,30 @@ def rrf_fusion(
     sem = cosine_topk_batch(emb, k=depth, query_mod=query_mod).select(
         "q_id", F.col("vec_id").alias("doc_id"), F.col("rank").alias("r_sem")
     )
-    fused = lex.join(sem, ["q_id", "doc_id"], "full_outer").select(
+    # full-outer ALIGNMENT as union + groupBy instead of a full_outer join:
+    # a full outer join of two stats-less relations plans as a sort-merge
+    # join (two sorted exchanges); the union form is ONE hash aggregation
+    # over the same |Q| x depth rows. Ranks are >= 1 when present, so
+    # max(r, 0-fill) recovers exactly the coalesce(r, 0) of the join form
+    # and "rank 0 = absent from that list" is unchanged.
+    both = lex.select(
+        "q_id", "doc_id", "r_lex", F.lit(0).alias("r_sem")
+    ).unionByName(
+        sem.select("q_id", "doc_id", F.lit(0).alias("r_lex"), "r_sem")
+    )
+    fused = both.groupBy("q_id", "doc_id").agg(
+        F.max("r_lex").alias("_rl"), F.max("r_sem").alias("_rs")
+    ).select(
         "q_id",
         "doc_id",
         F.expr(
-            f"cast(CASE WHEN r_lex IS NULL THEN 0 "
-            f"ELSE {RRF_SCALE} div ({RRF_K0} + r_lex) END "
-            f"+ CASE WHEN r_sem IS NULL THEN 0 "
-            f"ELSE {RRF_SCALE} div ({RRF_K0} + r_sem) END as bigint)"
+            f"cast(CASE WHEN _rl = 0 THEN 0 "
+            f"ELSE {RRF_SCALE} div ({RRF_K0} + _rl) END "
+            f"+ CASE WHEN _rs = 0 THEN 0 "
+            f"ELSE {RRF_SCALE} div ({RRF_K0} + _rs) END as bigint)"
         ).alias("rrf"),
-        F.expr("cast(coalesce(r_lex, 0) as int)").alias("r_lex"),
-        F.expr("cast(coalesce(r_sem, 0) as int)").alias("r_sem"),
+        F.expr("cast(_rl as int)").alias("r_lex"),
+        F.expr("cast(_rs as int)").alias("r_sem"),
     )
     w = Window.partitionBy("q_id").orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
     return (
@@ -296,7 +309,9 @@ def hard_negatives(
     sem = cosine_topk_batch(emb, k=depth, query_mod=query_mod).select(
         "q_id", F.col("vec_id").alias("doc_id")
     )
-    neg = lex.join(sem, ["q_id", "doc_id"], "left_anti")
+    # sem is |Q| x depth by construction — explicit broadcast (the ranked
+    # list has no stats, so the anti-join would otherwise sort-merge)
+    neg = lex.join(F.broadcast(sem), ["q_id", "doc_id"], "left_anti")
     w = Window.partitionBy("q_id").orderBy(F.col("r_lex").asc())
     return (
         neg.withColumn("rank", F.row_number().over(w).cast("int"))

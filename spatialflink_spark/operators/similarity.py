@@ -1160,13 +1160,16 @@ def batch_ann_recall(emb: DataFrame, k: int = DEFAULT_K) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     ann = cosine_topk_batch_ann(emb, k=k).select("q_id", "vec_id")
-    hits = exact.join(ann, ["q_id", "vec_id"]).groupBy("q_id").agg(
+    # explicit broadcasts: both rank lists are |Q| x k BY CONSTRUCTION, but
+    # the checkpointed side has no stats, so the planner would fall back to
+    # a sort-merge join (two sorted exchanges for a bounded relation)
+    hits = exact.join(F.broadcast(ann), ["q_id", "vec_id"]).groupBy("q_id").agg(
         F.expr("cast(count(1) as bigint)").alias("_h")
     )
     base = exact.groupBy("q_id").agg(
         F.expr("cast(count(1) as bigint)").alias("n_exact")
     )
-    return base.join(hits, "q_id", "left").select(
+    return base.join(F.broadcast(hits), "q_id", "left").select(
         "q_id",
         "n_exact",
         F.expr("cast(coalesce(_h, 0) as bigint)").alias("n_hit"),
@@ -1389,13 +1392,14 @@ def pq_batch_recall(
         .localCheckpoint(eager=False)
     )
     ann = pq_topk_batch(emb, k=k, codebooks=codebooks).select("q_id", "vec_id")
-    hits = exact.join(ann, ["q_id", "vec_id"]).groupBy("q_id").agg(
+    # bounded |Q| x k sides -> explicit broadcast (see batch_ann_recall)
+    hits = exact.join(F.broadcast(ann), ["q_id", "vec_id"]).groupBy("q_id").agg(
         F.expr("cast(count(1) as bigint)").alias("_h")
     )
     base = exact.groupBy("q_id").agg(
         F.expr("cast(count(1) as bigint)").alias("n_exact")
     )
-    return base.join(hits, "q_id", "left").select(
+    return base.join(F.broadcast(hits), "q_id", "left").select(
         "q_id",
         "n_exact",
         F.expr("cast(coalesce(_h, 0) as bigint)").alias("n_hit"),

@@ -37,8 +37,28 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Prefer shuffled-hash over sort-merge when the per-partition build
+        # side fits (guide §3.1/§9): our joins are dominated by
+        # checkpoint-backed relations whose unknown stats force the planner
+        # to the sort-merge fallback — SHJ skips both sorts. The AQE
+        # threshold additionally rewrites SMJ->SHJ at runtime from MEASURED
+        # partition sizes (per-partition bound, so it scales with the
+        # cluster, not the host).
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            str(128 * 1024 * 1024),
+        )
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
+        # cached-relation build cost: the relations operators persist
+        # (token-array sequences, fingerprints) are high-entropy int
+        # arrays — columnar cache compression burns CPU per build for
+        # negligible ratio on such columns (measured 1.9x faster persist
+        # materialization with it off, same read speed). Data-shape
+        # dependent, not host dependent; storage for persisted derived
+        # relations is transient in this engine.
+        .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
         .config("spark.sql.shuffle.spill.compress", "true")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
@@ -49,16 +69,38 @@ def get_spark(
     return b.getOrCreate()
 
 
+_SPREAD_NPART_CACHE: dict[tuple[str, int], int] = {}
+
+
 def spread(df, parallelism: int | None = None):
     """Repartition UP to the session's parallelism when the input scan has
     fewer partitions than cores — a small parquet file arrives as ONE
     partition, serializing every compute-heavy derivation built on it
     (tokenize/shingle/hash lambdas run 32x slower than they should on
     local[32]). At 100 TB the scan has thousands of partitions and this is a
-    no-op; the shuffle it inserts at small scale moves only the raw rows."""
+    no-op; the shuffle it inserts at small scale moves only the raw rows.
+
+    The partition-count PROBE (df.rdd) compiles a throwaway physical plan —
+    ~35-50 ms per call, paid by nearly every data operator. Within one
+    session the same analyzed plan over the same immutable files always
+    yields the same scan split, so the count is memoized per
+    (applicationId, plan semantic hash) — cached metadata about the layout,
+    never data."""
     sc = df.sparkSession.sparkContext
     target = parallelism or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        key = (
+            sc.applicationId,
+            df._jdf.queryExecution().analyzed().semanticHash(),
+        )
+    except Exception:
+        key = None
+    n = _SPREAD_NPART_CACHE.get(key) if key is not None else None
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        if key is not None:
+            _SPREAD_NPART_CACHE[key] = n
+    if n < target:
         return df.repartition(target)
     return df
 
