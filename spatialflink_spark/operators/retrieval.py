@@ -84,18 +84,23 @@ def _postings(docs: DataFrame):
         # re-evaluates an inlined producing expression well beyond once/row)
         .localCheckpoint(eager=False)
     )
-    t = toks.select("doc_id", F.explode("_t").alias("tok"))
-    postings = t.groupBy("doc_id", "tok").agg(
-        F.expr("cast(count(1) as bigint)").alias("tf")
+    # dl (doc length) = size of the token array, attached BEFORE the
+    # explode: it is constant per row, so carrying it through the groupBy
+    # key (functionally dependent on doc_id — group set unchanged) replaces
+    # the old sum(tf)-over-doc WINDOW and its extra Exchange with zero work
+    # (sum of tf over a doc IS the token count, by construction).
+    t = toks.select(
+        "doc_id",
+        F.expr("cast(size(_t) as bigint)").alias("dl"),
+        F.explode("_t").alias("tok"),
     )
-    # doc length over the SAME relation — window, not a join back.
     # MATERIALIZE: postings feeds three consumers (dfreq, scal, the
     # candidate join) — un-checkpointed, each re-ran the explode+groupBy
     # (8 Generate nodes in the plan). At cluster scale this is a
     # write-once intermediate table, the minhash_lsh_pairs posture.
-    postings = postings.withColumn(
-        "dl", F.sum("tf").over(Window.partitionBy("doc_id")).cast("bigint")
-    ).localCheckpoint(eager=False)
+    postings = t.groupBy("doc_id", "dl", "tok").agg(
+        F.expr("cast(count(1) as bigint)").alias("tf")
+    ).select("doc_id", "tok", "tf", "dl").localCheckpoint(eager=False)
     dfreq = postings.groupBy("tok").agg(
         F.expr("cast(count(1) as bigint)").alias("df")
     )
