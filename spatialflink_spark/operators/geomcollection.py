@@ -155,7 +155,7 @@ def geomcollection_knn(
         .withColumn("dist", F.expr(_gc_dist("q_n_tok")))
         .where(F.col("dist") <= F.col("radius"))
     )
-    per_obj = cand.groupBy("ws", "q_id", "k", "cell", "gc_id").agg(
+    per_obj = cand.repartition("ws", "q_id", "cell").groupBy("ws", "q_id", "k", "cell", "gc_id").agg(
         F.min(F.struct("dist", "gc_seq")).alias("_m")
     )
     w_cell = Window.partitionBy("ws", "q_id", "cell").orderBy(
@@ -166,7 +166,7 @@ def geomcollection_knn(
         .where(F.col("_r") <= F.col("k"))
         .drop("_r")
     )
-    per_gc = partial.groupBy("ws", "q_id", "k", "gc_id").agg(
+    per_gc = partial.repartition("ws", "q_id").groupBy("ws", "q_id", "k", "gc_id").agg(
         F.min("_m").alias("_m2")
     )
     w_final = Window.partitionBy("ws", "q_id").orderBy(

@@ -114,7 +114,7 @@ def interval_knn(seq_ws: DataFrame, grid: GridConfig, qs) -> DataFrame:
         .where(F.col("guaranteed") | (F.col("dist") <= F.col("radius")))
     )
     # stage 1: per-cell dedup-keep-min per interval object, cut to k per cell
-    cell_iv_min = cand.groupBy("ws", "q_id", "k", "cell", "iv_id").agg(
+    cell_iv_min = cand.repartition("ws", "q_id", "cell").groupBy("ws", "q_id", "k", "cell", "iv_id").agg(
         F.min(F.struct("dist", "iv_seq")).alias("_m")
     )
     w_cell = Window.partitionBy("ws", "q_id", "cell").orderBy(
@@ -126,7 +126,7 @@ def interval_knn(seq_ws: DataFrame, grid: GridConfig, qs) -> DataFrame:
         .drop("_r")
     )
     # stage 2: bounded global merge (<= cells*k rows per (ws, q_id))
-    per_iv = partial.groupBy("ws", "q_id", "k", "iv_id").agg(
+    per_iv = partial.repartition("ws", "q_id").groupBy("ws", "q_id", "k", "iv_id").agg(
         F.min("_m").alias("_m2")
     )
     w_final = Window.partitionBy("ws", "q_id").orderBy(

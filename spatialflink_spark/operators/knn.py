@@ -56,8 +56,16 @@ def knn_windowed(
     # there can evict a qualifying doc; our oracle defines truth, SURVEY §7.)
     # This is the map-side combine: the final stage input is bounded by
     # num_cells * k rows per (ws, q_id) regardless of data volume.
-    cell_doc_min = cand.groupBy("ws", "q_id", "k", "cell", "doc_id").agg(
-        F.min(F.struct("dist", "seq_no")).alias("_m")
+    # ONE exchange for stage 1 (guide §2.4 — operations keyed the same way
+    # share an exchange): hash-partitioning on (ws, q_id, cell) satisfies
+    # the clustering of BOTH the finer per-doc groupBy (its keys are a
+    # superset) and the per-cell rank window, so neither plans its own
+    # shuffle. The per-task slice stays one cell's candidates — the bounded
+    # sort the two-stage design promises at scale.
+    cell_doc_min = (
+        cand.repartition("ws", "q_id", "cell")
+        .groupBy("ws", "q_id", "k", "cell", "doc_id")
+        .agg(F.min(F.struct("dist", "seq_no")).alias("_m"))
     )
     w_cell = Window.partitionBy("ws", "q_id", "cell").orderBy(
         F.col("_m.dist"), F.col("doc_id")
@@ -69,8 +77,13 @@ def knn_windowed(
     )
 
     # stage 2: global merge per (ws, q_id): dedup per doc_id keep min dist
-    # (KNNQuery.java:226-238), then re-rank and cut to k.
-    per_doc = partial.groupBy("ws", "q_id", "k", "doc_id").agg(
+    # (KNNQuery.java:226-238), then re-rank and cut to k. Same single-
+    # exchange trick: partition once on (ws, q_id), the groupBy and the
+    # final rank window both reuse it; input is already <= cells * k rows
+    # per (ws, q_id).
+    per_doc = partial.repartition("ws", "q_id").groupBy(
+        "ws", "q_id", "k", "doc_id"
+    ).agg(
         F.min("_m").alias("_m2")
     ).select(
         "ws", "q_id", "k", "doc_id",

@@ -116,7 +116,7 @@ def linestring_knn(
     cand = cand.withColumn("dist", F.expr(_vertex_dist_expr("q_n_tok"))).where(
         F.col("dist") <= F.col("radius")
     )
-    per_obj = cand.groupBy("ws", "q_id", "k", "cell", "ls_id").agg(
+    per_obj = cand.repartition("ws", "q_id", "cell").groupBy("ws", "q_id", "k", "cell", "ls_id").agg(
         F.min(F.struct("dist", "ls_seq")).alias("_m")
     )
     w_cell = Window.partitionBy("ws", "q_id", "cell").orderBy(
@@ -127,7 +127,7 @@ def linestring_knn(
         .where(F.col("_r") <= F.col("k"))
         .drop("_r")
     )
-    per_ls = partial.groupBy("ws", "q_id", "k", "ls_id").agg(F.min("_m").alias("_m2"))
+    per_ls = partial.repartition("ws", "q_id").groupBy("ws", "q_id", "k", "ls_id").agg(F.min("_m").alias("_m2"))
     w_final = Window.partitionBy("ws", "q_id").orderBy(F.col("_m2.dist"), F.col("ls_id"))
     return (
         per_ls.withColumn("rank", F.row_number().over(w_final).cast("int"))

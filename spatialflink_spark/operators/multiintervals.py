@@ -171,7 +171,7 @@ def multiinterval_knn(seq_ws: DataFrame, grid: GridConfig, qs) -> DataFrame:
         .withColumn("dist", F.expr(_mi_dist("q_n_tok")))
         .where(F.col("guaranteed") | (F.col("dist") <= F.col("radius")))
     )
-    cell_mi_min = cand.groupBy("ws", "q_id", "k", "cell", "mi_id").agg(
+    cell_mi_min = cand.repartition("ws", "q_id", "cell").groupBy("ws", "q_id", "k", "cell", "mi_id").agg(
         F.min(F.struct("dist", "mi_seq")).alias("_m")
     )
     w_cell = Window.partitionBy("ws", "q_id", "cell").orderBy(
@@ -182,7 +182,7 @@ def multiinterval_knn(seq_ws: DataFrame, grid: GridConfig, qs) -> DataFrame:
         .where(F.col("_r") <= F.col("k"))
         .drop("_r")
     )
-    per_mi = partial.groupBy("ws", "q_id", "k", "mi_id").agg(
+    per_mi = partial.repartition("ws", "q_id").groupBy("ws", "q_id", "k", "mi_id").agg(
         F.min("_m").alias("_m2")
     )
     w_final = Window.partitionBy("ws", "q_id").orderBy(
