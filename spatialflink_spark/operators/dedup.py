@@ -889,10 +889,15 @@ def dedup_keep_best(docs: DataFrame) -> DataFrame:
     from spatialflink_spark.session import spread
 
     comp = dedup_components_star(simhash_wide_dup_pairs(docs))
-    q = with_quality(spread(docs).select("doc_id", "text")).select(
-        "doc_id", "quality"
-    )
-    j = comp.join(q, "doc_id")
+    # join FIRST, score after: quality is only needed for component MEMBERS
+    # (docs appearing in >= 1 near-dup pair), so computing the per-row
+    # quality kernel on the join output scores |members| rows instead of
+    # the whole corpus (guide §1.2 — don't compute things you throw away;
+    # r5 scored every document and then threw all but the paired ones away
+    # in this join). Values are per-row and unchanged.
+    j = with_quality(
+        comp.join(spread(docs).select("doc_id", "text"), "doc_id")
+    ).select("doc_id", "component", "quality")
     w = Window.partitionBy("component").orderBy(
         F.col("quality").desc(), F.col("doc_id").asc()
     )
@@ -1028,7 +1033,12 @@ def dedup_size_histogram(docs: DataFrame) -> DataFrame:
     per paired doc); its groupBy keys are component ids then sizes — both
     collapse monotonically, no step ever exceeds the pair-kernel output.
     Output: size, n_components, n_docs (= size * n_components)."""
-    comps = dedup_components_star(simhash_wide_dup_pairs(docs))
+    # MATERIALIZE: comps feeds BOTH the size histogram and the paired-doc
+    # count — un-checkpointed, each consumer re-ran the star label join
+    # (nodes dedup + neighbor-min groupBy + join) over the converged edges
+    comps = dedup_components_star(simhash_wide_dup_pairs(docs)).localCheckpoint(
+        eager=False
+    )
     sizes = comps.groupBy("component").agg(
         F.expr("cast(count(1) as bigint)").alias("size")
     )
