@@ -98,9 +98,23 @@ def _postings(docs: DataFrame):
     # candidate join) — un-checkpointed, each re-ran the explode+groupBy
     # (8 Generate nodes in the plan). At cluster scale this is a
     # write-once intermediate table, the minhash_lsh_pairs posture.
-    postings = t.groupBy("doc_id", "dl", "tok").agg(
-        F.expr("cast(count(1) as bigint)").alias("tf")
-    ).select("doc_id", "tok", "tf", "dl").localCheckpoint(eager=False)
+    #
+    # The repartition("doc_id") is LOAD-BEARING for the scoring stage, not
+    # cosmetic: the per-(q_id, doc_id) score sum does map-side partial
+    # aggregation over |Q| x posting-list candidates, and it only collapses
+    # a (query, doc) pair's shared-term rows BEFORE the shuffle when the
+    # doc's postings are co-located. Leaving the groupBy's (doc_id, dl,
+    # tok) partitioning scattered each doc's terms across partitions and
+    # tripled the sf1 scoring wall (measured 10.5s vs 3.3s; the old window
+    # form got the same co-location implicitly from its partitionBy
+    # exchange — this keeps the exchange and drops the window's sort).
+    postings = (
+        t.groupBy("doc_id", "dl", "tok")
+        .agg(F.expr("cast(count(1) as bigint)").alias("tf"))
+        .select("doc_id", "tok", "tf", "dl")
+        .repartition("doc_id")
+        .localCheckpoint(eager=False)
+    )
     dfreq = postings.groupBy("tok").agg(
         F.expr("cast(count(1) as bigint)").alias("df")
     )
