@@ -30,12 +30,19 @@ def duck_words(col: str) -> str:
     )
 
 
-def spark_tokenize(col: str) -> str:
-    """text column -> array<int> of token ids (Spark SQL)."""
+def spark_tokenize_words(words: str) -> str:
+    """word-array expression/column -> array<int> of token ids (Spark SQL).
+    Lets callers that STAGE the words array once (the split+filter chain is
+    the expensive part) tokenize it without re-deriving the words."""
     return (
-        f"transform({spark_words(col)}, "
+        f"transform({words}, "
         f"w -> aggregate(split(w, ''), 0, (a, c) -> (a*31 + ascii(c)) % {VOCAB_SIZE}))"
     )
+
+
+def spark_tokenize(col: str) -> str:
+    """text column -> array<int> of token ids (Spark SQL)."""
+    return spark_tokenize_words(spark_words(col))
 
 
 def duck_tokenize(col: str) -> str:

@@ -66,13 +66,16 @@ QUALITY_SQL = (
 def lang_id(docs: DataFrame) -> DataFrame:
     from spatialflink_spark.session import spread
 
-    w = T.spark_words("text")
-    d = spread(docs).select(
+    # stage the word array once — the four scores reference it eight times
+    staged = spread(docs).select(
+        "doc_id", F.expr(T.spark_words("text")).alias("_w")
+    )
+    d = staged.select(
         "doc_id",
         *[
-            F.expr(lang_score_sql(w, lg, size_fn="size", filter_fn="filter")).alias(
-                f"s_{lg}"
-            )
+            F.expr(
+                lang_score_sql("_w", lg, size_fn="size", filter_fn="filter")
+            ).alias(f"s_{lg}")
             for lg in LANG_ORDER
         ],
     )
@@ -83,17 +86,29 @@ def lang_id(docs: DataFrame) -> DataFrame:
 QUALITY_COLS = ("n_words", "n_chars", "stop_ratio", "digit_ratio", "quality")
 
 
-def with_quality(docs: DataFrame) -> DataFrame:
+def with_quality(docs: DataFrame, words_col: str | None = None) -> DataFrame:
     """Append the quality columns (n_words, n_chars, stop_ratio,
     digit_ratio, quality) to `docs`, keeping every input column — the
     shared kernel behind quality_score and the selection / keep-best ops
     that need quality NEXT TO other columns (source, component) without a
     re-scan self-join. Callers must project away clashing input columns
-    first (the raw documents table already carries an `n_chars`)."""
+    first (the raw documents table already carries an `n_chars`).
+
+    The word array (lower + regex split + filter) is STAGED once and
+    referenced by n_words and the stop-ratio score — inlined, it evaluated
+    three times per row (the lambda-CSE rule: nothing dedups repeated
+    subexpressions across these interpreted chains). Callers that already
+    hold a staged words column pass its name as `words_col` to share it."""
     clash = set(docs.columns) & set(QUALITY_COLS)
     assert not clash, f"with_quality: project away clashing columns {clash}"
-    w = T.spark_words("text")
-    d = docs.select(
+    if words_col is None:
+        staged = docs.select(
+            "*", F.expr(T.spark_words("text")).alias("_wq")
+        )
+        w = "_wq"
+    else:
+        staged, w = docs, words_col
+    d = staged.select(
         "*",
         F.expr(f"size({w})").alias("n_words"),
         F.length("text").alias("n_chars"),
@@ -105,7 +120,10 @@ def with_quality(docs: DataFrame) -> DataFrame:
             "greatest(length(text), 1), 6)"
         ).alias("digit_ratio"),
     )
-    return d.select("*", F.expr(QUALITY_SQL).alias("quality"))
+    out = d.select("*", F.expr(QUALITY_SQL).alias("quality"))
+    if words_col is None:
+        out = out.drop("_wq")
+    return out
 
 
 def quality_score(docs: DataFrame) -> DataFrame:
@@ -300,14 +318,18 @@ def with_quality_filter(df: DataFrame) -> DataFrame:
     are dropped with the repetition stage (they cannot pass the length rule
     anyway). Appends: n_words, dup_gram_frac, quality, pred_lang,
     pass_len, pass_rep, pass_quality, pass_lang, keep."""
-    w = T.spark_words("text")
-    base = with_quality(df)
-    base = base.select("*", F.expr(T.spark_tokenize("text")).alias("_t"))
+    # STAGE the word array once for the whole composition: the quality
+    # kernel, the tokenizer and the four language scores all consume it —
+    # inlined (the r5 form), the lower+split+filter chain evaluated ~12x
+    # per row across these expressions.
+    staged = df.select("*", F.expr(T.spark_words("text")).alias("_w"))
+    base = with_quality(staged, words_col="_w")
+    base = base.select("*", F.expr(T.spark_tokenize_words("_w")).alias("_t"))
     base = base.select(
         "*",
         *[
             F.expr(
-                lang_score_sql(w, lg, size_fn="size", filter_fn="filter")
+                lang_score_sql("_w", lg, size_fn="size", filter_fn="filter")
             ).alias(f"s_{lg}")
             for lg in LANG_ORDER
         ],
